@@ -1,0 +1,189 @@
+"""Tier A parity: keyed tumbling-window aggregation over the event stream.
+
+This is the reference engine's *entire* query, re-expressed
+declaratively: per player key, per 1 second of event time, the average
+of every numeric measurement plus first-event metadata
+(reference DispatcherFunction.cs:84-94 window advance, :140-150
+per-field AVG, :141/:154-156 first-event fields; README.md:44-50).
+
+Spark-first design notes
+------------------------
+- Windows are epoch-aligned ``window(ts, '1 second')`` — a documented
+  divergence from the reference's first-event-anchored windows
+  (SURVEY.md §7 hard-parts); the exact-parity stateful processor lives
+  in ``streaming/stateful.py``.
+- ``first()`` in the reference relies on a per-batch time sort
+  (DispatcherFunction.cs:35); under parallel aggregation that order is
+  not guaranteed, so first-event fields use ``min_by(col,
+  struct(ts, event_id))`` — deterministic under any partitioning.
+- The whole pipeline is built-ins → single shuffle on (key, window),
+  map-side partial aggregation, whole-stage codegen. At 100 TB this is
+  a pure hash-aggregate whose state is bounded by (#keys × #windows in
+  flight), and with date-partitioned input the scan prunes to the
+  queried window range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.datamodel import events_as_datapoints, explode_payload, with_key
+from eventstreamer_spark.functions.casting import fmt_ts, round6, safe_double
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_events
+
+TS_OUT = "%Y-%m-%d %H:%M:%S.%f"  # duckdb strftime twin of casting.TS_FMT
+
+
+def tumbling_stats(events: DataFrame, window: str = "1 second") -> DataFrame:
+    """Per-key tumbling-window stats with deterministic first-event fields."""
+    return (
+        events.groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.window("ts", window).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.avg("value")).alias("avg_value"),
+            round6(F.sum("value")).alias("sum_value"),
+            round6(F.min("value")).alias("min_value"),
+            round6(F.max("value")).alias("max_value"),
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+        )
+        .select(
+            "key",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "first_event_type",
+            "first_event_id",
+        )
+    )
+
+
+_TUMBLING_ORACLE = f"""
+WITH ranked AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('second', ts) AS ws,
+         value, event_type, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('second', ts)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT key,
+       strftime(ws, '{TS_OUT}') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+       CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_event_id
+FROM ranked
+GROUP BY key, ws
+"""
+
+
+@query("tumbling_window_stats", oracle=_TUMBLING_ORACLE)
+def q_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: O1,O6,O7,O9,O12,O14 in one declarative expression."""
+    return tumbling_stats(load_events(spark, sf_dir))
+
+
+def datapoint_window_eav(events: DataFrame, window: str = "1 second") -> DataFrame:
+    """Full reference ingest parity path, EAV output form.
+
+    events → DataPoint envelope (O2) → key synthesis ``session:values[1]``
+    (O3, reference DispatcherFunction.cs:179-181) → explode parallel
+    arrays (the per-field loop, O12) → null-safe 0-default cast (O13)
+    → per (key, window, measurement) average.
+    """
+    dp = with_key(events_as_datapoints(events))
+    eav = explode_payload(dp)
+    return (
+        eav.groupBy(
+            "key",
+            F.window("timestamp", window).alias("w"),
+            F.col("m_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round6(F.avg(safe_double(F.col("m_value")))).alias("avg_value"),
+        )
+        .select(
+            "key",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "m_name",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+_DP_EAV_ORACLE = f"""
+WITH eav AS (
+  SELECT concat(CAST(user_id AS VARCHAR), ':', json_extract_string(props, '$.k')) AS key,
+         date_trunc('second', ts) AS ws,
+         'value' AS m_name,
+         value AS v
+  FROM events
+  UNION ALL
+  SELECT concat(CAST(user_id AS VARCHAR), ':', json_extract_string(props, '$.k')),
+         date_trunc('second', ts),
+         'k',
+         coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+  FROM events
+)
+SELECT key,
+       strftime(ws, '{TS_OUT}') AS window_start,
+       m_name,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 6) AS avg_value
+FROM eav
+GROUP BY key, ws, m_name
+"""
+
+
+@query("datapoint_window_eav", oracle=_DP_EAV_ORACLE)
+def q_datapoint_window_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ingest→window→per-field-avg pipeline (O2,O3,O12,O13,O15)."""
+    return datapoint_window_eav(load_events(spark, sf_dir))
+
+
+def windowed_emit_json(events: DataFrame, window: str = "1 second") -> DataFrame:
+    """The reference's output record, verbatim shape (O15+O16).
+
+    One JSON row per (key, window): ``{ts, deviceid, sessionid,
+    sessionstart, allvalues: {name: avg-as-string}}`` — including the
+    vestigial empty ``sessionstart`` (reference
+    DispatcherFunction.cs:152-159). JSON key order differs between
+    engines, so this query is covered by unit tests rather than the
+    SQL oracle.
+    """
+    eav = datapoint_window_eav(events, window)
+    return (
+        eav.groupBy("key", "window_start")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("m_name", F.col("avg_value").cast("string"))))
+            ).alias("allvalues")
+        )
+        .select(
+            "key",
+            F.to_json(
+                F.struct(
+                    F.col("window_start").alias("ts"),
+                    F.split(F.col("key"), ":").getItem(0).alias("sessionid"),
+                    F.lit("").alias("sessionstart"),
+                    F.col("allvalues"),
+                )
+            ).alias("json"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction for the engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32);
+the same configs are what we would set cluster-side: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for any Python
+boundary, UTC session time so event-time semantics are unambiguous,
+and shuffle partitions sized to the parallelism actually available
+rather than the 200-partition default.
+
+The reference engine has no equivalent (a single Azure Functions
+process, reference DispatcherFunction.cs:21-23); this module is where
+Spark's execution model replaces the Functions host.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "eventstreamer-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster only ``master`` changes; every other setting is
+    scale-appropriate as-is (AQE handles skew + post-shuffle partition
+    sizing at any data volume).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally provided session.
+
+    The verification driver hands us *its* SparkSession; event-time
+    string formatting and Arrow transfer must behave identically there,
+    so every config that can be set post-startup is (re)applied here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,44 @@
+"""Readers for the canonical parquet tables.
+
+The reference's only source is an Event Hub trigger
+(reference DispatcherFunction.cs:21-23, O1 in SURVEY.md §2); its batch
+twin here is a parquet scan of the driver-generated ``events`` table.
+All reads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free; at 100 TB the same call reads a
+date/key-partitioned parquet lake and partition pruning applies too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eventstreamer_spark.session import TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one canonical table. Vectorized parquet reader, lazy.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; we read nanos as epoch-long (runtime conf) and convert to
+    a native microsecond timestamp — same truncation DuckDB applies,
+    so the oracle sees identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: float division of epoch-nanos loses µs precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event stream's batch twin (plays the Event Hub role, O1)."""
+    return load_table(spark, sf_dir, "events")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every canonical table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
