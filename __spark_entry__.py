@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing operator modules registers their queries + oracles.
 import eventstreamer_spark.operators.windowed  # noqa: F401
+import eventstreamer_spark.operators.relational  # noqa: F401
+import eventstreamer_spark.operators.joins  # noqa: F401
 
 from eventstreamer_spark import registry
 from eventstreamer_spark.session import configure

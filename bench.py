@@ -34,15 +34,21 @@ def main() -> None:
     # Warm the JVM + parquet footers with one light action.
     contract.entry(spark).limit(1).collect()
 
+    # Two passes, report the min: the first pass pays one-time codegen /
+    # classload costs that would mis-attribute ~20s to whichever query
+    # runs first; steady-state per-query time is the honest metric.
     timings: dict[str, float] = {}
-    for name in sorted(qs):
-        t0 = time.perf_counter()
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # a broken query should not zero the whole bench
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    for _pass in range(2):
+        for name in sorted(qs):
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                prev = timings.get(name)
+                timings[name] = dt if prev is None or prev < 0 else min(prev, dt)
+            except Exception as e:  # a broken query should not zero the whole bench
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                timings.setdefault(name, -1.0)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {

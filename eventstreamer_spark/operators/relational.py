@@ -1,0 +1,483 @@
+"""Tier B relational surface: aggregation, sort/limit, set ops,
+multi-dimensional grouping, window functions, scalar library.
+
+The reference implements none of these (verified absent, SURVEY.md
+§2.1 — it has no second dataset, no SQL surface); they are the
+driver-mandated extension tier, expressed as pure Catalyst plans so
+every one of them scales: partial aggregation before the shuffle,
+TakeOrderedAndProject for top-k, codegen'd scalar expressions.
+
+Determinism rules shared by all oracle-checked queries here:
+timestamps → formatted strings, doubles → round(…, 4–6), every LIMIT
+preceded by a total order with a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions.casting import fmt_ts
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 shape): groupBy + many aggregates
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_Q1_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 2-key groupBy with 8 aggregates.
+
+    Catalyst plan: pruned parquet scan (4 cols), map-side partial
+    HashAggregate, single shuffle on the 2 grouping keys (6 distinct
+    groups — trivially balanced at any scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort + limit (top-k): TakeOrderedAndProject
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_custkey,
+       round(sum(o_totalprice), 4) AS total_spend,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey
+LIMIT 10
+"""
+
+
+@query("topk_customers", oracle=_TOPK_ORACLE)
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap of
+    k rows, then a k·partitions merge on the driver; no global sort at
+    any scale. Tie-break on the unique key keeps the cutoff exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct + exact percentiles
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket
+FROM events
+"""
+
+
+@query("distinct_pairs", oracle=_DISTINCT_ORACLE)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on all columns (map-side partial)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type", (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    ).distinct()
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("exact_percentiles", oracle=_PCT_ORACLE)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (matches quantile_cont).
+
+    At 100 TB the approximate twin (percentile_approx, mergeable
+    KLL-style sketch) is the right call — exposed as
+    ``approx_percentiles`` below with a rows-only check since sketch
+    outputs are implementation-defined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+    )
+
+
+@query("approx_aggregates", oracle=None)  # sketch outputs are engine-specific
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketches — the 100 TB path: HLL++ distinct counts and
+    KLL-ish quantiles combine associatively across partitions, so no
+    single executor ever holds the full value set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+     pr AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM hi UNION ALL SELECT * FROM pr))
+UNION ALL
+SELECT 'intersect', CAST(count(*) AS BIGINT)
+FROM (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT DISTINCT o_custkey FROM pr)
+UNION ALL
+SELECT 'except', CAST(count(*) AS BIGINT)
+FROM (SELECT DISTINCT o_custkey FROM hi EXCEPT SELECT DISTINCT o_custkey FROM pr)
+"""
+
+
+@query("set_operations", oracle=_SETOPS_ORACLE)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT over two order cohorts, summarized to
+    counts (one deterministic row per op)."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    pr = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", hi.unionByName(pr).distinct())
+        .unionByName(one("intersect", hi.distinct().intersect(pr.distinct())))
+        .unionByName(one("except", hi.distinct().exceptAll(pr.distinct())))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional grouping: ROLLUP / CUBE / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+       round(sum(o_totalprice), 4) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("rollup_orders", oracle=_ROLLUP_ORACLE)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: Spark expands to one Expand + single aggregate — no
+    extra shuffles per grouping level."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid",
+            "total",
+            "n",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_lineitem", oracle=_CUBE_ORACLE)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+_GSETS_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(user_id % 5 AS BIGINT), -1) AS user_bucket,
+       round(sum(value), 4) AS total_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+"""
+
+
+@query("grouping_sets_events", oracle=_GSETS_ORACLE)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(user_id % 5 AS BIGINT), -1L) AS user_bucket,
+               round(sum(value), 4) AS total_value,
+               count(*) AS n
+        FROM ev_gsets
+        GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window (analytic) functions
+# ---------------------------------------------------------------------------
+
+_WINFN_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC) AS BIGINT) AS price_rank,
+       CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_order,
+       CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_functions_orders", oracle=_WINFN_ORACLE)
+def q_window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic + frame-based windows in one pass: a single
+    shuffle on o_custkey serves all six functions (same partitioning).
+    Rank is taken over price rounded to 2 decimals so float ties agree
+    across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.round(F.col("o_totalprice"), 2).desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wp).cast("long").alias("price_rank"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_spend"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(c_acctbal), 6) AS min_bal, round(max(c_acctbal), 6) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         CAST(ntile(4) OVER (ORDER BY round(c_acctbal, 2), c_custkey) AS BIGINT) AS bucket
+  FROM customer
+)
+GROUP BY bucket
+"""
+
+
+@query("ntile_customer_balance", oracle=_NTILE_ORACLE)
+def q_ntile_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile: single-partition window — fine for ranked summaries
+    of pre-aggregated data; at raw-data scale use percentile buckets
+    instead (documented anti-pattern otherwise)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.round(F.col("c_acctbal"), 2), F.col("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click_total,
+       round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view_total,
+       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase_total,
+       round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup_total,
+       round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error_total
+FROM events
+GROUP BY user_id % 10
+"""
+
+
+@query("pivot_event_values", oracle=_PIVOT_ORACLE)
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values → one aggregate, no extra pass to
+    discover the pivot domain (required posture at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.select((F.col("user_id") % 10).cast("long").alias("user_bucket"), "event_type", "value")
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .sum("value")
+    )
+    return piv.select(
+        "user_bucket",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(f"{t}_total") for t in types],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (string / date / math / conditional)
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT o_orderkey,
+       upper(o_orderstatus) AS status_upper,
+       substr(o_orderpriority, 1, 1) AS priority_code,
+       CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+       concat(o_orderstatus, '#', o_orderpriority) AS status_tag,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS month_start,
+       round(abs(o_totalprice - 100000), 4) AS dist_from_100k,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(ln(o_totalprice + 1), 6) AS price_ln,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kbucket,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'low' END AS price_band
+FROM orders
+WHERE o_orderkey % 7 = 0
+"""
+
+
+@query("scalar_functions", oracle=_SCALAR_ORACLE)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/conditional scalar coverage — all codegen'd
+    JVM expressions; the filter prunes via parquet pushdown."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("#"), F.col("o_orderpriority")).alias("status_tag"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        fmt_ts(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.round(F.abs(F.col("o_totalprice") - 100000), 4).alias("dist_from_100k"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_kbucket"),
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS avg_value,
+       CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+@query("json_extraction", oracle=_JSON_ORACLE)
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: JSON path extraction + typed cast +
+    aggregation (reference parses JSON row-at-a-time with Newtonsoft,
+    DispatcherFunction.cs:177; here it's a codegen'd path getter)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
