@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 import eventstreamer_spark.operators.windowed  # noqa: F401
 import eventstreamer_spark.operators.relational  # noqa: F401
 import eventstreamer_spark.operators.joins  # noqa: F401
+import eventstreamer_spark.operators.dedup  # noqa: F401
+import eventstreamer_spark.operators.similarity  # noqa: F401
+import eventstreamer_spark.operators.text  # noqa: F401
+import eventstreamer_spark.operators.multimodal  # noqa: F401
 
 from eventstreamer_spark import registry
 from eventstreamer_spark.session import configure

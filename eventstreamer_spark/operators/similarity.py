@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two tiers, as a real 100 TB pipeline would have:
+
+- **brute-force cosine top-k** — the exact baseline. Query set ×
+  corpus via broadcast of the (small) query set, dot products JVM-side
+  in whole-stage codegen, per-query top-k via window rank (the
+  groupBy-key top-k shape, shuffles only (query, candidate-rank) pairs).
+- **SRP-LSH bucketed top-k** — the scale path: sign-random-projection
+  buckets (8 fixed hyperplanes, functions/hashing.py) shrink the
+  candidate set to one bucket per query before the exact re-rank.
+  Recall is tunable with multi-probe/bands; the bucket assignment is
+  deterministic so this variant is still oracle-checked.
+- **IVF assignment** — k-means-style inverted-file scaffolding with
+  label centroids: computes per-label centroids and assigns every
+  vector to its nearest centroid. The centroid build + assign is the
+  training loop body of IVF/k-means at scale (fits entirely in two
+  shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table
+
+TOP_K = 10
+QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset at every sf
+
+
+def _ranked_topk(pairs: DataFrame) -> DataFrame:
+    """Per-query top-k by (cosine desc, neighbor id) — rounded before
+    ranking so float ties order identically across engines."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_BRUTE_ORACLE = f"""
+WITH u AS (SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings),
+q AS (SELECT vec_id, uq FROM u WHERE {QUERY_FILTER}),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
+  FROM q JOIN u e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a deterministic query subset.
+
+    The query side is broadcast (it is always tiny relative to the
+    corpus), so the corpus never shuffles for the scoring pass."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", H.quantized_unit_expr("embedding").alias("uq")
+    )
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    return _ranked_topk(pairs)
+
+
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
+         {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+), q AS (SELECT * FROM b WHERE {QUERY_FILTER}),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
+  FROM q JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k: candidates restricted to the query's sign bucket.
+
+    The bucket equi-join replaces the all-pairs product — this is the
+    plan shape that survives a 10^9-vector corpus (bucket sizes are
+    ~n/2^planes; add hyperplanes as n grows). Exact cosine re-ranks
+    within the bucket."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        H.quantized_unit_expr("embedding").alias("uq"),
+        H.srp_bucket_expr("embedding").alias("bucket"),
+    )
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uq").alias("q_uq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, (F.col("q_bucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    return _ranked_topk(pairs)
+
+
+_IVF_ORACLE = f"""
+WITH comp AS (
+  SELECT label, pos,
+         floor(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) * 1.0
+               / count(*) + 0.5) / 1000000.0 AS c
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+), cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+), centq AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
+), embq AS (
+  SELECT vec_id, label, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
+), scored AS (
+  SELECT e.vec_id, e.label,
+         c.c_label,
+         round({H.qcosine_duck("e.uq", "c.cq")}, 5) AS cosine
+  FROM embq e CROSS JOIN centq c
+), best AS (
+  SELECT vec_id, label, c_label, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label) AS rn
+  FROM scored
+)
+SELECT CAST(label AS INTEGER) AS true_label,
+       CAST(c_label AS INTEGER) AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(CAST(round(cosine * 100000, 0) AS BIGINT)) * 10.0 / count(*) + 0.5) / 1000000.0 AS avg_cosine
+FROM best WHERE rn = 1
+GROUP BY label, c_label
+"""
+
+
+@query("ivf_centroid_assign", oracle=_IVF_ORACLE)
+def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scaffolding: per-label centroids (posexplode → avg →
+    re-assemble) and nearest-centroid assignment for every vector.
+
+    This is one Lloyd iteration of distributed k-means: shuffle #1
+    aggregates (label, dim) partial sums; the centroid list (tiny)
+    broadcasts back for assignment. Centroid components are rounded
+    to 6 decimals before scoring so cross-engine summation-order
+    differences cannot flip an assignment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        # integer-scaled mean with explicit floor(x+0.5) half-up: both
+        # engines see identical integer sums, and an average landing
+        # exactly on a rounding boundary cannot tie-break differently
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.round(F.col("v").cast("double") * 1000000, 0).cast("long"))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("c")
+        )
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    centq = cent.select("c_label", H.quantized_unit_expr("centroid").alias("cq"))
+    embq = e.select("vec_id", "label", H.quantized_unit_expr("embedding").alias("uq"))
+    scored = embq.crossJoin(F.broadcast(centq)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(H.qcosine_expr("uq", "cq"), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(
+        F.col("label").cast("int").alias("true_label"),
+        F.col("c_label").cast("int").alias("assigned_label"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # integer-scaled mean with floor(x+0.5) half-up (see comp above)
+        (
+            F.floor(
+                F.sum(F.round(F.col("cosine") * 100000, 0).cast("long"))
+                * F.lit(10.0)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_cosine"),
+    )

@@ -1,0 +1,239 @@
+"""Text analysis for training-data curation, over ``documents``.
+
+Everything is built-in expression work (split/filter/transform/md5) —
+no Python in the row path — so each query is a narrow projection plus
+at most one aggregation shuffle; all linearly scalable.
+
+- **text_stats / quality score**: length, token, punctuation,
+  stopword-ratio features with a composite keep/drop score — the
+  standard pre-training quality filter shape.
+- **lang_id**: n-gram/stopword-hit heuristic classifier with a
+  deterministic argmax.
+- **fingerprints**: content md5 + rolling min/max shingle hash (the
+  winnowing primitive) + simhash.
+- **token_frequencies**: corpus vocabulary with df/tf — the explode →
+  two-level aggregate pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table
+
+# Stopword marker sets for the lang-id heuristic (tiny on purpose —
+# the corpus vocabulary is synthetic; determinism is the point).
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "una"),
+    "zh": ("zh1", "zh2", "zh3"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
+
+
+def _count_hits_spark(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({toks}, t -> t IN ({lst})))"
+
+
+def _count_hits_duck(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+
+# ---------------------------------------------------------------------------
+# Stats + quality score
+# ---------------------------------------------------------------------------
+
+_TOKS_S = H.TOKENS_SPARK.format(col="text")
+_TOKS_D = H.TOKENS_DUCK.format(col="text")
+
+_SW_S = _count_hits_spark(_TOKS_S, _STOPWORDS)
+_SW_D = _count_hits_duck(_TOKS_D, _STOPWORDS)
+
+_STATS_ORACLE = f"""
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS_D})) AS BIGINT) AS n_unique_tokens,
+       round(len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}), 6) AS ttr,
+       round(length(replace(text, ' ', '')) * 1.0 / len({_TOKS_D}), 6) AS avg_word_len,
+       round({_SW_D} * 1.0 / len({_TOKS_D}), 6) AS stopword_ratio,
+       round(
+         CASE WHEN len({_TOKS_D}) BETWEEN 20 AND 90 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}) > 0.5 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN {_SW_D} * 1.0 / len({_TOKS_D}) BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END
+       , 6) AS quality_score
+FROM documents
+"""
+
+
+@query("text_stats_quality", oracle=_STATS_ORACLE)
+def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation features + composite quality score (length
+    band, type-token ratio, stopword-ratio band) — the keep/drop
+    signal a pre-training filter thresholds on."""
+    d = load_table(spark, sf_dir, "documents")
+    ttr = f"size(array_distinct({_TOKS_S})) * CAST(1 AS DOUBLE) / size({_TOKS_S})"
+    swr = f"{_SW_S} * CAST(1 AS DOUBLE) / size({_TOKS_S})"
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.expr(f"size({_TOKS_S})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKS_S}))").cast("long").alias("n_unique_tokens"),
+        F.round(F.expr(ttr), 6).alias("ttr"),
+        F.round(
+            F.expr(f"length(replace(text, ' ', '')) * CAST(1 AS DOUBLE) / size({_TOKS_S})"), 6
+        ).alias("avg_word_len"),
+        F.round(F.expr(swr), 6).alias("stopword_ratio"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({_TOKS_S}) BETWEEN 20 AND 90 THEN 0.5D ELSE 0.0D END"
+                f" + CASE WHEN {ttr} > 0.5 THEN 0.3D ELSE 0.0D END"
+                f" + CASE WHEN {swr} BETWEEN 0.01 AND 0.5 THEN 0.2D ELSE 0.0D END"
+            ),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-hit argmax)
+# ---------------------------------------------------------------------------
+
+
+def _langid_cases() -> tuple[str, str]:
+    """(spark_sql, duck_sql) for the argmax over marker hit counts,
+    deterministic tie-break by language code order."""
+    spark_scores = []
+    duck_scores = []
+    for code, words in sorted(_LANG_MARKERS.items()):
+        spark_scores.append((code, _count_hits_spark(_TOKS_S, words)))
+        duck_scores.append((code, _count_hits_duck(_TOKS_D, words)))
+
+    def argmax(scores: list[tuple[str, str]]) -> str:
+        # greatest hit count wins; earlier code wins ties (strict > on later)
+        expr = f"'{scores[0][0]}'"
+        best = scores[0][1]
+        for code, s in scores[1:]:
+            expr = f"CASE WHEN ({s}) > ({best}) THEN '{code}' ELSE {expr} END"
+            best = f"greatest({s}, {best})"
+        return expr
+
+    return argmax(spark_scores), argmax(duck_scores)
+
+
+_LANGID_SPARK, _LANGID_DUCK = _langid_cases()
+
+_LANGID_ORACLE = f"""
+SELECT predicted_lang, lang AS labeled_lang, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT lang, {_LANGID_DUCK} AS predicted_lang FROM documents)
+GROUP BY predicted_lang, lang
+"""
+
+
+@query("lang_id_confusion", oracle=_LANGID_ORACLE)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax) × labeled lang —
+    the confusion-matrix aggregation of a lang filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.expr(_LANGID_SPARK).alias("predicted_lang"))
+        .groupBy("predicted_lang", F.col("lang").alias("labeled_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints (content hash, rolling shingle min/max, simhash)
+# ---------------------------------------------------------------------------
+
+_FP_SH_D = H.shingles_duck("text")
+
+_FP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {H.TOKEN_HASHES_DUCK.format(toks=_TOKS_D)} AS th,
+         list_transform({_FP_SH_D}, s -> md5(s)) AS shh
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_min(shh) AS min_shingle_hash,
+       list_max(shh) AS max_shingle_hash,
+       {H.simhash_duck("th")} AS simhash
+FROM base
+"""
+
+
+@query("doc_fingerprints", oracle=_FP_ORACLE)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-content md5, rolling-window
+    (3-gram) min/max shingle hashes — the winnowing selection
+    primitive — and the 16-bit simhash.
+
+    Hash arrays (md5 per token / per shingle) are materialized once in
+    a prior projection; inlining them would re-evaluate md5 per bit
+    test (measured 5× slower)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.expr(H.TOKEN_HASHES_SPARK.format(toks=H.TOKENS_SPARK.format(col="text"))).alias("th"),
+        F.transform(H.shingles_expr("text"), lambda s: F.md5(s.cast("binary"))).alias("shh"),
+    )
+    return base.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.array_min("shh").alias("min_shingle_hash"),
+        F.array_max("shh").alias("max_shingle_hash"),
+        H.simhash_expr("th").alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary (tf/df)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 50
+"""
+
+
+@query("token_frequencies", oracle=_VOCAB_ORACLE)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term + document frequency, top 50. The
+    explode → aggregate shape; df via count distinct (exact here,
+    approx_count_distinct at the 100 TB tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    # explode_outer: plain explode would re-inline the tokenizer into
+    # an inferred per-row filter (InferFiltersFromGenerate)
+    tok = d.select("doc_id", F.explode_outer(H.tokens_expr("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(50)
+    )
