@@ -1,0 +1,188 @@
+"""Exact push-time parity: the reference's first-event-anchored
+windows as a custom stateful operator.
+
+Reference semantics (DispatcherFunction.cs:66-162, SURVEY.md §7):
+
+- per player key, a ``start`` register initializes to the first
+  event's timestamp (cs:76-80);
+- events buffer in arrival order (cs:96-97);
+- when an event is ≥ 1 s of *event time* past ``start``, one window
+  [start, start + 1 s) flushes: per-field average of the buffered
+  events inside it, output row carries first-event metadata
+  (cs:84-94, 107-161); ``start`` re-anchors to the triggering
+  event's timestamp (cs:90-92) — windows are data-driven, NOT
+  epoch-aligned, and gaps produce no empty windows;
+- events still buffered but before the new anchor (possible because
+  the drain re-derives its own window, cs:130-137) are the
+  reference's documented loss/underflow zone; we define the
+  consistent behavior: every event belongs to exactly one window of
+  its key's anchor chain.
+
+Because the anchor chain is a per-key left-to-right recurrence, this
+cannot be one SQL pass — it is exactly the shape for
+``applyInPandas`` (batch) / ``applyInPandasWithState`` (stream): one
+shuffle on key, then a linear walk per key with O(1) state.
+
+The pure-Python reference model (``anchor_windows_py``) doubles as
+the test oracle; the driver records a rows-only check for the Spark
+query (genuinely non-SQL-expressible — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_events
+
+WINDOW_US = 1_000_000  # 1 second of event time, as in DispatcherFunction.cs:87
+
+OUT_SCHEMA = (
+    "key string, anchor_ts long, n_events long, avg_value double, "
+    "first_event_id long, first_event_type string"
+)
+
+
+def anchor_windows_py(rows: list[tuple[int, int, str, float]]) -> list[dict]:
+    """Reference model: rows = (ts_us, event_id, event_type, value)
+    sorted by (ts, event_id) for ONE key. Emits one record per closed
+    anchor window; the tail window (never pushed past) also emits —
+    the batch-mode completeness choice (the reference would leave it
+    buffered forever, its key-leak bug #9)."""
+    out: list[dict] = []
+    anchor: int | None = None
+    buf: list[tuple[int, int, str, float]] = []
+    for ts, eid, etype, val in rows:
+        if anchor is None:
+            anchor = ts
+        elif ts - anchor >= WINDOW_US:
+            out.append(_emit(anchor, buf))
+            buf = []
+            anchor = ts
+        buf.append((ts, eid, etype, val))
+    if buf:
+        out.append(_emit(anchor, buf))
+    return out
+
+
+def _emit(anchor: int, buf: list[tuple[int, int, str, float]]) -> dict:
+    n = len(buf)
+    return {
+        "anchor_ts": anchor,
+        "n_events": n,
+        "avg_value": sum(b[3] for b in buf) / n,
+        "first_event_id": buf[0][1],
+        "first_event_type": buf[0][2],
+    }
+
+
+def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    rows = list(
+        zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["event_type"],
+            pdf["value"].astype("float64"),
+        )
+    )
+    recs = anchor_windows_py(rows)
+    key = pdf["key"].iloc[0]
+    return pd.DataFrame([{"key": key, **r} for r in recs])
+
+
+def push_time_windows(events: DataFrame) -> DataFrame:
+    """Batch form: groupBy(key).applyInPandas — one shuffle on key,
+    then the linear anchor walk per key. The time sort that the
+    reference does per micro-batch (cs:35, O6) happens per key inside
+    the worker."""
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        # cast: file sources may surface TIMESTAMP_NTZ, which unix_micros rejects
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return prepared.groupBy("key").applyInPandas(_per_key, OUT_SCHEMA)
+
+
+@query("push_time_parity", oracle=None)  # anchor chain is a recurrence: not one SQL pass
+def q_push_time_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact data-driven windows (O8-O11) in batch form;
+    verified in tests against the pure-Python reference model."""
+    return push_time_windows(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming form of the same operator: per-key state holds
+    (anchor, buffer) across micro-batches; closed windows emit as
+    they are pushed past, the open tail stays in state.
+
+    State TTL parity: the reference expires ``start`` after 1 day
+    (DispatcherFunction.cs:78); production config would use
+    EventTimeTimeout + a timer to clear idle keys.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        anchor, buf = state.get if state.exists else (None, [])
+        buf = list(buf)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["event_type"],
+                    pdf["value"].astype("float64"),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        for ts, eid, etype, val in rows:
+            ts = int(ts)
+            if anchor is None:
+                anchor = ts
+            elif ts - anchor >= WINDOW_US:
+                out.append({"key": key[0], **_emit(anchor, buf)})
+                buf = []
+                anchor = ts
+            buf.append((ts, int(eid), etype, float(val)))
+        state.update((anchor, buf))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "key",
+                "anchor_ts",
+                "n_events",
+                "avg_value",
+                "first_event_id",
+                "first_event_type",
+            ],
+        )
+
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    state_schema = (
+        "anchor long, buf array<struct<ts:long,eid:long,etype:string,val:double>>"
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, OUT_SCHEMA, state_schema, "append", timeout
+    )

@@ -1,0 +1,213 @@
+"""Streaming semantics: batch/stream equivalence, watermark late-data
+policy, and reference-exact push-time windows.
+
+The reference has no tests (SURVEY.md §5); these encode the behaviors
+its README describes plus the divergences we chose deliberately
+(epoch-aligned canonical windows, explicit lateness policy,
+no-loss state machine).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.sources.tables import load_events
+from eventstreamer_spark.streaming.pipeline import (
+    observed_windowed_stream,
+    run_to_memory,
+    stream_events,
+    windowed_stream,
+)
+from eventstreamer_spark.streaming.stateful import (
+    anchor_windows_py,
+    push_time_stream,
+    push_time_windows,
+)
+from tests.conftest import SF_DIR
+
+
+def _write_chunks(spark, tmpdir: str, chunks: list[list[tuple]]) -> str:
+    """Write micro-batch chunk files, one parquet file per chunk, with
+    strictly increasing mtimes — FileStreamSource orders new files by
+    modification time, so this pins the batch order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = f"{tmpdir}/stream"
+    os.makedirs(d, exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        path = f"{d}/chunk-{i:03d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (base + i * 60, base + i * 60))
+    return d
+
+
+def _ev(eid: int, ts: str, uid: int = 1, etype: str = "click", value: float = 10.0):
+    return (eid, dt.datetime.fromisoformat(ts), uid, etype, value, "{}")
+
+
+def test_push_time_parity_matches_python_model(spark):
+    """The applyInPandas operator must reproduce the pure-Python
+    reference model on real data, key by key."""
+    ev = load_events(spark, SF_DIR)
+    got = push_time_windows(ev).toPandas()
+
+    src = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    ).toPandas()
+    expected_rows = []
+    for key, g in src.groupby("key"):
+        g = g.sort_values(["ts_us", "event_id"])
+        rows = list(zip(g.ts_us, g.event_id, g.event_type, g.value))
+        for r in anchor_windows_py(rows):
+            expected_rows.append({"key": key, **r})
+    exp = pd.DataFrame(expected_rows)
+
+    got = got.sort_values(["key", "anchor_ts"], ignore_index=True)
+    exp = exp.sort_values(["key", "anchor_ts"], ignore_index=True)
+    assert len(got) == len(exp)
+    assert (got["key"] == exp["key"]).all()
+    assert (got["anchor_ts"] == exp["anchor_ts"]).all()
+    assert (got["n_events"] == exp["n_events"]).all()
+    assert (got["first_event_id"] == exp["first_event_id"]).all()
+    assert (got["avg_value"] - exp["avg_value"]).abs().max() < 1e-9
+
+
+def test_anchor_windows_reference_semantics():
+    """Unit-level parity with DispatcherFunction.cs:84-94: windows
+    anchor at the first event, re-anchor at the triggering event, and
+    gaps produce no empty windows."""
+    us = 1_000_000
+    rows = [
+        (0, 1, "a", 1.0),
+        (int(0.5 * us), 2, "b", 2.0),   # same window
+        (1 * us, 3, "c", 3.0),          # exactly +1s → flush, re-anchor
+        (int(5.5 * us), 4, "d", 4.0),   # >1s later → flush single, re-anchor (gap, no empties)
+    ]
+    out = anchor_windows_py(rows)
+    assert [o["anchor_ts"] for o in out] == [0, 1 * us, int(5.5 * us)]
+    assert [o["n_events"] for o in out] == [2, 1, 1]
+    assert out[0]["avg_value"] == 1.5
+    assert out[0]["first_event_id"] == 1
+
+
+def test_streaming_matches_batch_twin(spark, tmp_path):
+    """Batch/stream unification: the same windowed aggregation over
+    chunked files (update mode, all data eventually processed) must
+    equal the batch expression over the union of the chunks."""
+    chunks = [
+        [_ev(1, "2024-01-01 00:00:00.100"), _ev(2, "2024-01-01 00:00:00.600")],
+        [_ev(3, "2024-01-01 00:00:02.100", uid=2), _ev(4, "2024-01-01 00:00:02.300")],
+        [_ev(5, "2024-01-01 00:01:00.000", uid=2, value=50.0)],
+    ]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+
+    run_to_memory(windowed_stream(stream_events(spark, path)), "stream_vs_batch", mode="update")
+    got = spark.table("stream_vs_batch").toPandas()
+    # update mode can emit a window several times; last emission wins
+    got = got.sort_values(["key", "window_start", "n_events"]).groupby(
+        ["key", "window_start"], as_index=False
+    ).last()
+
+    # batch twin: the same expression without readStream
+    exp = windowed_stream(spark.read.parquet(path)).toPandas().sort_values(
+        ["key", "window_start"], ignore_index=True
+    )
+    got = got.sort_values(["key", "window_start"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["key", "window_start", "n_events", "avg_value", "sum_value"]],
+        exp[["key", "window_start", "n_events", "avg_value", "sum_value"]],
+    )
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event arriving after the watermark passed its window must be
+    dropped (the reference would silently corrupt the old window —
+    SURVEY.md §2.1; we encode the explicit policy).
+
+    The watermark used in batch N derives from data through batch N-1
+    (it lags one batch), so one extra batch propagates it before the
+    late event arrives."""
+    chunks = [
+        [_ev(1, "2024-01-01 00:00:00.100")],
+        # advances event time far past the first window
+        [_ev(2, "2024-01-01 01:00:00.000")],
+        # extra batch: watermark (max_ts - 10s) now in force
+        [_ev(9, "2024-01-01 01:00:01.000")],
+        # late event for the long-closed first window
+        [_ev(3, "2024-01-01 00:00:00.200", value=999.0)],
+    ]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+    df = windowed_stream(stream_events(spark, path))
+    q = df.writeStream.outputMode("update").format("memory").queryName("late_drop").start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    got = spark.table("late_drop").toPandas()
+    first = got[got.window_start == "2024-01-01 00:00:00.000000"]
+    # the late 999.0 event never re-emits the first window
+    assert (first.n_events == 1).all()
+    assert (first.avg_value == 10.0).all()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
+def test_push_time_stream_matches_batch_closed_windows(spark, tmp_path):
+    """The stateful streaming operator must agree with the batch form
+    on all CLOSED windows (the open tail stays in state)."""
+    chunks = [
+        [_ev(1, "2024-01-01 00:00:00.000"), _ev(2, "2024-01-01 00:00:00.400")],
+        [_ev(3, "2024-01-01 00:00:01.500"), _ev(4, "2024-01-01 00:00:03.000")],
+        [_ev(5, "2024-01-01 00:00:10.000")],
+    ]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+    stream = stream_events(spark, path).select("event_id", "ts", "user_id", "event_type", "value")
+    out = push_time_stream(stream)
+    run_to_memory(out, "push_stream", mode="append")
+    got = spark.table("push_stream").toPandas().sort_values("anchor_ts", ignore_index=True)
+
+    batch = (
+        push_time_windows(spark.read.parquet(path))
+        .toPandas()
+        .sort_values("anchor_ts", ignore_index=True)
+    )
+    closed = batch.iloc[:-1]  # batch also emits the open tail; stream keeps it in state
+    assert len(got) == len(closed)
+    assert (got["anchor_ts"].values == closed["anchor_ts"].values).all()
+    assert (got["n_events"].values == closed["n_events"].values).all()
+
+
+def test_observe_metrics(spark, tmp_path):
+    """O17 parity: observe() exposes per-batch ingest metrics."""
+    chunks = [[_ev(1, "2024-01-01 00:00:00.100"), _ev(2, "2024-01-01 00:00:01.100")]]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+    df = observed_windowed_stream(stream_events(spark, path))
+    q = df.writeStream.outputMode("update").format("memory").queryName("obs_sink").start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    observed = [p["observedMetrics"].get("ingest") for p in progress if p.get("observedMetrics")]
+    assert any(m and m["n_rows"] == 2 and m["n_null_values"] == 0 for m in observed)
