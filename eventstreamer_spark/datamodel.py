@@ -81,7 +81,7 @@ def explode_payload(df: DataFrame, names_col: str = "names", values_col: str = "
     return df.withColumn("m", pair).select("*", F.col("m.name").alias("m_name"), F.col("m.value").alias("m_value")).drop("m")
 
 
-def events_as_datapoints(events: DataFrame) -> DataFrame:
+def events_as_datapoints(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Adapt the driver's ``events`` table to the DataPoint envelope.
 
     Column mapping (FIXTURES.md §2): ``user_id`` plays SessionId
@@ -92,6 +92,7 @@ def events_as_datapoints(events: DataFrame) -> DataFrame:
     synthesis is exercised faithfully.
     """
     return events.select(
+        *[F.col(c) for c in extra_cols],
         F.col("ts").alias("timestamp"),
         F.concat(F.lit("dev-"), (F.col("user_id") % 10).cast("string")).alias("device_id"),
         F.col("user_id").cast("string").alias("session_id"),

@@ -481,3 +481,46 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_WINFN2_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       round(first_value(l_extendedprice) OVER w, 4) AS first_price,
+       round(last_value(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_price,
+       round(nth_value(l_extendedprice, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS second_price,
+       round(percent_rank() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice, 2), l_linenumber), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice, 2), l_linenumber), 6) AS cdist,
+       CAST(dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag) AS BIGINT) AS flag_rank
+FROM lineitem
+WHERE l_orderkey % 11 = 0
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+"""
+
+
+@query("window_analytics_extended", oracle=_WINFN2_ORACLE)
+def q_window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sensitive analytics: first/last/nth_value over explicit
+    full frames (last_value over the default frame is the classic
+    running-last bug — pinned here with the full-partition frame),
+    percent_rank / cume_dist / dense_rank. One shuffle on the
+    partition key serves all six."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wprice = Window.partitionBy("l_orderkey").orderBy(
+        F.round(F.col("l_extendedprice"), 2), F.col("l_linenumber")
+    )
+    wflag = Window.partitionBy("l_orderkey").orderBy("l_returnflag")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.first("l_extendedprice").over(w), 4).alias("first_price"),
+        F.round(F.last("l_extendedprice").over(wfull), 4).alias("last_price"),
+        F.round(F.nth_value("l_extendedprice", 2).over(wfull), 4).alias("second_price"),
+        F.round(F.percent_rank().over(wprice), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wprice), 6).alias("cdist"),
+        F.dense_rank().over(wflag).cast("long").alias("flag_rank"),
+    )
