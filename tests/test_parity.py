@@ -1,0 +1,82 @@
+"""Reference-parity edge cases (SURVEY.md §5): the behaviors that make
+this engine a faithful replacement, tested at the unit level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.datamodel import (
+    DATAPOINT_SCHEMA,
+    normalize_payload,
+    parse_json,
+    with_key,
+)
+from eventstreamer_spark.functions.casting import safe_double
+
+
+def test_non_numeric_value_averages_as_zero(spark):
+    """O13 (DispatcherFunction.cs:164-170): a non-numeric measurement
+    contributes 0 to the average — NOT null (which SQL AVG would
+    skip). avg('10', 'garbage') must be 5.0, not 10.0."""
+    df = spark.createDataFrame([("10",), ("garbage",)], "v string")
+    got = df.agg(F.avg(safe_double("v")).alias("a")).collect()[0].a
+    assert got == 5.0
+
+
+def test_key_synthesis_uses_second_array_element(spark):
+    """O3 (DispatcherFunction.cs:179-181): Key = session:values[1]
+    (0-based index 1 — the assumed player id)."""
+    df = spark.createDataFrame(
+        [("s1", ["100", "p7", "x"])], "session_id string, values array<string>"
+    )
+    got = with_key(df).select("key").collect()[0].key
+    assert got == "s1:p7"
+
+
+def test_malformed_json_yields_null_not_error(spark):
+    """O4 (DispatcherFunction.cs:184-190): poison messages produce a
+    null record, never an exception."""
+    df = spark.createDataFrame(
+        [('{"device_id": "d1", "session_id": "s1"}',), ('{"broken',), ("not json at all",)],
+        "raw string",
+    )
+    rows = df.select(parse_json(F.col("raw")).alias("p")).collect()
+    assert rows[0].p.device_id == "d1"
+    assert rows[1].p is None or rows[1].p.device_id is None
+    assert rows[2].p is None or rows[2].p.device_id is None
+
+
+def test_payload_normalization_to_map(spark):
+    """SURVEY.md §1.2: parallel arrays → MAP at ingest (the fix for
+    the reference's alignment-by-index fragility)."""
+    df = spark.createDataFrame(
+        [(["hr", "spd"], ["88", "12.5"])], "names array<string>, values array<string>"
+    )
+    got = normalize_payload(df).select("payload").collect()[0].payload
+    assert got == {"hr": "88", "spd": "12.5"}
+
+
+def test_first_event_fields_deterministic_under_shuffle(spark):
+    """O14/O6: first-event metadata must not depend on partitioning —
+    min_by(struct(ts,event_id)) is stable where the reference relied
+    on a batch-local sort (DispatcherFunction.cs:35,141)."""
+    rows = [(i, f"2024-01-01 00:00:00.{i:06d}", "t%d" % i) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, tag string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "tag"
+    )
+    for parts in (1, 7, 32):
+        got = (
+            df.repartition(parts)
+            .agg(F.min_by("tag", F.struct("ts", "event_id")).alias("first_tag"))
+            .collect()[0]
+            .first_tag
+        )
+        assert got == "t0", f"nondeterministic first at {parts} partitions"
+
+
+def test_datapoint_schema_matches_wire_format(spark):
+    """README.md:11-23 canonical format: all envelope fields present
+    with the wire names."""
+    names = [f.name for f in DATAPOINT_SCHEMA.fields]
+    assert names == ["timestamp", "device_id", "session_id", "sensor_type", "names", "values"]
