@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.registry import query
-from eventstreamer_spark.sources.tables import load_table
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
 TOP_K = 10
 QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset at every sf
@@ -64,7 +64,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query side is broadcast (it is always tiny relative to the
     corpus), so the corpus never shuffles for the scoring pass."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", H.quantized_unit_expr("embedding").alias("uq")
     )
     q = e.filter(F.expr(QUERY_FILTER)).select(
@@ -108,7 +108,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape that survives a 10^9-vector corpus (bucket sizes are
     ~n/2^planes; add hyperplanes as n grows). Exact cosine re-ranks
     within the bucket."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         H.quantized_unit_expr("embedding").alias("uq"),
         H.srp_bucket_expr("embedding").alias("bucket"),

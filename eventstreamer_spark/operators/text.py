@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.registry import query
-from eventstreamer_spark.sources.tables import load_table
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
 # Stopword marker sets for the lang-id heuristic (tiny on purpose —
 # the corpus vocabulary is synthetic; determinism is the point).
@@ -183,7 +183,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash arrays (md5 per token / per shingle) are materialized once in
     a prior projection; inlining them would re-evaluate md5 per bit
     test (measured 5× slower)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         "text",

@@ -38,6 +38,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread across all cores.
+
+    The test tables are single parquet files under
+    ``maxPartitionBytes``, so Spark plans ONE scan task — fine for
+    cheap projections, but expression-heavy pipelines (md5 shingling,
+    signatures) then run single-threaded. A round-robin repartition
+    costs one tiny shuffle and buys full parallelism. At 100 TB the
+    input arrives in thousands of splits and this becomes a no-op
+    choice — the operators themselves are partition-agnostic.
+    """
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every canonical table as a temp view for spark.sql use."""
     for name in TABLES:
