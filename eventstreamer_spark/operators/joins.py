@@ -296,3 +296,54 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE is_event = 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted join
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT CAST(e.user_id % 3 AS BIGINT) AS hot_key,
+       r.r_name AS region_name,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 4) AS total_value
+FROM events e
+JOIN region r ON e.user_id % 3 = r.r_regionkey
+GROUP BY e.user_id % 3, r.r_name
+"""
+
+_SALT_BUCKETS = 8
+
+
+@query("salted_skew_join", oracle=_SALTED_ORACLE)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join via explicit salting.
+
+    ``user_id % 3`` is a deliberately pathological key (3 values →
+    every row lands on 3 shuffle partitions; one straggler task does
+    1/3 of the work at any cluster size). The fact side appends a
+    random-free deterministic salt (event_id % N); the dim side
+    explodes into N replicas; the join key becomes (key, salt) — N×
+    the parallelism, identical results. AQE's skew-join handles
+    moderate skew automatically; explicit salting is the tool when a
+    single key exceeds what AQE can split. The oracle is the unsalted
+    join, proving result equivalence.
+    """
+    ev = load_events(spark, sf_dir).select(
+        (F.col("user_id") % 3).alias("hot_key"),
+        (F.col("event_id") % _SALT_BUCKETS).cast("int").alias("salt"),
+        "value",
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("hot_key"),
+        F.col("r_name").alias("region_name"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))).alias("salt"),
+    )
+    return (
+        ev.join(r, ["hot_key", "salt"])
+        .groupBy("hot_key", "region_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

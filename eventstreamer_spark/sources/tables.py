@@ -49,9 +49,11 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     input arrives in thousands of splits and this becomes a no-op
     choice — the operators themselves are partition-agnostic.
     """
-    return load_table(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    try:
+        n = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext handle
+        n = 32
+    return load_table(spark, sf_dir, name).repartition(n)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
