@@ -293,7 +293,7 @@ SELECT c.c_mktsegment,
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderdate >= TIMESTAMP '2024-02-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY c.c_mktsegment
 """
 

@@ -524,3 +524,74 @@ def q_window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wprice), 6).alias("cdist"),
         F.dense_rank().over(wflag).cast("long").alias("flag_rank"),
     )
+
+
+_TOPK_GROUP_ORACLE = """
+SELECT c_mktsegment, o_orderkey, total, rnk FROM (
+  SELECT c.c_mktsegment,
+         o.o_orderkey,
+         round(o.o_totalprice, 4) AS total,
+         CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                                 ORDER BY round(o.o_totalprice, 4) DESC, o.o_orderkey) AS BIGINT) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rnk <= 3
+"""
+
+
+@query("topk_per_group", oracle=_TOPK_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the grouped twin of TakeOrderedAndProject):
+    window rank + filter — one shuffle on the group key; rank state
+    is O(1) per partition. Unique tie-break keeps the cutoff exact."""
+    from eventstreamer_spark.sources.tables import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("o_totalprice"), 4).desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 4).alias("total"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("latest_event_per_user", oracle=_LATEST_ORACLE)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (the CDC / SCD compaction primitive):
+    row_number over (key ORDER BY ts DESC) = 1. At scale this is the
+    MERGE-into-snapshot pattern's read side; with billions of keys it
+    stays a single shuffle."""
+    from eventstreamer_spark.sources.tables import load_events as _le
+
+    ev = _le(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            fmt_ts(F.col("ts")).alias("latest_ts"),
+        )
+    )
