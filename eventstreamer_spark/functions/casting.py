@@ -21,9 +21,19 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def safe_double(col: Column | str) -> Column:
-    """String → DOUBLE with 0.0 (not NULL) on parse failure (O13)."""
+    """String → DOUBLE with 0.0 (not NULL) on parse failure (O13).
+
+    The reference's ``decimal.TryParse`` rejects "NaN"/"Infinity"
+    (C# decimal has no such values) — Spark's try_cast ACCEPTS them,
+    so non-finite results are mapped to the 0 default too. Remaining
+    documented delta: decimal.TryParse also rejects exponent notation
+    ("1e5" → 0) which try_cast accepts; kept Spark-native since no
+    wire producer emits exponent-form measurements.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.try_cast("double"), F.lit(0.0))
+    v = c.try_cast("double")
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    return F.when(finite, v).otherwise(F.lit(0.0))
 
 
 def fmt_ts(col: Column | str) -> Column:

@@ -138,7 +138,9 @@ WITH eav AS (
   SELECT concat(CAST(user_id AS VARCHAR), ':', json_extract_string(props, '$.k')),
          date_trunc('second', ts),
          'k',
-         coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+         CASE WHEN isfinite(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+              ELSE 0.0 END
   FROM events
 )
 SELECT key,

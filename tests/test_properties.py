@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the custom algorithm cores.
+
+These run pure-Python models — the same models the Spark operators
+are tested against — so thousands of generated cases cost no JVM time.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eventstreamer_spark.streaming.stateful import WINDOW_US, anchor_windows_py
+
+# ---------------------------------------------------------------------------
+# anchor window chain (reference push-time semantics, O8-O11)
+# ---------------------------------------------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20_000_000),  # ts_us, ~20s span
+        st.integers(min_value=0, max_value=10**6),  # event_id
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(events)
+@settings(max_examples=300, deadline=None)
+def test_anchor_windows_partition_events(rows):
+    """Every event lands in exactly one window; counts are conserved."""
+    rows = sorted(set(rows))
+    out = anchor_windows_py(rows)
+    assert sum(o["n_events"] for o in out) == len(rows)
+
+
+@given(events)
+@settings(max_examples=300, deadline=None)
+def test_anchor_windows_anchor_chain_properties(rows):
+    """Anchors are event timestamps, strictly ≥1 s apart, and every
+    event's timestamp is < its window's anchor + 1 s EXCEPT the
+    window-closing re-anchor rule: an event belongs to the window
+    whose anchor is the latest anchor ≤ its ts."""
+    rows = sorted(set(rows))
+    out = anchor_windows_py(rows)
+    ts_set = {r[0] for r in rows}
+    anchors = [o["anchor_ts"] for o in out]
+    assert all(a in ts_set for a in anchors)
+    for a, b in zip(anchors, anchors[1:]):
+        assert b - a >= WINDOW_US
+    # first-event metadata: the first event of each window is the
+    # earliest (ts, id) among its members — implied by input sort
+    if out:
+        assert out[0]["anchor_ts"] == rows[0][0]
+
+
+# ---------------------------------------------------------------------------
+# AllPairs prefix-filter guarantee (ngram_jaccard_neardup's candidate step)
+# ---------------------------------------------------------------------------
+
+doc_sets = st.lists(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _prefix(sh: list, t: float) -> list:
+    """Mirror of the query's prefix: n - ceil(t*n) + 1 smallest under
+    the global order."""
+    n = len(sh)
+    return sh[: n - math.ceil(t * n) + 1]
+
+
+@given(doc_sets, st.sampled_from([0.5, 0.7, 0.8, 0.9]))
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_never_loses_a_pair(docs, t):
+    """For every pair with jaccard ≥ t, the prefixes (under any
+    consistent global order — here df-ascending with value tie-break,
+    exactly like the Spark query) must intersect."""
+    # global order: document frequency ascending, then value
+    df: dict[int, int] = {}
+    for d in docs:
+        for s in d:
+            df[s] = df.get(s, 0) + 1
+    order = lambda s: (df[s], s)
+    ranked = [sorted(d, key=order) for d in docs]
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                pa, pb = set(_prefix(ranked[i], t)), set(_prefix(ranked[j], t))
+                assert pa & pb, (
+                    f"prefix filter lost pair jac={jac:.3f} t={t}: {sorted(a)} {sorted(b)}"
+                )
+
+
+# ---------------------------------------------------------------------------
+# safe_double parity model (O13)
+# ---------------------------------------------------------------------------
+
+
+def test_safe_double_nan_inf_parity(spark):
+    """C# decimal.TryParse has no NaN/Infinity — those strings must
+    average as 0, like any other unparseable input."""
+    from pyspark.sql import functions as F
+
+    from eventstreamer_spark.functions.casting import safe_double
+
+    df = spark.createDataFrame(
+        [("NaN",), ("Infinity",), ("-Infinity",), ("10",), ("junk",)], "v string"
+    )
+    got = df.select(safe_double("v").alias("d")).agg(F.sum("d").alias("s")).collect()[0].s
+    assert got == 10.0
