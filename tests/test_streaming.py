@@ -211,3 +211,60 @@ def test_observe_metrics(spark, tmp_path):
         q.stop()
     observed = [p["observedMetrics"].get("ingest") for p in progress if p.get("observedMetrics")]
     assert any(m and m["n_rows"] == 2 and m["n_null_values"] == 0 for m in observed)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with a time-bound condition: with all
+    data processed, the emitted matches equal the batch join (Spark
+    keeps both sides' state until watermarks pass the bound)."""
+    left_chunks = [
+        [_ev(1, "2024-01-01 00:00:01.000", uid=1, value=10.0)],
+        [_ev(2, "2024-01-01 00:00:05.000", uid=2, value=20.0)],
+    ]
+    right_chunks = [
+        [_ev(101, "2024-01-01 00:00:02.000", uid=1, value=1.0)],
+        [_ev(102, "2024-01-01 00:01:30.000", uid=2, value=2.0)],  # outside 60s bound
+    ]
+    lpath = _write_chunks(spark, str(tmp_path / "l"), left_chunks)
+    rpath = _write_chunks(spark, str(tmp_path / "r"), right_chunks)
+
+    def join_expr(l, r):
+        return l.join(
+            r,
+            (l.l_uid == r.r_uid)
+            & (r.r_ts >= l.l_ts)
+            & (r.r_ts <= l.l_ts + F.expr("INTERVAL 60 SECONDS")),
+        ).select("l_uid", "l_event_id", "r_event_id")
+
+    ls = (
+        stream_events(spark, lpath)
+        .withColumnRenamed("user_id", "l_uid")
+        .withColumnRenamed("ts", "l_ts")
+        .withColumnRenamed("event_id", "l_event_id")
+        .select("l_uid", "l_ts", "l_event_id")
+        .withWatermark("l_ts", "10 seconds")
+    )
+    rs = (
+        stream_events(spark, rpath)
+        .withColumnRenamed("user_id", "r_uid")
+        .withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("event_id", "r_event_id")
+        .select("r_uid", "r_ts", "r_event_id")
+        .withWatermark("r_ts", "10 seconds")
+    )
+    run_to_memory(join_expr(ls, rs), "ss_join", mode="append")
+    got = sorted(
+        (r.l_uid, r.l_event_id, r.r_event_id) for r in spark.table("ss_join").collect()
+    )
+
+    lb = (
+        spark.read.parquet(lpath)
+        .selectExpr("user_id AS l_uid", "ts AS l_ts", "event_id AS l_event_id")
+    )
+    rb = (
+        spark.read.parquet(rpath)
+        .selectExpr("user_id AS r_uid", "ts AS r_ts", "event_id AS r_event_id")
+    )
+    exp = sorted((r.l_uid, r.l_event_id, r.r_event_id) for r in join_expr(lb, rb).collect())
+    assert got == exp
+    assert got == [(1, 1, 101)]  # the 90s-late right event is outside the bound
