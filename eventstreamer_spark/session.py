@@ -55,6 +55,13 @@ def get_spark(app_name: str = "eventstreamer-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # RocksDB state store: streaming state spills to local disk
+        # instead of growing the JVM heap — the only viable provider
+        # once keyed state exceeds executor memory (SURVEY.md §7)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
