@@ -321,3 +321,30 @@ def q_windowed_emit_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.sources.tables import load_events
 
     return windowed_emit_json(load_events(spark, sf_dir))
+
+
+_REGEX_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS last_upper,
+       CAST(regexp_matches(p_name, 'o.o') AS BOOLEAN) AS has_o_o,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+WHERE regexp_matches(p_type, '^STANDARD|^SMALL')
+"""
+
+
+@query("regex_functions", oracle=_REGEX_ORACLE)
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar coverage: extract-with-group, rlike predicate
+    (including as a pushed-down filter), global replace — patterns
+    restricted to the RE2 ∩ Java-regex common subset so both engines
+    agree."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("^STANDARD|^SMALL")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("last_upper"),
+        F.col("p_name").rlike("o.o").alias("has_o_o"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )

@@ -123,20 +123,43 @@ def q_push_time_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+IDLE_TTL_US = 86_400_000_000  # 1 day, the reference's start-key TTL (cs:78)
+
+
 def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Streaming form of the same operator: per-key state holds
     (anchor, buffer) across micro-batches; closed windows emit as
     they are pushed past, the open tail stays in state.
 
-    State TTL parity: the reference expires ``start`` after 1 day
-    (DispatcherFunction.cs:78); production config would use
-    EventTimeTimeout + a timer to clear idle keys.
+    State TTL parity — and the fix for the reference's key leak
+    (issue #9, README.md:79): with ``timeout="EventTimeTimeout"``, a
+    key idle past the reference's 1-day TTL *flushes its open tail
+    and clears its state* when the watermark passes anchor+TTL. The
+    reference just leaked the Redis keys; here idle state is both
+    emitted (no data loss) and reclaimed (no leak).
     """
     from pyspark.sql.streaming.state import GroupState
+
+    use_ttl = timeout == "EventTimeTimeout"
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        cols = [
+            "key",
+            "anchor_ts",
+            "n_events",
+            "avg_value",
+            "first_event_id",
+            "first_event_type",
+        ]
+        if use_ttl and state.hasTimedOut:
+            anchor, buf = state.get if state.exists else (None, [])
+            out = [{"key": key[0], **_emit(int(anchor), list(buf))}] if buf else []
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+
         anchor, buf = state.get if state.exists else (None, [])
         buf = list(buf)
         rows = []
@@ -161,25 +184,21 @@ def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame
                 anchor = ts
             buf.append((ts, int(eid), etype, float(val)))
         state.update((anchor, buf))
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "key",
-                "anchor_ts",
-                "n_events",
-                "avg_value",
-                "first_event_id",
-                "first_event_type",
-            ],
-        )
+        if use_ttl and anchor is not None:
+            # flush+reclaim once the watermark passes anchor + TTL
+            state.setTimeoutTimestamp((anchor + IDLE_TTL_US) // 1000)
+        yield pd.DataFrame(out, columns=cols)
 
     prepared = events.select(
         F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "event_id",
         "event_type",
         "value",
     )
+    if use_ttl:  # EventTimeTimeout requires a watermarked input
+        prepared = prepared.withWatermark("ts", "1 second")
     state_schema = (
         "anchor long, buf array<struct<ts:long,eid:long,etype:string,val:double>>"
     )

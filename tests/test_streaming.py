@@ -268,3 +268,28 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     exp = sorted((r.l_uid, r.l_event_id, r.r_event_id) for r in join_expr(lb, rb).collect())
     assert got == exp
     assert got == [(1, 1, 101)]  # the 90s-late right event is outside the bound
+
+
+def test_push_time_ttl_flushes_and_reclaims_idle_keys(spark, tmp_path):
+    """The reference leaks idle per-key state forever (issue #9,
+    README.md:79); the EventTimeTimeout variant must flush the open
+    tail window and clear state once the watermark passes the 1-day
+    TTL — no loss, no leak."""
+    chunks = [
+        # key 1: two events in one window, then silence
+        [_ev(1, "2024-01-01 00:00:00.000"), _ev(2, "2024-01-01 00:00:00.300")],
+        # key 2 keeps the stream alive and pushes the watermark > 1 day
+        [_ev(3, "2024-01-03 00:00:00.000", uid=2)],
+        [_ev(4, "2024-01-03 00:00:05.000", uid=2)],
+    ]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+    stream = stream_events(spark, path).select("event_id", "ts", "user_id", "event_type", "value")
+    out = push_time_stream(stream, timeout="EventTimeTimeout")
+    run_to_memory(out, "ttl_flush", mode="append")
+    got = spark.table("ttl_flush").toPandas()
+    k1 = got[got.key == "1"]
+    # key 1's only window never got pushed past by its own events —
+    # the TTL timeout must have flushed it
+    assert len(k1) == 1
+    assert k1.iloc[0].n_events == 2
+    assert k1.iloc[0].first_event_id == 1
