@@ -224,7 +224,13 @@ _QSCALE = "1000000"  # 1e6 per-component grid
 
 
 def quantized_unit_expr(vec: str) -> Column:
-    """ARRAY<numeric> → ARRAY<BIGINT> unit-normalized quantized vector."""
+    """ARRAY<numeric> → ARRAY<BIGINT> unit-normalized quantized vector.
+
+    NOTE: inlines the norm aggregate into the per-element lambda —
+    correct but generates enormous codegen (seconds of Janino compile
+    per query). Prefer ``with_quantized_unit`` which stages the norm
+    as a named column.
+    """
     nsq = (
         f"aggregate(transform({vec}, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}, 0) AS BIGINT)), "
@@ -233,6 +239,37 @@ def quantized_unit_expr(vec: str) -> Column:
     norm = f"sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE))"
     return F.expr(
         f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / ({norm}) * {_QSCALE}, 0) AS BIGINT))"
+    )
+
+
+def with_quantized_unit(df, vec: str, out: str, barrier_partitions: int = 32):
+    """Two-stage quantization with a real materialization barrier.
+
+    A plain two-projection split does NOT work: the element lambda
+    references the norm column once *syntactically*, so CollapseProject
+    inlines it and the norm AGGREGATE re-evaluates per element at
+    runtime (measured 2-4× slowdown + bloated codegen). The
+    ``repartition`` between the stages is an Exchange Catalyst cannot
+    collapse through — the norm is computed exactly once per row. The
+    rows at this point are (id, vec, norm) — small — and every caller
+    is about to shuffle or collect anyway.
+    """
+    nsq = (
+        f"aggregate(transform({vec}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}, 0) AS BIGINT)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    norm_col = f"__norm_{out}"
+    return (
+        df.withColumn(norm_col, F.expr(f"sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE))"))
+        .repartition(barrier_partitions)
+        .withColumn(
+            out,
+            F.expr(
+                f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / {norm_col} * {_QSCALE}, 0) AS BIGINT))"
+            ),
+        )
+        .drop(norm_col)
     )
 
 

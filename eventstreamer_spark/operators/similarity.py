@@ -64,9 +64,9 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query side is broadcast (it is always tiny relative to the
     corpus), so the corpus never shuffles for the scoring pass."""
-    e = load_table_parallel(spark, sf_dir, "embeddings").select(
-        "vec_id", H.quantized_unit_expr("embedding").alias("uq")
-    )
+    e = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+    ).select("vec_id", "uq")
     q = e.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq")
     )
@@ -108,11 +108,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape that survives a 10^9-vector corpus (bucket sizes are
     ~n/2^planes; add hyperplanes as n grows). Exact cosine re-ranks
     within the bucket."""
-    e = load_table_parallel(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        H.quantized_unit_expr("embedding").alias("uq"),
-        H.srp_bucket_expr("embedding").alias("bucket"),
-    )
+    e = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
     q = e.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("uq").alias("q_uq"),
@@ -196,8 +194,8 @@ def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = comp.groupBy(F.col("label").alias("c_label")).agg(
         F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
     ).select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
-    centq = cent.select("c_label", H.quantized_unit_expr("centroid").alias("cq"))
-    embq = e.select("vec_id", "label", H.quantized_unit_expr("embedding").alias("uq"))
+    centq = H.with_quantized_unit(cent, "centroid", "cq").select("c_label", "cq")
+    embq = H.with_quantized_unit(e, "embedding", "uq").select("vec_id", "label", "uq")
     scored = embq.crossJoin(F.broadcast(centq)).select(
         "vec_id",
         "label",
