@@ -1,0 +1,100 @@
+"""The north-star workload, composed end to end: training-data
+curation = quality filter → near-duplicate removal → corpus stats.
+
+Everything here reuses the already-verified pieces (text quality
+features, AllPairs jaccard pairs) — the point of this query is that
+the engine's operators COMPOSE: one declarative plan takes raw
+documents to a curated corpus summary, and the whole thing still
+hash-matches an independent SQL oracle.
+
+Pipeline semantics (the standard pre-training recipe):
+1. keep documents with quality_score ≥ 0.7 (length band + type-token
+   ratio + stopword-ratio band — text.py's score);
+2. among surviving docs, drop the HIGHER doc_id of every pair with
+   3-gram jaccard ≥ 0.8 (keep-first dedup over the near-dup graph's
+   edges — each edge kills its higher endpoint);
+3. report per (lang, source): kept docs, mean tokens, mean quality.
+
+At 100 TB each stage is the shape already proven out in text.py /
+dedup.py; the composition adds no new shuffle beyond the final
+2-key aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.operators.dedup import q_ngram_jaccard_neardup
+from eventstreamer_spark.operators.text import q_text_stats_quality
+from eventstreamer_spark.registry import query
+
+_CURATE_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         len({H.TOKENS_DUCK.format(col="text")}) AS n_tokens,
+         CASE WHEN len({H.TOKENS_DUCK.format(col="text")}) BETWEEN 20 AND 90 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN len(list_distinct({H.TOKENS_DUCK.format(col="text")})) * 1.0
+                     / len({H.TOKENS_DUCK.format(col="text")}) > 0.5 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN len(list_filter({H.TOKENS_DUCK.format(col="text")},
+                         t -> t IN ('the','a','of','and','in','to','is','for','on','with'))) * 1.0
+                     / len({H.TOKENS_DUCK.format(col="text")}) BETWEEN 0.01 AND 0.5
+                THEN 0.2 ELSE 0.0 END AS quality_score
+  FROM documents
+), kept AS (
+  SELECT * FROM feats WHERE quality_score >= 0.7
+), tk AS (
+  SELECT d.doc_id, {H.TOKENS_DUCK.format(col="d.text")} AS toks
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+), sh AS (
+  SELECT doc_id, {H.shingles_from_tokens_duck("toks")} AS sh FROM tk
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM sh
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), dupes AS (
+  SELECT DISTINCT s.doc_b AS drop_id
+  FROM shared s
+  JOIN sizes sa ON s.doc_a = sa.doc_id
+  JOIN sizes sb ON s.doc_b = sb.doc_id
+  WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.8
+), curated AS (
+  SELECT k.* FROM kept k WHERE k.doc_id NOT IN (SELECT drop_id FROM dupes)
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM curated
+GROUP BY lang, source
+"""
+
+
+@query("curation_pipeline", oracle=_CURATE_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → near-dedup → summarize, as one composed plan."""
+    feats = q_text_stats_quality(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_tokens", "quality_score"
+    )
+    kept = feats.filter(F.col("quality_score") >= 0.7)
+    # near-dup edges among the full corpus, restricted to kept docs on
+    # both ends (matches the oracle, which shingles only kept docs —
+    # an edge with a filtered-out endpoint cannot drop anything)
+    pairs = q_ngram_jaccard_neardup(spark, sf_dir)
+    kept_ids = kept.select(F.col("doc_id"))
+    edges = (
+        pairs.join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    drops = edges.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = kept.join(drops, "doc_id", "left_anti")
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
