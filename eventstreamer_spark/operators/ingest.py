@@ -48,30 +48,29 @@ def q_json_ingest_corrupt_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_events(spark, sf_dir)
     dp = events_as_datapoints(ev, extra_cols=("event_id",))
+    j = F.to_json(F.struct(*[c for c in dp.columns if c != "event_id"]))
     wire = dp.select(
         "event_id",
-        F.when(
-            F.col("event_id") % 97 == 0,
-            F.substring(F.to_json(F.struct(*[c for c in dp.columns if c != "event_id"])), 1, 7),
-        )
-        .otherwise(F.to_json(F.struct(*[c for c in dp.columns if c != "event_id"])))
-        .alias("raw"),
+        F.when(F.col("event_id") % 97 == 0, F.substring(j, 1, 7)).otherwise(j).alias("raw"),
     )
     parsed = wire.select("event_id", parse_json(F.col("raw")).alias("p"))
     # PERMISSIVE mode yields a struct of nulls on corrupt input; a real
-    # wire message always carries a timestamp, so null-timestamp == poison
-    ok = parsed.filter(F.col("p.timestamp").isNotNull())
-    bad = parsed.filter(F.col("p.timestamp").isNull())
-    agg = ok.groupBy(F.col("p.sensor_type").alias("event_type")).agg(
+    # wire message always carries a timestamp, so null-timestamp == poison.
+    # Single pass: routing ok/poison rows to buckets via the group key
+    # (instead of two filter branches unioned) halves the scan + JSON
+    # round-trip work — the poison rows' avg() input is all-null, so the
+    # corrupt bucket's avg_value is NULL exactly as the two-branch form.
+    is_ok = F.col("p.timestamp").isNotNull()
+    return parsed.groupBy(
+        F.when(is_ok, F.col("p.sensor_type"))
+        .otherwise(F.lit("_corrupt_dropped"))
+        .alias("event_type")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(safe_double(F.element_at(F.col("p.values"), 1))), 6).alias("avg_value"),
+        F.round(
+            F.avg(F.when(is_ok, safe_double(F.element_at(F.col("p.values"), 1)))), 6
+        ).alias("avg_value"),
     )
-    corrupt = bad.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("_corrupt_dropped").alias("event_type"),
-        "n",
-        F.lit(None).cast("double").alias("avg_value"),
-    )
-    return agg.unionByName(corrupt)
 
 
 _ARRAYMAP_ORACLE = """

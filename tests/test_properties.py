@@ -118,3 +118,40 @@ def test_safe_double_nan_inf_parity(spark):
     )
     got = df.select(safe_double("v").alias("d")).agg(F.sum("d").alias("s")).collect()[0].s
     assert got == 10.0
+
+
+# ---------------------------------------------------------------------------
+# vectorized anchor walk == python model (bit-exact)
+# ---------------------------------------------------------------------------
+
+
+@given(events)
+@settings(max_examples=300, deadline=None)
+def test_push_time_vectorized_matches_model(rows):
+    """`stateful._per_key` (searchsorted jumps + reduceat sums) must
+    match `anchor_windows_py` exactly on structure (boundaries, counts,
+    first-event picks) and to float tolerance on avg_value (numpy's
+    pairwise sum vs the model's running sum differ by ≤ ulps), including
+    duplicate timestamps, empty input, and the open-tail window."""
+    import pandas as pd
+
+    from eventstreamer_spark.streaming.stateful import _per_key
+
+    rows = sorted(rows)
+    pdf = pd.DataFrame(
+        rows, columns=["ts_us", "event_id", "event_type", "value"]
+    ).astype({"ts_us": "int64", "event_id": "int64", "value": "float64"})
+    pdf["key"] = "k"
+    got = _per_key(pdf)
+    exp = anchor_windows_py(rows)
+    assert len(got) == len(exp)
+    for i, r in enumerate(exp):
+        assert got["anchor_ts"].iloc[i] == r["anchor_ts"]
+        assert got["n_events"].iloc[i] == r["n_events"]
+        # reordered float sums agree to ulps *of the input scale*; with
+        # cancellation the result can be tiny while the error floor stays
+        # proportional to the largest addend
+        scale = max(1.0, max(abs(x[3]) for x in rows))
+        assert abs(got["avg_value"].iloc[i] - r["avg_value"]) <= 1e-9 * scale
+        assert got["first_event_id"].iloc[i] == r["first_event_id"]
+        assert got["first_event_type"].iloc[i] == r["first_event_type"]
