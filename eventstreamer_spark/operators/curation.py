@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.operators.dedup import q_ngram_jaccard_neardup
+from eventstreamer_spark.operators.dedup import ngram_jaccard_pairs
 from eventstreamer_spark.operators.text import q_text_stats_quality
 from eventstreamer_spark.registry import query
 
@@ -78,19 +78,19 @@ GROUP BY lang, source
 @query("curation_pipeline", oracle=_CURATE_ORACLE)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → near-dedup → summarize, as one composed plan."""
+    from eventstreamer_spark.sources.tables import load_table_parallel
+
     feats = q_text_stats_quality(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_tokens", "quality_score"
     )
     kept = feats.filter(F.col("quality_score") >= 0.7)
-    # near-dup edges among the full corpus, restricted to kept docs on
-    # both ends (matches the oracle, which shingles only kept docs —
-    # an edge with a filtered-out endpoint cannot drop anything)
-    pairs = q_ngram_jaccard_neardup(spark, sf_dir)
-    kept_ids = kept.select(F.col("doc_id"))
-    edges = (
-        pairs.join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-    )
+    # shingle ONLY the quality survivors (exactly the oracle's tk CTE):
+    # the quality filter runs before the expensive pair stage, so the
+    # near-dup work scales with the kept fraction, not the raw corpus
+    kept_docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).join(kept.select("doc_id"), "doc_id", "left_semi")
+    edges = ngram_jaccard_pairs(kept_docs)
     drops = edges.select(F.col("doc_b").alias("doc_id")).distinct()
     curated = kept.join(drops, "doc_id", "left_anti")
     return curated.groupBy("lang", "source").agg(

@@ -220,3 +220,111 @@ def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k probe search (the ANN scale path, end to end)
+# ---------------------------------------------------------------------------
+
+NPROBE = 2
+
+_IVF_SEARCH_ORACLE = f"""
+WITH comp AS (
+  SELECT label, pos,
+         floor(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) * 1.0
+               / count(*) + 0.5) / 1000000.0 AS c
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+), cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+), centq AS (
+  SELECT c_label, {{quant_cent}} AS cq FROM cent
+), embq AS (
+  SELECT vec_id, {{quant_emb}} AS uq FROM embeddings
+), scored AS (
+  SELECT e.vec_id, e.uq, c.c_label,
+         round({{qcos_cent}}, 5) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({{qcos_cent}}, 5) DESC, c.c_label) AS rn
+  FROM embq e CROSS JOIN centq c
+), assigned AS (
+  SELECT vec_id, uq, c_label FROM scored WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, uq AS q_uq, c_label
+  FROM scored WHERE {QUERY_FILTER} AND rn <= {NPROBE}
+), pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({{qcos_pair}}, 5) AS cosine
+  FROM probes p JOIN assigned a
+    ON p.c_label = a.c_label AND a.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""".format(
+    quant_cent=H.quantized_unit_duck("centroid"),
+    quant_emb=H.quantized_unit_duck("embedding"),
+    qcos_cent=H.qcosine_duck("e.uq", "c.cq"),
+    qcos_pair=H.qcosine_duck("p.q_uq", "a.uq"),
+)
+
+
+@query("ivf_topk_search", oracle=_IVF_SEARCH_ORACLE)
+def q_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search end to end: build centroids, invert the corpus into
+    per-centroid lists, then answer each query by probing only its
+    ``NPROBE`` nearest centroids' lists with an exact cosine re-rank.
+
+    This is the ANN plan that survives a 10^9-vector corpus: the
+    centroid table is tiny and broadcasts for both the assignment and
+    the probe pass; a query touches nprobe/k of the corpus instead of
+    all of it, and recall is tuned by nprobe without changing the plan
+    shape. Deduplicated against the same determinism machinery as the
+    other ANN queries (quantized unit vectors, rounded cosines, id
+    tie-breaks) so the full pipeline is oracle-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.round(F.col("v").cast("double") * 1000000, 0).cast("long"))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("c")
+        )
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    centq = H.with_quantized_unit(cent, "centroid", "cq").select("c_label", "cq")
+    embq = H.with_quantized_unit(e, "embedding", "uq").select("vec_id", "uq")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
+    scored = (
+        embq.crossJoin(F.broadcast(centq))
+        .select("vec_id", "uq", "c_label", F.round(H.qcosine_expr("uq", "cq"), 5).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "uq", "c_label")
+    probes = scored.filter(F.expr(QUERY_FILTER) & (F.col("rn") <= NPROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq"), "c_label"
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, (probes["c_label"] == assigned["c_label"]) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    return _ranked_topk(pairs)
