@@ -1,0 +1,175 @@
+"""Dataset assembly operators for training pipelines: deterministic
+splits, per-stratum exemplar sampling, and sequence packing.
+
+These are the operations that turn a curated corpus into training
+input, and at 100 TB each must be deterministic (re-runs and
+backfills produce the same assignment — no rand()), shuffle-light,
+and skew-free:
+
+- **hash split**: md5 of the stable doc key → lexicographic hex
+  thresholds give an ~80/10/10 train/val/test split with zero
+  coordination (no global count, no sampling state; every executor
+  assigns rows independently). The first two hex chars partition the
+  key space 256 ways: 'cc' = 204/256 ≈ 79.7 %, 'e6' = 230/256 ≈ 89.8 %.
+- **exemplar sample**: top-n per stratum by (md5, id) rank — a
+  deterministic stand-in for per-group reservoir sampling; one shuffle
+  on the stratum key, rank cut inside the window.
+- **sequence packing**: the concat-and-chunk recipe — docs in stable
+  order per language shard, running token count, chunk boundary every
+  CONTEXT_TOKENS tokens. A per-shard window running sum, which scales
+  as wide as there are shards (no global sort, no driver loop).
+
+The reference has no sampling surface at all (SURVEY.md §2.1 —
+Tier B, driver-mandated LLM-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table
+
+TRAIN_MAX = "cc"  # first 2 md5 hex chars < 'cc' → train  (204/256)
+VAL_MAX = "e6"  # < 'e6' → val (26/256), else test (26/256)
+
+_SPLIT_CASE_SPARK = (
+    "CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '{train}' THEN 'train' "
+    "WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '{val}' THEN 'val' "
+    "ELSE 'test' END"
+).format(train=TRAIN_MAX, val=VAL_MAX)
+
+_SPLIT_CASE_DUCK = (
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{train}' THEN 'train' "
+    "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{val}' THEN 'val' "
+    "ELSE 'test' END"
+).format(train=TRAIN_MAX, val=VAL_MAX)
+
+_HASH_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_CASE_DUCK} AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(sum(CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT)) * 10000.0
+             / count(*) + 0.5) / 10000.0 AS avg_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("dataset_hash_split", oracle=_HASH_SPLIT_ORACLE)
+def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 split with per-(split, lang) size and
+    mean length. The split is a pure row-local expression — at 100 TB
+    it costs nothing beyond the one aggregation shuffle, and re-runs
+    assign every document identically (md5 of the stable key, never
+    rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.expr(_SPLIT_CASE_SPARK).alias("split"),
+            "lang",
+            F.size(H.tokens_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # integer-scaled mean, floor(x+0.5) half-up: identical
+            # double math in both engines (see memory: round() ties)
+            (
+                F.floor(F.sum("n_tokens") * F.lit(10000.0) / F.count(F.lit(1)) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+EXEMPLARS_PER_STRATUM = 3
+
+_EXEMPLAR_ORACLE = f"""
+SELECT lang, source, doc_id, rank
+FROM (
+  SELECT lang, source, doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY lang, source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+  FROM documents
+)
+WHERE rank <= {EXEMPLARS_PER_STRATUM}
+"""
+
+
+@query("stratified_exemplar_sample", oracle=_EXEMPLAR_ORACLE)
+def q_stratified_exemplar_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank by (md5(key), key)
+    inside each (lang, source) stratum, keep the first n. The md5
+    order is uniform over the stratum — the fixed-seed equivalent of
+    reservoir sampling, one shuffle on the stratum key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "source", "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= EXEMPLARS_PER_STRATUM)
+    )
+
+
+CONTEXT_TOKENS = 2048
+
+_PACKING_ORACLE = f"""
+WITH sized AS (
+  SELECT lang, doc_id,
+         CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / {CONTEXT_TOKENS}) AS BIGINT) AS bin
+  FROM sized
+)
+SELECT lang, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM packed
+GROUP BY lang, bin
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in stable doc_id
+    order per language shard, a running token count, and a chunk
+    boundary every CONTEXT_TOKENS tokens (a doc starting before a
+    boundary belongs to the bin its first token falls in — the
+    GPT-style pack-then-slice recipe, minus the intra-doc split).
+
+    Plan shape: one shuffle on the shard key, one window running sum
+    inside each shard, one aggregate — all integer arithmetic. Packing
+    parallelism = number of shards; no global sort and no driver-side
+    loop, which is what makes this form viable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(H.tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / CONTEXT_TOKENS).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -237,3 +237,47 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish sub-token counting (regex pre-tokenizer)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and
+# RE2 interpret identically: contraction suffixes, space-prefixed
+# letter runs, digit runs, and punctuation runs. Alternatives are
+# class-disjoint at every start position, so leftmost-first (Java) and
+# leftmost-longest (RE2) produce the same token stream.
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len({_TOKS_D}) AS BIGINT) AS n_ws_tokens,
+       floor(CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+             * 10000.0 / len({_TOKS_D}) + 0.5) / 10000.0 AS tokens_per_word
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@query("bpe_token_counts", oracle=_BPE_ORACLE)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word token counting with a BPE-style regex pre-tokenizer
+    (contractions / letter runs / digit runs / punctuation runs) next
+    to the whitespace count — the token-budget estimate a training
+    pipeline runs over every document. Row-local regex work, no
+    shuffle; the plan is scan → filter → project."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+    ws = F.size(H.tokens_expr("text")).cast("long")
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        # integer-scaled ratio with floor(x+0.5) half-up (tie-safe)
+        (F.floor(bpe * F.lit(10000.0) / ws + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "tokens_per_word"
+        ),
+    )
