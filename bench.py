@@ -34,11 +34,12 @@ def main() -> None:
     # Warm the JVM + parquet footers with one light action.
     contract.entry(spark).limit(1).collect()
 
-    # Two passes, report the min: the first pass pays one-time codegen /
+    # Three passes, report the min: the first pass pays one-time codegen /
     # classload costs that would mis-attribute ~20s to whichever query
-    # runs first; steady-state per-query time is the honest metric.
+    # runs first, and the min over repeated passes also damps transient
+    # host contention; steady-state per-query time is the honest metric.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in sorted(qs):
             t0 = time.perf_counter()
             try:

@@ -26,6 +26,15 @@ shuffle on key, then a linear walk per key with O(1) state.
 The pure-Python reference model (``anchor_windows_py``) doubles as
 the test oracle; the driver records a rows-only check for the Spark
 query (genuinely non-SQL-expressible — SURVEY.md §5).
+
+API note: Spark 4's ``transformWithStateInPandas`` is the successor
+stateful API (typed ValueState/ListState + timers, the natural TTL
+fit). Its Python driver worker requires ``google.protobuf``, which is
+not importable in this environment (verified: the TWS runner crashes
+with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on import), so
+the operator ships on ``applyInPandasWithState`` — same state shape
+(anchor value + row buffer), same timer semantics via
+``EventTimeTimeout`` — which runs and is tested everywhere.
 """
 
 from __future__ import annotations
