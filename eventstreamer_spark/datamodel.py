@@ -58,10 +58,22 @@ def with_key(df: DataFrame, session_col: str = "session_id", payload_col: str = 
     1-indexed second array element is the assumed player id;
     ``element_at(..., 2)`` reproduces it exactly (element_at is
     1-based).
+
+    Null handling matches the C# string interpolation (null renders as
+    empty): a missing ``values[1]`` yields ``"123:"``, never ``"123"``.
+    ``concat_ws`` would silently SKIP the null (dropping the
+    separator), and plain ``concat`` would null the whole key — both
+    diverge from the reference and from the DuckDB oracle's ``concat``.
     """
     return df.withColumn(
         "key",
-        F.concat_ws(":", F.col(session_col), F.element_at(F.col(payload_col), 2)),
+        F.concat(
+            F.coalesce(F.col(session_col), F.lit("")),
+            F.lit(":"),
+            # try_element_at: a short values array yields NULL→"" here,
+            # not an ANSI out-of-bounds error
+            F.coalesce(F.try_element_at(F.col(payload_col), F.lit(2)), F.lit("")),
+        ),
     )
 
 

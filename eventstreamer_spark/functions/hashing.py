@@ -126,12 +126,15 @@ def band_keys_duck(sig_sql: str) -> str:
 # SimHash (16-bit, md5-derived token bits)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 32 bits = one bit per md5 hex digit (high-bit test on each of the 32
+# hex chars). 16 bits proved too coarse on template-heavy corpora:
+# hamming ≤ 3 of 16 matched 3.5M pairs at sf0.1 (~every doc paired).
+SIMHASH_BITS = 32
 _HI_HEX = "('8','9','a','b','c','d','e','f')"
 
-# Token hashes are computed ONCE into an array column and the 16 bit
+# Token hashes are computed ONCE into an array column and the 32 bit
 # tests read substrings of those hashes — inlining md5 into each bit's
-# filter would evaluate the hash 16× per token (Catalyst does not CSE
+# filter would evaluate the hash 32× per token (Catalyst does not CSE
 # across lambda bodies; measured 5× slowdown on doc_fingerprints).
 
 TOKEN_HASHES_SPARK = "transform({toks}, t -> md5(t))"
@@ -139,9 +142,9 @@ TOKEN_HASHES_DUCK = "list_transform({toks}, t -> md5(t))"
 
 
 def simhash_expr(hashes_col: str) -> Column:
-    """16-char 0/1 string from a precomputed md5-per-token array: bit b
-    is the majority of hex digit b high-bits (token multiplicity
-    counts, as in real simhash)."""
+    """0/1 string (SIMHASH_BITS chars) from a precomputed md5-per-token
+    array: bit b is the majority of hex digit b high-bits (token
+    multiplicity counts, as in real simhash)."""
     bits = ", ".join(
         f"IF(2 * size(filter({hashes_col}, h -> substring(h, {b + 1}, 1) IN {_HI_HEX}))"
         f" >= size({hashes_col}), '1', '0')"
@@ -236,7 +239,9 @@ def quantized_unit_expr(vec: str) -> Column:
         f"CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}, 0) AS BIGINT)), "
         f"0L, (acc, v) -> acc + v)"
     )
-    norm = f"sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE))"
+    # nullif: an all-zero vector must quantize to NULLs in BOTH engines
+    # (0/0 is NaN in Spark but a CAST error in DuckDB)
+    norm = f"nullif(sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE)), 0)"
     return F.expr(
         f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / ({norm}) * {_QSCALE}, 0) AS BIGINT))"
     )
@@ -261,7 +266,9 @@ def with_quantized_unit(df, vec: str, out: str, barrier_partitions: int = 32):
     )
     norm_col = f"__norm_{out}"
     return (
-        df.withColumn(norm_col, F.expr(f"sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE))"))
+        # nullif: zero-norm vectors quantize to NULLs, matching the
+        # DuckDB twin (where CAST(NaN AS BIGINT) would error instead)
+        df.withColumn(norm_col, F.expr(f"nullif(sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE)), 0)"))
         .repartition(barrier_partitions)
         .withColumn(
             out,
@@ -278,7 +285,7 @@ def quantized_unit_duck(vec: str) -> str:
         f"list_sum(list_transform({vec}, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}, 0) AS BIGINT)))"
     )
-    norm = f"sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE))"
+    norm = f"nullif(sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE)), 0)"
     return (
         f"list_transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) / ({norm}) * {_QSCALE}, 0) AS BIGINT))"
     )

@@ -178,7 +178,7 @@ FROM base
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: full-content md5, rolling-window
     (3-gram) min/max shingle hashes — the winnowing selection
-    primitive — and the 16-bit simhash.
+    primitive — and the 32-bit simhash.
 
     Hash arrays (md5 per token / per shingle) are materialized once in
     a prior projection; inlining them would re-evaluate md5 per bit

@@ -1,7 +1,8 @@
 """Simulate the verification driver: plain SparkSession (non-UTC tz),
 entry() smoke, then every queries() entry vs its oracle_sql() in
 DuckDB at sf0.01. Exact-match compare (floats must be identical after
-in-query rounding). Usage: python scripts/driver_sim.py [sf_dir]
+in-query rounding). Usage:
+    python scripts/driver_sim.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -20,7 +21,13 @@ from eventstreamer_spark.session import TABLES
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -32,15 +39,20 @@ def main() -> int:
 
     import __spark_entry__ as c
 
-    rows = c.entry(spark).collect()
-    assert len(rows) > 0, "entry() returned no rows"
-    print(f"entry: {len(rows)} rows OK")
+    if only is None:
+        rows = c.entry(spark).collect()
+        assert len(rows) > 0, "entry() returned no rows"
+        print(f"entry: {len(rows)} rows OK")
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     qs, osql = c.queries(), c.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown queries: {unknown}"
+        qs = {n: f for n, f in qs.items() if n in only}
     failed = []
     for name in sorted(qs):
         t0 = time.perf_counter()

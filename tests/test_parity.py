@@ -34,6 +34,45 @@ def test_key_synthesis_uses_second_array_element(spark):
     assert got == "s1:p7"
 
 
+def test_key_synthesis_null_payload_keeps_separator(spark):
+    """C# ``$"{SessionId}:{Values[1]}"`` renders null as empty — a
+    one-element (or null) values array must yield ``"s1:"``, not
+    ``"s1"`` (concat_ws would drop the separator) and not NULL (plain
+    concat would)."""
+    df = spark.createDataFrame(
+        [("s1", ["100"]), ("s2", None), (None, ["100", "p7"])],
+        "session_id string, values array<string>",
+    )
+    got = [r.key for r in with_key(df).orderBy("session_id").select("key").collect()]
+    assert got == [":p7", "s1:", "s2:"]
+
+
+def test_zero_norm_vector_quantizes_to_nulls_in_both_engines(spark):
+    """Degenerate all-zero embeddings: 0/0 is NaN in Spark but a CAST
+    error in DuckDB. The nullif(norm, 0) guard makes both engines
+    produce NULL components instead."""
+    import duckdb
+
+    from eventstreamer_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = (
+        H.with_quantized_unit(df, "embedding", "uq")
+        .orderBy("vec_id")
+        .select("uq")
+        .collect()
+    )
+    assert list(got[0].uq) == [None] * 4
+    assert list(got[1].uq) == [1000000, 0, 0, 0]
+    duck = duckdb.sql(
+        f"SELECT {H.quantized_unit_duck('CAST([0.0, 0.0] AS FLOAT[])')} AS uq"
+    ).fetchone()[0]
+    assert duck == [None, None]
+
+
 def test_malformed_json_yields_null_not_error(spark):
     """O4 (DispatcherFunction.cs:184-190): poison messages produce a
     null record, never an exception."""
