@@ -128,21 +128,178 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(pairs)
 
 
+# Fixed Lloyd iterations AFTER the label-seeded build: assign every
+# vector to its nearest centroid, recompute centroids as member means,
+# repeat. Deterministic across engines because centroid components are
+# integer-scaled half-up-rounded means and assignments use rounded
+# cosines with a c_label tie-break — an iteration can only diverge if
+# an assignment flips, and no rounding boundary can flip differently.
+IVF_ITERS = 2
+
+# integer-scaled mean with explicit floor(x+0.5) half-up: both engines
+# see identical integer sums, and an average landing exactly on a
+# rounding boundary cannot tie-break differently
+_MEAN_SCALED_DUCK = (
+    "floor(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) * 1.0"
+    " / count(*) + 0.5) / 1000000.0"
+)
+
+
+def _mean_scaled_col():
+    return (
+        F.floor(
+            F.sum(F.round(F.col("v").cast("double") * 1000000, 0).cast("long"))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    ).alias("c")
+
+
+def _assemble_centroids(comp: DataFrame) -> DataFrame:
+    """(c_label, pos, c) component rows → (c_label, centroid array)."""
+    return (
+        comp.groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+
+
+def _score_centroids(embq: DataFrame, cent: DataFrame, max_rank: int = 1) -> DataFrame:
+    """Per-vector top-``max_rank`` nearest centroids, MLlib-style.
+
+    The quantized centroid table is k×dim — driver-sized by
+    construction (this is the one collect a distributed k-means always
+    does; Spark MLlib's KMeans collects centers every iteration too).
+    Each Arrow batch of the corpus then scores against the centroid
+    matrix with ONE exact int64 matmul — no crossJoin row explosion
+    and no n·k window shuffle, and the corpus never moves.
+
+    Output: (vec_id, uq, c_label, cosine, rn) with rn 1..max_rank by
+    (cosine desc, c_label) — identical ordering to the SQL
+    row_number() the oracle uses, via a unique integer sort key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # k-row table: a 1-partition barrier avoids 32 near-empty tasks
+    centq = H.with_quantized_unit(cent, "centroid", "cq", barrier_partitions=1).select(
+        "c_label", "cq"
+    )
+    crows = centq.collect()
+    labels = np.asarray([r.c_label for r in crows], dtype="int64")
+    cmat = np.asarray([list(r.cq) for r in crows], dtype="int64")
+    r = min(max_rank, len(labels))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            amat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
+            dots = amat @ cmat.T  # exact int64
+            cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
+            # unique integer key = (cosine desc, c_label asc); rint
+            # because cos*1e5 can sit an ulp under the integer
+            key = np.rint(-cos * 1e5).astype("int64") * 10**7 + labels[None, :]
+            order = np.argsort(key, axis=1)[:, :r]
+            rows_idx = np.repeat(np.arange(len(pdf)), r)
+            sel = order.ravel()
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype="int64")[rows_idx],
+                    "uq": pdf["uq"].to_numpy()[rows_idx],
+                    "c_label": labels[sel].astype("int32"),
+                    "cosine": cos[rows_idx, sel],
+                    "rn": np.tile(np.arange(1, r + 1), len(pdf)).astype("int32"),
+                }
+            )
+
+    return embq.mapInPandas(
+        score, "vec_id bigint, uq array<bigint>, c_label int, cosine double, rn int"
+    )
+
+
+def ivf_centroids_iterated(
+    e: DataFrame, iters: int = IVF_ITERS, embq: DataFrame | None = None
+) -> DataFrame:
+    """Label-seeded centroids + ``iters`` full Lloyd iterations.
+
+    Each iteration is two shuffles: the broadcast-scored assignment
+    (corpus stays in place, window ranks k centroid rows per vector)
+    and the (c_label, dim) partial-sum aggregate for the new means —
+    the canonical distributed k-means step, iterated a fixed number of
+    times so the plan is static and the oracle can replay it as a CTE
+    chain. Clusters that lose every member drop out (inner-join
+    semantics, identical in both engines)."""
+    expl = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    if iters > 0:
+        # feeds the seed build plus every iteration's mean recompute
+        expl = expl.localCheckpoint(eager=False)
+    comp0 = expl.groupBy(F.col("label").alias("c_label"), F.col("pos")).agg(
+        _mean_scaled_col()
+    )
+    cent = _assemble_centroids(comp0)
+    if iters == 0:
+        return cent
+    if embq is None:
+        embq = (
+            H.with_quantized_unit(e, "embedding", "uq")
+            .select("vec_id", "uq")
+            # feeds one scoring pass per iteration — materialize the
+            # quantization once instead of recomputing it per branch
+            .localCheckpoint(eager=False)
+        )
+    for _ in range(iters):
+        assign = _score_centroids(embq, cent).select("vec_id", "c_label")
+        comp = (
+            expl.join(assign, "vec_id")
+            .groupBy("c_label", "pos")
+            .agg(_mean_scaled_col())
+        )
+        cent = _assemble_centroids(comp)
+    return cent
+
+
+def _ivf_centroids_duck(iters: int = IVF_ITERS) -> str:
+    """DuckDB twin of ivf_centroids_iterated as a WITH-clause body;
+    the final centroid table is named ``cent`` (c_label, centroid)."""
+    parts = [
+        "expl AS (SELECT vec_id, label, unnest(embedding) AS v,"
+        " generate_subscripts(embedding, 1) AS pos FROM embeddings)",
+        f"comp0 AS (SELECT label AS c_label, pos, {_MEAN_SCALED_DUCK} AS c"
+        " FROM expl GROUP BY label, pos)",
+        "cent0 AS (SELECT c_label, list(c ORDER BY pos) AS centroid"
+        " FROM comp0 GROUP BY c_label)",
+        f"embq AS (SELECT vec_id, label, {H.quantized_unit_duck('embedding')} AS uq"
+        " FROM embeddings)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cent{t - 1}"
+        parts += [
+            f"centq{t - 1} AS (SELECT c_label, {H.quantized_unit_duck('centroid')} AS cq"
+            f" FROM {prev})",
+            f"scored{t} AS (SELECT e.vec_id, c.c_label,"
+            f" round({H.qcosine_duck('e.uq', 'c.cq')}, 5) AS cosine"
+            f" FROM embq e CROSS JOIN centq{t - 1} c)",
+            f"assign{t} AS (SELECT vec_id, c_label FROM"
+            f" (SELECT vec_id, c_label, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY cosine DESC, c_label) AS rn"
+            f" FROM scored{t}) WHERE rn = 1)",
+            f"comp{t} AS (SELECT a.c_label, x.pos, {_MEAN_SCALED_DUCK} AS c"
+            f" FROM expl x JOIN assign{t} a ON x.vec_id = a.vec_id"
+            f" GROUP BY a.c_label, x.pos)",
+            f"cent{t} AS (SELECT c_label, list(c ORDER BY pos) AS centroid"
+            f" FROM comp{t} GROUP BY c_label)",
+        ]
+    parts.append(f"cent AS (SELECT * FROM cent{iters})")
+    return ",\n".join(parts)
+
+
 _IVF_ORACLE = f"""
-WITH comp AS (
-  SELECT label, pos,
-         floor(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) * 1.0
-               / count(*) + 0.5) / 1000000.0 AS c
-  FROM (SELECT label, unnest(embedding) AS v,
-               generate_subscripts(embedding, 1) AS pos
-        FROM embeddings)
-  GROUP BY label, pos
-), cent AS (
-  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
-), centq AS (
+WITH {_ivf_centroids_duck()},
+centq AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
-), embq AS (
-  SELECT vec_id, label, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
 ), scored AS (
   SELECT e.vec_id, e.label,
          c.c_label,
@@ -164,52 +321,27 @@ GROUP BY label, c_label
 
 @query("ivf_centroid_assign", oracle=_IVF_ORACLE)
 def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF scaffolding: per-label centroids (posexplode → avg →
-    re-assemble) and nearest-centroid assignment for every vector.
+    """Iterated distributed k-means (label-seeded + IVF_ITERS Lloyd
+    steps) and the final nearest-centroid assignment confusion.
 
-    This is one Lloyd iteration of distributed k-means: shuffle #1
-    aggregates (label, dim) partial sums; the centroid list (tiny)
-    broadcasts back for assignment. Centroid components are rounded
-    to 6 decimals before scoring so cross-engine summation-order
-    differences cannot flip an assignment."""
+    Each Lloyd step is two shuffles — broadcast-scored assignment and
+    the (cluster, dim) partial-sum aggregate (see
+    ivf_centroids_iterated). The output compares converged clusters
+    against the generating labels."""
     e = load_table(spark, sf_dir, "embeddings")
-    comp = (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        # integer-scaled mean with explicit floor(x+0.5) half-up: both
-        # engines see identical integer sums, and an average landing
-        # exactly on a rounding boundary cannot tie-break differently
-        .agg(
-            (
-                F.floor(
-                    F.sum(F.round(F.col("v").cast("double") * 1000000, 0).cast("long"))
-                    * F.lit(1.0)
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("c")
-        )
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq")
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
     )
-    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
-        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
-    ).select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
-    centq = H.with_quantized_unit(cent, "centroid", "cq").select("c_label", "cq")
-    embq = H.with_quantized_unit(e, "embedding", "uq").select("vec_id", "label", "uq")
-    scored = embq.crossJoin(F.broadcast(centq)).select(
-        "vec_id",
-        "label",
-        "c_label",
-        F.round(H.qcosine_expr("uq", "cq"), 5).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cent = ivf_centroids_iterated(e, embq=embq)
+    best = _score_centroids(embq, cent).join(e.select("vec_id", "label"), "vec_id")
     return best.groupBy(
         F.col("label").cast("int").alias("true_label"),
         F.col("c_label").cast("int").alias("assigned_label"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        # integer-scaled mean with floor(x+0.5) half-up (see comp above)
+        # integer-scaled mean with floor(x+0.5) half-up
         (
             F.floor(
                 F.sum(F.round(F.col("cosine") * 100000, 0).cast("long"))
@@ -229,31 +361,20 @@ def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2
 
 _IVF_SEARCH_ORACLE = f"""
-WITH comp AS (
-  SELECT label, pos,
-         floor(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) * 1.0
-               / count(*) + 0.5) / 1000000.0 AS c
-  FROM (SELECT label, unnest(embedding) AS v,
-               generate_subscripts(embedding, 1) AS pos
-        FROM embeddings)
-  GROUP BY label, pos
-), cent AS (
-  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
-), centq AS (
+WITH {_ivf_centroids_duck()},
+centq AS (
   SELECT c_label, {{quant_cent}} AS cq FROM cent
-), embq AS (
-  SELECT vec_id, {{quant_emb}} AS uq FROM embeddings
-), scored AS (
+), fscored AS (
   SELECT e.vec_id, e.uq, c.c_label,
          round({{qcos_cent}}, 5) AS cosine,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY round({{qcos_cent}}, 5) DESC, c.c_label) AS rn
   FROM embq e CROSS JOIN centq c
 ), assigned AS (
-  SELECT vec_id, uq, c_label FROM scored WHERE rn = 1
+  SELECT vec_id, uq, c_label FROM fscored WHERE rn = 1
 ), probes AS (
   SELECT vec_id AS query_id, uq AS q_uq, c_label
-  FROM scored WHERE {QUERY_FILTER} AND rn <= {NPROBE}
+  FROM fscored WHERE {QUERY_FILTER} AND rn <= {NPROBE}
 ), pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          round({{qcos_pair}}, 5) AS cosine
@@ -268,7 +389,6 @@ WITH comp AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """.format(
     quant_cent=H.quantized_unit_duck("centroid"),
-    quant_emb=H.quantized_unit_duck("embedding"),
     qcos_cent=H.qcosine_duck("e.uq", "c.cq"),
     qcos_pair=H.qcosine_duck("p.q_uq", "a.uq"),
 )
@@ -286,34 +406,17 @@ def q_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     all of it, and recall is tuned by nprobe without changing the plan
     shape. Deduplicated against the same determinism machinery as the
     other ANN queries (quantized unit vectors, rounded cosines, id
-    tie-breaks) so the full pipeline is oracle-checked."""
+    tie-breaks) so the full pipeline is oracle-checked. Centroids are
+    the Lloyd-iterated set from ivf_centroids_iterated."""
     e = load_table(spark, sf_dir, "embeddings")
-    comp = (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.floor(
-                    F.sum(F.round(F.col("v").cast("double") * 1000000, 0).cast("long"))
-                    * F.lit(1.0)
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("c")
-        )
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq")
+        .select("vec_id", "uq")
+        # feeds the centroid iterations AND the final probe/assign pass
+        .localCheckpoint(eager=False)
     )
-    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
-        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
-    ).select("c_label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
-    centq = H.with_quantized_unit(cent, "centroid", "cq").select("c_label", "cq")
-    embq = H.with_quantized_unit(e, "embedding", "uq").select("vec_id", "uq")
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
-    scored = (
-        embq.crossJoin(F.broadcast(centq))
-        .select("vec_id", "uq", "c_label", F.round(H.qcosine_expr("uq", "cq"), 5).alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-    )
+    cent = ivf_centroids_iterated(e, embq=embq)
+    scored = _score_centroids(embq, cent, max_rank=NPROBE).localCheckpoint(eager=False)
     assigned = scored.filter(F.col("rn") == 1).select("vec_id", "uq", "c_label")
     probes = scored.filter(F.expr(QUERY_FILTER) & (F.col("rn") <= NPROBE)).select(
         F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq"), "c_label"
