@@ -191,6 +191,39 @@ def srp_bucket_expr(vec_col: str) -> Column:
     return F.expr("concat_ws('', array(" + ", ".join(bits) + "))")
 
 
+def _flip_bit(bucket: str, i: int, if_fn: str) -> str:
+    """bucket string with 1-based bit i flipped (engine-neutral parts)."""
+    flip = (
+        f"{if_fn}(substring({bucket}, {i}, 1) = '1', '0', '1')"
+        if if_fn == "IF"
+        else f"CASE WHEN substring({bucket}, {i}, 1) = '1' THEN '0' ELSE '1' END"
+    )
+    parts = []
+    if i > 1:
+        parts.append(f"substring({bucket}, 1, {i - 1})")
+    parts.append(flip)
+    if i < N_PLANES:
+        parts.append(f"substring({bucket}, {i + 1}, {N_PLANES - i})")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def srp_probe_buckets_expr(bucket_col: str) -> Column:
+    """Multi-probe set: the bucket itself plus every Hamming-1
+    neighbor (one sign bit flipped) — the standard recall lift for
+    SRP-LSH at ~(planes+1)× candidate cost, same plan shape."""
+    probes = [bucket_col] + [
+        _flip_bit(bucket_col, i, "IF") for i in range(1, N_PLANES + 1)
+    ]
+    return F.expr("array(" + ", ".join(probes) + ")")
+
+
+def srp_probe_buckets_duck(bucket_col: str) -> str:
+    probes = [bucket_col] + [
+        _flip_bit(bucket_col, i, "CASE") for i in range(1, N_PLANES + 1)
+    ]
+    return "[" + ", ".join(probes) + "]"
+
+
 def srp_bucket_duck(vec_col: str) -> str:
     planes = hyperplanes()
     bits = []

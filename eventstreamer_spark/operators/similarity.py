@@ -87,10 +87,12 @@ WITH b AS (
   SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
          {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
 ), q AS (SELECT * FROM b WHERE {QUERY_FILTER}),
-pairs AS (
+probes AS (
+  SELECT vec_id, uq, unnest({H.srp_probe_buckets_duck("bucket")}) AS pb FROM q
+), pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
-  FROM q JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+  FROM probes q JOIN b e ON q.pb = e.bucket AND q.vec_id != e.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
@@ -102,23 +104,31 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 @query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH top-k: candidates restricted to the query's sign bucket.
+    """Multi-probe SRP-LSH top-k: each query probes its own sign
+    bucket plus every Hamming-1 neighbor bucket (one hyperplane's sign
+    flipped) — the standard recall lift at ~(planes+1)× candidate
+    cost.
 
-    The bucket equi-join replaces the all-pairs product — this is the
-    plan shape that survives a 10^9-vector corpus (bucket sizes are
-    ~n/2^planes; add hyperplanes as n grows). Exact cosine re-ranks
-    within the bucket."""
+    The probe explode happens on the (tiny, broadcast) query side
+    only; the corpus keeps one bucket per vector and the candidate
+    pass stays a single bucket equi-join — the plan shape that
+    survives a 10^9-vector corpus. A corpus vector lives in exactly
+    one bucket and probe buckets are distinct, so no candidate pair
+    duplicates. Exact cosine re-ranks within the probed buckets."""
     e = H.with_quantized_unit(
         load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
     ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
-    q = e.filter(F.expr(QUERY_FILTER)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("uq").alias("q_uq"),
-        F.col("bucket").alias("q_bucket"),
+    q = (
+        e.filter(F.expr(QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("uq").alias("q_uq"),
+            F.explode(H.srp_probe_buckets_expr("bucket")).alias("pb"),
+        )
     )
     pairs = (
         F.broadcast(q)
-        .join(e, (F.col("q_bucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .join(e, (F.col("pb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -431,3 +441,70 @@ def q_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(pairs)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (measured quality of the approximate paths)
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+lsh AS ({_LSH_ORACLE}),
+ivf AS ({_IVF_SEARCH_ORACLE})
+SELECT method,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS brute_total,
+       floor(hits * 1000000.0 / total + 0.5) / 1000000.0 AS recall_at_k
+FROM (
+  SELECT 'srp_lsh' AS method,
+         (SELECT count(*) FROM lsh l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM brute) AS total
+  UNION ALL
+  SELECT 'ivf' AS method,
+         (SELECT count(*) FROM ivf i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM brute) AS total
+)
+"""
+
+
+@query("ann_recall_at_k", oracle=_RECALL_ORACLE)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two approximate ANN paths against the exact
+    brute-force top-k — the quality of the bucketed searches as a
+    measured number instead of a docstring claim.
+
+    recall = |approx top-k ∩ exact top-k| / |exact top-k|, aggregated
+    over the whole query set. The three pipelines are the registered
+    operators themselves (same code paths), joined on
+    (query_id, neighbor_id); the exact result feeds three plan
+    branches, so it is materialized once with localCheckpoint.
+    """
+    brute = (
+        q_ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    total = brute.agg(F.count(F.lit(1)).alias("total"))
+
+    def method_hits(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+
+    rows = method_hits("srp_lsh", q_ann_lsh_topk(spark, sf_dir)).unionByName(
+        method_hits("ivf", q_ivf_topk_search(spark, sf_dir))
+    )
+    return rows.crossJoin(total).select(
+        "method",
+        F.col("hits").alias("hits"),
+        F.col("total").alias("brute_total"),
+        (
+            F.floor(F.col("hits") * F.lit(1000000.0) / F.col("total") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("recall_at_k"),
+    )
