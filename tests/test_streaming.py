@@ -285,11 +285,32 @@ def test_push_time_ttl_flushes_and_reclaims_idle_keys(spark, tmp_path):
     path = _write_chunks(spark, str(tmp_path), chunks)
     stream = stream_events(spark, path).select("event_id", "ts", "user_id", "event_type", "value")
     out = push_time_stream(stream, timeout="EventTimeTimeout")
-    run_to_memory(out, "ttl_flush", mode="append")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_flush")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
     got = spark.table("ttl_flush").toPandas()
     k1 = got[got.key == "1"]
     # key 1's only window never got pushed past by its own events —
-    # the TTL timeout must have flushed it
+    # the TTL timeout must have flushed it (no loss)
     assert len(k1) == 1
     assert k1.iloc[0].n_events == 2
     assert k1.iloc[0].first_event_id == 1
+    # ... and RECLAIMED its state (no leak): after the final batch only
+    # key 2's open tail remains in the state store
+    final_rows = [
+        so["numRowsTotal"]
+        for p in progress
+        for so in p.get("stateOperators", [])
+        if so.get("numRowsTotal") is not None
+    ]
+    assert final_rows and final_rows[-1] == 1
+    # the key-1 state row was removed by the timeout path, not by drift
+    assert max(final_rows) == 2
