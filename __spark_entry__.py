@@ -27,6 +27,7 @@ import eventstreamer_spark.operators.ingest  # noqa: F401
 import eventstreamer_spark.operators.coverage  # noqa: F401
 import eventstreamer_spark.operators.udfs  # noqa: F401
 import eventstreamer_spark.operators.cdc  # noqa: F401
+import eventstreamer_spark.operators.hygiene  # noqa: F401
 import eventstreamer_spark.operators.curation  # noqa: F401
 import eventstreamer_spark.operators.sampling  # noqa: F401
 import eventstreamer_spark.streaming.pipeline  # noqa: F401

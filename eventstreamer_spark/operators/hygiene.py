@@ -1,0 +1,187 @@
+"""Training-data hygiene: benchmark decontamination and PII redaction.
+
+Two governance operators every large-scale training-data pipeline
+runs before a corpus ships:
+
+- **decontamination**: find training documents that overlap an
+  evaluation/benchmark set (n-gram collision against the benchmark's
+  shingle index). The benchmark side is tiny by nature, so its
+  inverted index broadcasts and the corpus never shuffles — the same
+  asymmetry a 100 TB run exploits.
+- **PII redaction**: regex scrub of emails / phone numbers / SSNs /
+  card numbers, counting hits per category. Pure JVM-side regex
+  (whole-stage codegen), row-local, no shuffle — embarrassingly
+  parallel at any scale. Patterns stay in the Java∩RE2 common subset
+  so the DuckDB oracle executes them identically.
+
+The synthetic corpus contains no real PII (verified: zero digits in
+any text), so the redaction query deterministically decorates a
+subset of docs with synthetic PII inside the query — the oracle
+applies the same decoration, keeping the check non-vacuous (the same
+trick exact_dedup uses for its duplicate-bearing input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+BENCH_FILTER = "doc_id % 50 = 0"  # deterministic stand-in benchmark subset
+CONTAM_MIN_SHARED = 5  # shared distinct 3-grams ⇒ contaminated
+
+_DECONTAM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {H.TOKENS_DUCK.format(col="text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.shingles_from_tokens_duck("toks")} AS sh FROM tk
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), bench AS (
+  SELECT doc_id AS bench_id, shingle FROM inv WHERE {BENCH_FILTER}
+), train AS (
+  SELECT doc_id, shingle FROM inv WHERE NOT ({BENCH_FILTER})
+), shared AS (
+  SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id, b.bench_id
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_docs,
+       CAST(max(n_shared) AS BIGINT) AS max_shared,
+       CAST(CASE WHEN max(n_shared) >= {CONTAM_MIN_SHARED} THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM shared
+GROUP BY doc_id
+"""
+
+
+@query("benchmark_decontamination", oracle=_DECONTAM_ORACLE)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: how many benchmark docs it collides with, the
+    deepest overlap (distinct shared 3-grams), and a contamination
+    flag at ≥ CONTAM_MIN_SHARED.
+
+    On this corpus the threshold separates cleanly: template noise
+    shares 1-4 shingles, a true benchmark leak shares 20+. The
+    benchmark shingle index is broadcast — benchmark suites are tiny
+    relative to a training corpus, so the corpus-side scan never
+    shuffles; this is the plan shape that holds at 100 TB (production
+    would use 8-13-gram exact collision; the corpus' 3-gram templates
+    make count-thresholding the faithful analog).
+    """
+    d = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", H.tokens_expr("text").alias("toks")
+    ).select("doc_id", H.shingles_from_tokens_expr("toks").alias("sh"))
+    # explode_outer + isNotNull: see the InferFiltersFromGenerate note
+    # in dedup.py — plain explode re-inlines the shingle pipeline
+    inv = d.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    bench = inv.filter(F.expr(BENCH_FILTER)).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = inv.filter(~F.expr(BENCH_FILTER))
+    shared = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_docs"),
+        F.max("n_shared").alias("max_shared"),
+        (F.max("n_shared") >= CONTAM_MIN_SHARED).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub, counted by category)
+# ---------------------------------------------------------------------------
+
+# Java∩RE2-safe patterns (no lookaround, no backrefs). Ordered:
+# email first (its local part could contain digit runs), then SSN
+# (3-2-4 shape), then card (13-16 digit run), then phone.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    ("card", r"[0-9]{13,16}", "[CARD]"),
+    ("phone", r"555-[0-9]{4}", "[PHONE]"),
+]
+
+_DECORATE_DUCK = """
+CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                                     '@example.com or call 555-0199')
+     WHEN doc_id % 7 = 3 THEN concat(text, ' ssn 123-45-6789 card 4111111111111111')
+     ELSE text END
+"""
+
+
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(decorated, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "decorated"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH decorated_docs AS (
+  SELECT doc_id, {_DECORATE_DUCK} AS decorated FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({redacted}) AS redacted_md5
+FROM decorated_docs
+"""
+
+
+@query("pii_redaction", oracle=_pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / SSNs / card numbers / phone numbers, reporting
+    per-category hit counts and the md5 of the redacted text (the
+    fingerprint a downstream writer would carry).
+
+    Entirely built-in regex expressions — row-local, zero shuffle,
+    whole-stage codegen; the scrub scales with scan bandwidth.
+    Replacements apply in a fixed order so overlapping patterns
+    resolve identically in both engines.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    decorated = d.withColumn(
+        "decorated",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-0199"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(" ssn 123-45-6789 card 4111111111111111")),
+        )
+        .otherwise(F.col("text")),
+    )
+    counts = [
+        F.size(F.regexp_extract_all("decorated", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col("decorated")
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return decorated.select(
+        "doc_id",
+        *counts,
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

@@ -173,3 +173,71 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture weights (data-mixing recipe)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         sum(CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT)) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+), tot AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_groups FROM per
+)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(n_tokens * 1000000.0 / total_tokens + 0.5) / 1000000.0 AS token_share,
+       floor((total_tokens * 1000000.0 / n_groups) / n_tokens + 0.5) / 1000000.0
+         AS uniform_weight
+FROM per CROSS JOIN tot
+"""
+
+
+@query("source_mixture_weights", oracle=_MIX_ORACLE)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing recipe: per (source, lang) token counts, corpus
+    share, and the up/down-sampling weight that would flatten the
+    mixture to uniform — the numbers a training-mixture config is
+    written from.
+
+    One aggregation shuffle keyed by (source, lang); the grand totals
+    are a broadcast-joined single row, so the plan is two small
+    aggregates regardless of corpus size.
+    """
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.expr(H.TOKENS_SPARK.format(col="text"))).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(F.col("n_tokens") * F.lit(1000000.0) / F.col("total_tokens") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("token_share"),
+        (
+            F.floor(
+                (F.col("total_tokens") * F.lit(1000000.0) / F.col("n_groups"))
+                / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("uniform_weight"),
+    )

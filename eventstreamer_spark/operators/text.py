@@ -281,3 +281,67 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection (degenerate-text filter)
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+), top AS (
+  SELECT doc_id, token, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+  FROM tf
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       token AS top_token,
+       CAST(cnt AS BIGINT) AS top_tf,
+       floor(cnt * 1000000.0 / n_tokens + 0.5) / 1000000.0 AS rep_ratio,
+       CAST(CASE WHEN cnt * 1000000 >= n_tokens * 100000 THEN 1 ELSE 0 END AS INTEGER)
+         AS repetitive
+FROM top WHERE rn = 1
+"""
+
+
+@query("repetition_detection", oracle=_REP_ORACLE)
+def q_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition filter: each doc's most frequent token and
+    its share of all tokens, flagged when one token is ≥ 10% of the
+    document — the cheap catch for looping/boilerplate generations.
+
+    One explode + one (doc, token) aggregate; the per-doc total and
+    argmax ride the same window partition, so the whole query is a
+    single shuffle keyed by doc_id. The flag compares scaled integers
+    (cnt·1e6 vs n·1e5) so no float boundary can disagree between
+    engines.
+    """
+    from pyspark.sql import Window
+
+    tok = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.explode_outer(F.expr(_TOKS_S)).alias("token")
+    ).filter(F.col("token").isNotNull())
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("token"))
+    top = tf.withColumn("n_tokens", F.sum("cnt").over(wp)).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    return top.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tokens"),
+        F.col("token").alias("top_token"),
+        F.col("cnt").alias("top_tf"),
+        (
+            F.floor(F.col("cnt") * F.lit(1000000.0) / F.col("n_tokens") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("rep_ratio"),
+        (F.col("cnt") * 1000000 >= F.col("n_tokens") * 100000).cast("int").alias(
+            "repetitive"
+        ),
+    )
