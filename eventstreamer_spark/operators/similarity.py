@@ -58,15 +58,11 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@query("ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
-def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for a deterministic query subset.
+def brute_topk(e: DataFrame) -> DataFrame:
+    """Exact cosine top-k over a prepared (vec_id, uq) corpus.
 
     The query side is broadcast (it is always tiny relative to the
     corpus), so the corpus never shuffles for the scoring pass."""
-    e = H.with_quantized_unit(
-        load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
-    ).select("vec_id", "uq")
     q = e.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq")
     )
@@ -80,6 +76,17 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(pairs)
+
+
+@query("ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a deterministic query subset (see
+    brute_topk for the plan shape)."""
+    return brute_topk(
+        H.with_quantized_unit(
+            load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+        ).select("vec_id", "uq")
+    )
 
 
 _LSH_ORACLE = f"""
@@ -102,9 +109,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@query("ann_lsh_topk", oracle=_LSH_ORACLE)
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe SRP-LSH top-k: each query probes its own sign
+def lsh_topk(e: DataFrame) -> DataFrame:
+    """Multi-probe SRP-LSH top-k over a prepared
+    (vec_id, uq, bucket) corpus: each query probes its own sign
     bucket plus every Hamming-1 neighbor bucket (one hyperplane's sign
     flipped) — the standard recall lift at ~(planes+1)× candidate
     cost.
@@ -115,9 +122,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a 10^9-vector corpus. A corpus vector lives in exactly
     one bucket and probe buckets are distinct, so no candidate pair
     duplicates. Exact cosine re-ranks within the probed buckets."""
-    e = H.with_quantized_unit(
-        load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
-    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
     q = (
         e.filter(F.expr(QUERY_FILTER))
         .select(
@@ -136,6 +140,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(pairs)
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH top-k (see lsh_topk for the plan shape)."""
+    return lsh_topk(
+        H.with_quantized_unit(
+            load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+        ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+    )
 
 
 # Fixed Lloyd iterations AFTER the label-seeded build: assign every
@@ -425,6 +439,13 @@ def q_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds the centroid iterations AND the final probe/assign pass
         .localCheckpoint(eager=False)
     )
+    return ivf_topk(e, embq)
+
+
+def ivf_topk(e: DataFrame, embq: DataFrame) -> DataFrame:
+    """IVF probe search over a prepared raw corpus ``e`` (vec_id,
+    label, embedding) and quantized twin ``embq`` (vec_id, uq); see
+    q_ivf_topk_search for the plan rationale."""
     cent = ivf_centroids_iterated(e, embq=embq)
     scored = _score_centroids(embq, cent, max_rank=NPROBE).localCheckpoint(eager=False)
     assigned = scored.filter(F.col("rn") == 1).select("vec_id", "uq", "c_label")
@@ -476,13 +497,20 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured number instead of a docstring claim.
 
     recall = |approx top-k ∩ exact top-k| / |exact top-k|, aggregated
-    over the whole query set. The three pipelines are the registered
-    operators themselves (same code paths), joined on
-    (query_id, neighbor_id); the exact result feeds three plan
-    branches, so it is materialized once with localCheckpoint.
+    over the whole query set. The three pipelines share ONE prepared
+    corpus (quantized vectors + SRP buckets, localCheckpointed) — the
+    quantization pass runs once, not three times; the brute-force
+    result feeds three plan branches and is likewise materialized
+    once.
     """
+    raw = load_table_parallel(spark, sf_dir, "embeddings")
+    prepared = (
+        H.with_quantized_unit(raw, "embedding", "uq")
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
     brute = (
-        q_ann_bruteforce_topk(spark, sf_dir)
+        brute_topk(prepared.select("vec_id", "uq"))
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
@@ -496,8 +524,8 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("method"), "hits")
         )
 
-    rows = method_hits("srp_lsh", q_ann_lsh_topk(spark, sf_dir)).unionByName(
-        method_hits("ivf", q_ivf_topk_search(spark, sf_dir))
+    rows = method_hits("srp_lsh", lsh_topk(prepared)).unionByName(
+        method_hits("ivf", ivf_topk(raw, prepared.select("vec_id", "uq")))
     )
     return rows.crossJoin(total).select(
         "method",

@@ -86,3 +86,69 @@ def test_whole_stage_codegen_on_flagship(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # codegen stages print as "*(n) Operator" in the plan text
     assert "*(1)" in plan, f"no codegen stage markers:\n{plan[:1500]}"
+
+
+def test_decontamination_broadcasts_benchmark_index(spark):
+    """The benchmark shingle index must broadcast — the corpus-side
+    scan never shuffles for the collision join."""
+    from eventstreamer_spark.operators.hygiene import q_benchmark_decontamination
+
+    df = q_benchmark_decontamination(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_pii_redaction_no_shuffle(spark):
+    """Row-local regex scrub: the only exchange is the single-file
+    parallel-read repartition — no aggregate or join shuffle, no
+    Python in the row path."""
+    from eventstreamer_spark.operators.hygiene import q_pii_redaction
+
+    df = q_pii_redaction(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 1
+    if count_exchanges(df) == 1:
+        assert "RoundRobinPartitioning" in plan  # the read fan-out, not a shuffle-by-key
+    for node in ("SortMergeJoin", "HashAggregate", "Window", "EvalPython"):
+        assert node not in plan, f"unexpected {node} in a row-local scrub"
+
+
+def test_simhash_single_equijoin_no_cartesian(spark):
+    from eventstreamer_spark.operators.dedup import q_simhash_neardup
+
+    df = q_simhash_neardup(spark, SF_DIR)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_neardup_no_driver_collect_in_plan(spark):
+    """The block-tiled form is one explode + one shuffle keyed by
+    block-pair id feeding FlatMapGroupsInPandas — no broadcast of the
+    corpus, no cartesian."""
+    from eventstreamer_spark.operators.dedup import q_embedding_neardup
+
+    df = q_embedding_neardup(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert_no_cartesian(df)
+    assert "BroadcastExchange" not in plan
+
+
+def test_lsh_topk_probe_side_broadcasts(spark):
+    """Multi-probe explode stays on the broadcast query side; the
+    corpus keeps one bucket per vector."""
+    from eventstreamer_spark.operators.similarity import q_ann_lsh_topk
+
+    df = q_ann_lsh_topk(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_repetition_detection_single_shuffle_key(spark):
+    """tf aggregate and both windows ride the doc_id hash partitioning
+    (token agg + window reuse, ≤ 3 exchanges incl. the parallel read)."""
+    from eventstreamer_spark.operators.text import q_repetition_detection
+
+    df = q_repetition_detection(spark, SF_DIR)
+    assert count_exchanges(df) <= 3
