@@ -185,3 +185,92 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *counts,
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection (corpus-frequent shingles, CCNet-style)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DF = 5  # a 3-gram in >= this many docs is boilerplate
+BOILER_FLAG_NUM = 1  # flag docs whose boilerplate share >= 1/10
+BOILER_FLAG_DEN = 10
+
+_BOILER_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {H.shingles_duck("text")} AS sh FROM documents
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), boiler AS (
+  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) >= {BOILER_MIN_DF}
+), per_doc AS (
+  SELECT i.doc_id,
+         count(*) AS n_shingles,
+         count(b.shingle) AS n_boiler
+  FROM inv i LEFT JOIN boiler b ON i.shingle = b.shingle
+  GROUP BY i.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       floor(n_boiler * 1000000.0 / n_shingles + 0.5) / 1000000.0 AS boiler_frac,
+       CAST(CASE WHEN n_boiler * {BOILER_FLAG_DEN} >= n_shingles * {BOILER_FLAG_NUM}
+                 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM per_doc
+"""
+
+
+@query("boilerplate_detection", oracle=_BOILER_ORACLE)
+def q_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate share: the fraction of a document's
+    distinct 3-gram shingles that are corpus-frequent (document
+    frequency >= BOILER_MIN_DF), flagging docs above a 10% share —
+    the CCNet/C4 repeated-paragraph removal signal, on shingles.
+
+    Plan shape: one explode, one aggregation shuffle to build the
+    frequent-shingle set, which is then broadcast back against the
+    exploded corpus (the frequent set is tiny relative to the corpus
+    by construction — Zipf: few shingles clear an absolute DF bar),
+    and one per-doc aggregation. The corpus itself never joins
+    shuffle-to-shuffle. Production note: at web scale the bar is a
+    DF *ratio* over hashed paragraphs; this corpus' templates have
+    ~constant absolute DF, so an absolute bar is the faithful analog
+    (a ratio bar empirically selects zero shingles at sf0.1).
+    Flag compare is integer (n_boiler*10 >= n_shingles), so the
+    keep/flag decision never touches float rounding.
+    """
+    d = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", H.tokens_expr("text").alias("toks"))
+        .select("doc_id", H.shingles_from_tokens_expr("toks").alias("sh"))
+    )
+    # explode_outer + isNotNull: see the InferFiltersFromGenerate note
+    # in dedup.py — plain explode re-inlines the shingle pipeline
+    inv = d.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    boiler = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("shingle")
+    )
+    per_doc = (
+        inv.join(F.broadcast(boiler.withColumn("is_b", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_b").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        (
+            F.floor(F.col("n_boiler") * F.lit(1000000.0) / F.col("n_shingles") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("boiler_frac"),
+        (F.col("n_boiler") * BOILER_FLAG_DEN >= F.col("n_shingles") * BOILER_FLAG_NUM)
+        .cast("int")
+        .alias("flagged"),
+    )

@@ -241,3 +241,62 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("uniform_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (execute the mixing recipe, deterministically)
+# ---------------------------------------------------------------------------
+
+HEX_DEN = 16_777_216  # 16^6: first 6 md5 hex chars as a uniform int
+
+_RESAMPLE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n) AS min_n FROM counts
+), kept AS (
+  SELECT d.lang, c.n, m.min_n,
+         CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                   * c.n < m.min_n * {HEX_DEN}
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN counts c USING (lang) CROSS JOIN mn m
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_orig,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(min_n * 1000000 // n AS BIGINT) AS accept_ppm
+FROM kept
+GROUP BY lang, n, min_n
+"""
+
+
+@query("mixture_resample", oracle=_RESAMPLE_ORACLE)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a balancing recipe: downsample every language to the
+    smallest language's size with a deterministic per-row accept test
+    (first 6 md5 hex chars of the stable key as a uniform draw).
+
+    The accept decision is pure integer arithmetic
+    (``hash24 * n < min_n * 16^6``) — no float, no rand(), so re-runs
+    and backfills keep exactly the same rows, and the two engines
+    cannot diverge on a boundary draw. The per-lang counts are one
+    tiny aggregate broadcast back over the corpus: at 100 TB the scan
+    assigns keep/drop row-locally; the only shuffle is the final
+    per-lang report (production would write the kept rows instead).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("min_n"))
+    hash24 = F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+    kept = (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .withColumn("keep", (hash24 * F.col("n") < F.col("min_n") * F.lit(HEX_DEN)).cast("int"))
+    )
+    return kept.groupBy("lang", "n", "min_n").agg(F.sum("keep").alias("kept")).select(
+        "lang",
+        F.col("n").cast("long").alias("n_orig"),
+        F.col("kept").cast("long").alias("n_kept"),
+        F.expr("CAST(min_n * 1000000 DIV n AS BIGINT)").alias("accept_ppm"),
+    )

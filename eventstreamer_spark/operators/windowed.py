@@ -189,3 +189,58 @@ def windowed_emit_json(events: DataFrame, window: str = "1 second") -> DataFrame
             ).alias("json"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — 2 s length, 1 s hop
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         date_trunc('second', e.ts) - k.k * INTERVAL 1 SECOND AS ws
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT event_type,
+       strftime(ws, '{TS_OUT}') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM hops
+GROUP BY event_type, ws
+"""
+
+
+@query("sliding_window_stats", oracle=_SLIDING_ORACLE)
+def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window stats: ``window(ts, '2 seconds', '1 second')``
+    puts every event in exactly length/hop = 2 windows. The oracle
+    models the same assignment as a cross join with the hop offsets
+    k ∈ {0, 1} (window_start = trunc(ts) − k·hop).
+
+    Scale shape: identical to the tumbling aggregate — one shuffle on
+    (type, window); the ×2 row amplification happens inside the
+    window expression's generated Expand, before partial aggregation,
+    so nothing extra shuffles. The reference has only the 1 s tumble
+    (DispatcherFunction.cs:87); sliding windows are Tier B streaming
+    surface (SURVEY.md §2.1 'Streaming extras').
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "2 seconds", "1 second").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.avg("value")).alias("avg_value"),
+            round6(F.min("value")).alias("min_value"),
+            round6(F.max("value")).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )

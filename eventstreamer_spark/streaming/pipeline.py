@@ -198,3 +198,61 @@ def observed_windowed_stream(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_values"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_dedup_counts", oracle=_STREAM_DEDUP_ORACLE)
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: a stream carrying injected
+    duplicates (every third event re-sent — the at-least-once
+    redelivery the reference's Functions+Redis path actually produces,
+    README.md:79) is deduplicated on event_id with
+    ``dropDuplicatesWithinWatermark`` and then aggregated. The result
+    equals the duplicate-free batch aggregate — which is exactly the
+    oracle.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the 10 s watermark passes the key's event time — bounded state at
+    any scale, unlike plain streaming dropDuplicates whose state grows
+    with the key universe forever. The dedup state shuffles on
+    event_id; the aggregation re-shuffles on event_type: same two
+    exchanges a batch dedup-then-agg pays.
+    """
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dup_stream = stream.union(stream.filter(F.col("event_id") % 3 == 0))
+    deduped = (
+        dup_stream.withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    run_to_memory(agg, "stream_dedup_sink", mode="complete")
+    return spark.table("stream_dedup_sink")
