@@ -300,3 +300,72 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").cast("long").alias("n_kept"),
         F.expr("CAST(min_n * 1000000 DIV n AS BIGINT)").alias("accept_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed context windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_N_CHUNKS_SPARK = (
+    f"CASE WHEN size(toks) > {CHUNK_TOKENS} "
+    f"THEN ((size(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}) + 1 "
+    "ELSE 1 END"
+)
+
+_CHUNKING_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {H.TOKENS_DUCK.format(col="text")} AS toks FROM documents
+), nc AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > {CHUNK_TOKENS}
+              THEN ((len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}) + 1
+              ELSE 1 END AS n_chunks
+  FROM tk
+), ch AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM nc
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, 1 + chunk_idx * {CHUNK_STRIDE},
+                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, 1 + chunk_idx * {CHUNK_STRIDE},
+                                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM ch
+"""
+
+
+@query("document_chunking", oracle=_CHUNKING_ORACLE)
+def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document becomes ⌈(n−C)/S⌉+1
+    overlapping chunks of C=64 tokens at stride S=48 (16-token
+    overlap), identified by (doc_id, chunk_idx) and fingerprinted for
+    downstream dedup — the standard long-document → model-context
+    preparation step.
+
+    Row-local: tokenization, the chunk-count arithmetic (pure integer,
+    identical in both engines), the sequence explode, and the slice
+    all happen inside one projection — no shuffle at all, so the
+    operator scales with scan bandwidth exactly like the decode path.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", H.tokens_expr("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode_outer(F.expr(f"sequence(0, {_N_CHUNKS_SPARK} - 1)")).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx").isNotNull())
+    )
+    sliced = f"slice(toks, 1 + chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})"
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(f"size({sliced})").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.expr(f"concat_ws(' ', {sliced})").cast("binary")).alias("chunk_md5"),
+    )

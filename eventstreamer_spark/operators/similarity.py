@@ -536,3 +536,73 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH u AS (
+  SELECT vec_id, label, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
+), q AS (
+  SELECT vec_id, label, uq FROM u WHERE {QUERY_FILTER}
+), pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         e.vec_id AS neighbor_id,
+         CASE WHEN e.label = q.label THEN 'positive' ELSE 'hard_negative' END AS pair_type,
+         round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
+  FROM q JOIN u e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT query_id, CAST(query_label AS INTEGER) AS query_label, pair_type, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id, pair_type
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, query_label, pair_type, neighbor_id, cosine
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each query vector, the nearest
+    same-label neighbor (the positive) and the nearest *other*-label
+    neighbor (the hard negative) by exact quantized cosine — the pair
+    selection step of contrastive embedding training.
+
+    Same plan shape as brute_topk: the query subset broadcasts, the
+    corpus never shuffles for scoring, and the per-(query, pair_type)
+    argmax is a two-key window over the scored pairs. At real scale
+    the scoring join swaps to the IVF probe path (ivf_topk) with the
+    same downstream argmax — the pair-typing logic is unchanged.
+    """
+    e = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+    ).select("vec_id", F.col("label").cast("int").alias("label"), "uq")
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("uq").alias("q_uq"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("query_label"), "positive")
+            .otherwise("hard_negative")
+            .alias("pair_type"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "pair_type").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "query_label", "pair_type", "neighbor_id", "cosine")
+    )

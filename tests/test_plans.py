@@ -152,3 +152,52 @@ def test_repetition_detection_single_shuffle_key(spark):
 
     df = q_repetition_detection(spark, SF_DIR)
     assert count_exchanges(df) <= 3
+
+
+def test_boilerplate_broadcasts_frequent_set(spark):
+    from eventstreamer_spark.operators.hygiene import q_boilerplate_detection
+
+    df = q_boilerplate_detection(spark, SF_DIR)
+    # the frequent-shingle set joins back as a broadcast — the
+    # exploded corpus must never shuffle against itself
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_mixture_resample_row_local_keep(spark):
+    from eventstreamer_spark.operators.sampling import q_mixture_resample
+
+    df = q_mixture_resample(spark, SF_DIR)
+    plan = physical_plan(df)
+    # both the per-lang counts and the global min join in as broadcasts;
+    # the corpus side is never exchanged before the keep decision
+    assert_broadcast_join(df, min_count=2)
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_window_single_shuffle(spark):
+    from eventstreamer_spark.operators.windowed import q_sliding_window_stats
+
+    df = q_sliding_window_stats(spark, SF_DIR)
+    # window-expand amplification stays inside the map side: one
+    # exchange for the (type, window) aggregation, nothing else
+    assert count_exchanges(df) == 1
+    assert "partial_" in physical_plan(df), "no map-side partial aggregation"
+
+
+def test_document_chunking_no_shuffle(spark):
+    from eventstreamer_spark.operators.sampling import q_document_chunking
+
+    df = q_document_chunking(spark, SF_DIR)
+    # tokenize → explode → slice is one row-local projection pipeline
+    assert count_exchanges(df) == 0
+
+
+def test_hard_negative_mining_broadcasts_queries(spark):
+    from eventstreamer_spark.operators.similarity import q_hard_negative_mining
+
+    df = q_hard_negative_mining(spark, SF_DIR)
+    # the query subset broadcasts; the corpus shuffles only for the
+    # per-(query, pair_type) argmax window
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
