@@ -281,3 +281,72 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "stream_dedup_sink", mode="complete")
     return spark.table("stream_dedup_sink")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (correlated events within the hour)
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_ORACLE = """
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       a.event_id AS a_event_id,
+       b.event_id AS b_event_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS a_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS b_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: every pair
+    of same-user events at most one hour apart, executed as a REAL
+    dual-stream join (two readStream branches, both watermarked, an
+    interval condition) in append mode. With all input processed the
+    emitted matches equal the batch join — the oracle.
+
+    The time bound is what makes this scale: each side's state
+    retains only rows younger than (watermark − bound), so state is
+    O(events/hour × #users in flight), not O(stream length). An
+    unbounded-condition stream join would be rejected by Spark for
+    exactly that reason. Both sides shuffle on user_id once; the
+    interval predicate is evaluated inside the joined partitions.
+    """
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def branch(prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_uid"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    a, b = branch("a"), branch("b")
+    joined = a.join(
+        b,
+        (a.a_uid == b.b_uid)
+        & (a.a_event_id < b.b_event_id)
+        & (b.b_ts >= a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a_uid").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        fmt_ts(F.col("a_ts")).alias("a_ts"),
+        fmt_ts(F.col("b_ts")).alias("b_ts"),
+    )
+    run_to_memory(joined, "stream_join_sink", mode="append")
+    return spark.table("stream_join_sink")

@@ -201,3 +201,13 @@ def test_hard_negative_mining_broadcasts_queries(spark):
     # per-(query, pair_type) argmax window
     assert_broadcast_join(df, min_count=1)
     assert_no_cartesian(df)
+
+
+def test_assembly_pipeline_broadcasts_all_small_sides(spark):
+    from eventstreamer_spark.operators.assembly import q_assembly_pipeline
+
+    df = q_assembly_pipeline(spark, SF_DIR)
+    # bench shingle index + per-lang counts + global min all broadcast;
+    # the corpus side never sort-merge joins
+    assert_broadcast_join(df, min_count=3)
+    assert "SortMergeJoin" not in physical_plan(df)
