@@ -274,3 +274,71 @@ def q_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual contamination (shared rare shingles across languages)
+# ---------------------------------------------------------------------------
+
+XLING_MAX_DF = 8  # only rare shingles generate candidates
+XLING_MIN_SHARED = 3  # shared rare 3-grams ⇒ cross-lingual leak
+
+_XLING_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {H.shingles_duck("text")} AS sh FROM documents
+), inv AS (
+  SELECT doc_id, lang, unnest(sh) AS shingle FROM sh
+), dfc AS (
+  SELECT shingle, count(*) AS df FROM inv GROUP BY shingle
+), rare AS (
+  SELECT i.doc_id, i.lang, i.shingle
+  FROM inv i JOIN dfc d USING (shingle) WHERE d.df < {XLING_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b
+  ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang != b.lang
+GROUP BY a.doc_id, b.doc_id, a.lang, b.lang
+HAVING count(*) >= {XLING_MIN_SHARED}
+"""
+
+
+@query("cross_lingual_contamination", oracle=_XLING_ORACLE)
+def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs in DIFFERENT languages sharing ≥ 3 rare 3-gram
+    shingles — the translation-leak / copy-paste-across-locales signal
+    a multilingual curation pass flags (same-language near-dups are the
+    dedup family's job; this catches what they skip by construction).
+
+    The inverted-index self-join is candidate-bounded the same way the
+    jaccard AllPairs path is: only RARE shingles (df < {XLING_MAX_DF})
+    generate pairs, so each shingle contributes at most df² ≤ 49
+    candidates and corpus-frequent boilerplate contributes none —
+    without the prune a single template shingle would emit a quadratic
+    candidate block at web scale. One shuffle for the df counts, one
+    equi-join on shingle, one pair aggregate.
+    """
+    d = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", "lang", H.tokens_expr("text").alias("toks"))
+        .select("doc_id", "lang", H.shingles_from_tokens_expr("toks").alias("sh"))
+    )
+    inv = d.select("doc_id", "lang", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    dfc = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = inv.join(dfc.filter(F.col("df") < XLING_MAX_DF).select("shingle"), "shingle")
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") != F.col("lang_b")))
+        .groupBy("doc_a", "doc_b", "lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= XLING_MIN_SHARED)
+    )

@@ -17,7 +17,7 @@ at most one aggregation shuffle; all linearly scalable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
@@ -344,4 +344,86 @@ def q_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt") * 1000000 >= F.col("n_tokens") * 100000).cast("int").alias(
             "repetitive"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         floor(t.tf * n.n * 1000000.0 / d.df + 0.5) / 1000000.0 AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf * n.n * 1.0 / d.df DESC, t.term) AS rn
+  FROM tf t JOIN df d USING (term) CROSS JOIN nd n
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       score,
+       CAST(rn AS BIGINT) AS rank
+FROM scored WHERE rn <= {TFIDF_TOP}
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most characteristic terms per document by tf·(N/df) —
+    the rational-form tf-idf (no logarithm: ln() is libm-dependent and
+    need not agree across engines to the last ulp; N/df preserves the
+    idf ORDERING exactly, and the score stays a single IEEE division
+    of exact integers, bit-identical everywhere).
+
+    Plan shape: the tf aggregate shuffles on (doc, term); the df
+    aggregate shuffles on term and — being vocabulary-sized, which is
+    sublinear in the corpus (Heaps' law) — joins back as the small
+    side; the per-doc top-k is one window rank. At web scale the df
+    table gets an absolute floor (df pruning) before the join,
+    exactly like boilerplate_detection's frequent set.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode_outer(H.tokens_expr("text")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    # df derives FROM tf: (doc, term) rows are already distinct there,
+    # so a plain count replaces count_distinct (no Expand / no second
+    # scan of the exploded tokens) and the tf shuffle is paid once —
+    # localCheckpoint shares it across the df branch and the join
+    tf = (
+        tk.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    raw_score = F.col("tf") * F.col("n") * F.lit(1.0) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(raw_score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                F.floor(F.col("tf") * F.col("n") * F.lit(1000000.0) / F.col("df") + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("score"),
+            "rank",
+        )
     )
