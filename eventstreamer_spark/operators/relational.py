@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions.casting import fmt_ts
 from eventstreamer_spark.registry import query
-from eventstreamer_spark.sources.tables import load_table
+from eventstreamer_spark.sources.tables import load_events, load_table
 
 # ---------------------------------------------------------------------------
 # Aggregation (TPC-H Q1 shape): groupBy + many aggregates
@@ -544,7 +544,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (the grouped twin of TakeOrderedAndProject):
     window rank + filter — one shuffle on the group key; rank state
     is O(1) per partition. Unique tie-break keeps the cutoff exact."""
-    from eventstreamer_spark.sources.tables import load_table as _lt
+    from eventstreamer_spark.sources.tables import load_events, load_table as _lt
 
     o = _lt(spark, sf_dir, "orders")
     c = _lt(spark, sf_dir, "customer")
@@ -594,4 +594,60 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("latest_type"),
             fmt_ts(F.col("ts")).alias("latest_ts"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (per-user Markov chain of event types)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, sum(n) AS row_n FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type,
+       CAST(p.n AS BIGINT) AS n,
+       floor(p.n * 1000000.0 / t.row_n + 0.5) / 1000000.0 AS p_next
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | prev_type) with counts — the
+    session-behavior model a funnel/recommendation analysis starts
+    from.
+
+    One shuffle partitions each user's history for the lag window
+    (deterministic order: ts then event_id); the pair and row-total
+    aggregates are |types|² -sized — broadcast territory — so the
+    normalization join moves nothing. Per-user history length bounds
+    window memory, not corpus size.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(F.col("n") * F.lit(1000000.0) / F.col("row_n") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("p_next"),
     )

@@ -211,3 +211,20 @@ def test_assembly_pipeline_broadcasts_all_small_sides(spark):
     # the corpus side never sort-merge joins
     assert_broadcast_join(df, min_count=3)
     assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_tfidf_no_expand_single_tf_shuffle(spark):
+    from eventstreamer_spark.operators.text import q_tfidf_top_terms
+
+    df = q_tfidf_top_terms(spark, SF_DIR)
+    # df counts derive from the tf aggregate (rows already distinct):
+    # a count_distinct here would reintroduce the Expand multi-pass
+    assert "Expand" not in physical_plan(df)
+
+
+def test_transition_matrix_broadcast_normalization(spark):
+    from eventstreamer_spark.operators.relational import q_event_transition_matrix
+
+    df = q_event_transition_matrix(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
