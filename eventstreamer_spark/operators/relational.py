@@ -651,3 +651,103 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered stage progression per user)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW = "1 DAY"  # each stage must follow within this bound
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+), base AS (
+  SELECT n_users AS n1 FROM counts WHERE stage_idx = 1
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(n_users AS BIGINT) AS n_users,
+       floor(n_users * 1000000.0 / n1 + 0.5) / 1000000.0 AS conversion
+FROM counts CROSS JOIN base
+"""
+
+
+@query("funnel_analysis", oracle=_FUNNEL_ORACLE)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user counts for
+    stage k only with a stage-k event strictly after their first
+    stage-(k−1) event. Classic product-analytics sequence matching —
+    the ORDER requirement is what separates this from three
+    independent filters.
+
+    Each stage is one filtered aggregate joined to the previous
+    stage's (user, first-ts) table — per-stage state is one row per
+    surviving user, monotonically shrinking down the funnel. All
+    shuffles key on user_id, so AQE reuses co-partitioning across the
+    stage joins instead of re-exchanging.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage_idx"), F.lit(FUNNEL_STAGES[0]).alias("stage"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_idx"), F.lit(FUNNEL_STAGES[1]).alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_idx"), F.lit(FUNNEL_STAGES[2]).alias("stage"), "n_users"
+            )
+        )
+    )
+    base = s1.agg(F.count(F.lit(1)).alias("n1"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.floor(F.col("n_users") * F.lit(1000000.0) / F.col("n1") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("conversion"),
+    )
