@@ -96,11 +96,13 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
     spark.conf.set(part_key, "8")
-    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q = None
     try:
+        q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
         q.processAllAvailable()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if prev_prov is None:
             spark.conf.unset(prov_key)
         else:
