@@ -751,3 +751,57 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: trimmed mean / winsorized bounds per group
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(e.value), 6) AS trimmed_mean,
+       round(min(b.lo), 6) AS p05,
+       round(min(b.hi), 6) AS p95
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.value >= b.lo AND e.value <= b.hi
+GROUP BY e.event_type
+"""
+
+
+@query("trimmed_mean_stats", oracle=_TRIMMED_ORACLE)
+def q_trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per event type: the robust-aggregation shape —
+    pass 1 computes per-group percentile bounds, pass 2 re-scans and
+    averages only in-range rows. Outlier-resistant telemetry summaries
+    are this exact two-pass plan at any scale.
+
+    The bounds table is |groups|-sized and broadcasts; the fact scan
+    runs twice (percentile state, then the filtered average) — at
+    100 TB pass 1 switches to percentile_approx (mergeable sketch,
+    see approx_aggregates) and the second scan stays unchanged. The
+    bound comparisons are on exact interpolated doubles computed
+    identically by both engines (proven by exact_percentiles).
+    """
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+            F.round(F.min("lo"), 6).alias("p05"),
+            F.round(F.min("hi"), 6).alias("p95"),
+        )
+    )
