@@ -352,3 +352,60 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "stream_join_sink", mode="append")
     return spark.table("stream_join_sink")
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding windows (the hopping aggregate under readStream)
+# ---------------------------------------------------------------------------
+
+_STREAM_SLIDING_ORACLE = """
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         date_trunc('second', e.ts) - k.k * INTERVAL 1 SECOND AS ws
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT event_type,
+       strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM hops
+GROUP BY event_type, ws
+"""
+
+
+@query("stream_sliding_stats", oracle=_STREAM_SLIDING_ORACLE)
+def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window aggregate (window '2 seconds' hop '1
+    second') executed as a real streaming query — each event lands in
+    two windows' state; with all input processed, complete mode equals
+    the batch twin (sliding_window_stats) and the same SQL oracle.
+    State per key is (types × windows-in-flight), watermark-bounded in
+    the production path.
+    """
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "2 seconds", "1 second").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            "event_type",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+    run_to_memory(agg, "stream_sliding_sink", mode="complete")
+    return spark.table("stream_sliding_sink")
