@@ -805,3 +805,74 @@ def q_trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("hi"), 6).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity histogram (distribution of per-user event counts)
+# ---------------------------------------------------------------------------
+
+_ACTIVITY_ORACLE = """
+WITH per_cell AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), bucketed AS (
+  SELECT CASE WHEN n_events < 2 THEN 0
+              WHEN n_events < 3 THEN 1
+              WHEN n_events < 4 THEN 2
+              WHEN n_events < 6 THEN 3
+              ELSE 4 END AS bucket_idx,
+         n_events
+  FROM per_cell
+), tot AS (
+  SELECT count(*) AS n_cells FROM per_cell
+)
+SELECT CAST(bucket_idx AS INTEGER) AS bucket_idx,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(n_events) AS BIGINT) AS min_events,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       floor(count(*) * 1000000.0 / min(t.n_cells) + 0.5) / 1000000.0 AS cell_share
+FROM bucketed CROSS JOIN tot t
+GROUP BY bucket_idx
+"""
+
+
+@query("activity_histogram", oracle=_ACTIVITY_ORACLE)
+def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-skew audit: the distribution of per-(user, day)
+    event counts in burstiness bands — the diagnostic run before
+    choosing a partitioning key (a heavy top band means the key needs
+    salting; see salted_skew_join for the cure).
+
+    Two-level aggregate: the per-cell count shuffles on (user, day),
+    the histogram re-aggregates |buckets| rows. The second stage is
+    constant-sized no matter the corpus — the canonical
+    distribution-of-a-distribution plan.
+    """
+    ev = load_events(spark, sf_dir)
+    per_cell = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bucketed = per_cell.withColumn(
+        "bucket_idx",
+        F.when(F.col("n_events") < 2, 0)
+        .when(F.col("n_events") < 3, 1)
+        .when(F.col("n_events") < 4, 2)
+        .when(F.col("n_events") < 6, 3)
+        .otherwise(4),
+    )
+    tot = per_cell.agg(F.count(F.lit(1)).alias("n_cells_total"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("n_events").cast("long").alias("min_events"),
+            F.max("n_events").cast("long").alias("max_events"),
+            (
+                F.floor(
+                    F.count(F.lit(1)) * F.lit(1000000.0) / F.min("n_cells_total") + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("cell_share"),
+        )
+    )
