@@ -280,7 +280,9 @@ def quantized_unit_expr(vec: str) -> Column:
     )
 
 
-def with_quantized_unit(df, vec: str, out: str, barrier_partitions: int = 32):
+def with_quantized_unit(
+    df, vec: str, out: str, barrier_partitions: int = 32, drop_zero_norm: bool = False
+):
     """Two-stage quantization with a real materialization barrier.
 
     A plain two-projection split does NOT work: the element lambda
@@ -298,11 +300,18 @@ def with_quantized_unit(df, vec: str, out: str, barrier_partitions: int = 32):
         f"0L, (acc, v) -> acc + v)"
     )
     norm_col = f"__norm_{out}"
+    # nullif: zero-norm vectors quantize to NULLs, matching the
+    # DuckDB twin (where CAST(NaN AS BIGINT) would error instead)
+    staged = df.withColumn(
+        norm_col, F.expr(f"nullif(sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE)), 0)")
+    )
+    if drop_zero_norm:
+        # numpy kernels (np.asarray on the quantized array) cannot take
+        # NULL elements — callers feeding mapInPandas/applyInPandas drop
+        # zero-norm vectors here, mirroring the oracle's corpus filter
+        staged = staged.filter(F.col(norm_col).isNotNull())
     return (
-        # nullif: zero-norm vectors quantize to NULLs, matching the
-        # DuckDB twin (where CAST(NaN AS BIGINT) would error instead)
-        df.withColumn(norm_col, F.expr(f"nullif(sqrt(({nsq}) / CAST({_SCALE} AS DOUBLE)), 0)"))
-        .repartition(barrier_partitions)
+        staged.repartition(barrier_partitions)
         .withColumn(
             out,
             F.expr(

@@ -43,7 +43,9 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
 
 
 _BRUTE_ORACLE = f"""
-WITH u AS (SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings),
+WITH u AS (SELECT * FROM (
+  SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
+) WHERE uq[1] IS NOT NULL),
 q AS (SELECT vec_id, uq FROM u WHERE {QUERY_FILTER}),
 pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -84,15 +86,20 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute_topk for the plan shape)."""
     return brute_topk(
         H.with_quantized_unit(
-            load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+            load_table_parallel(spark, sf_dir, "embeddings"),
+            "embedding",
+            "uq",
+            drop_zero_norm=True,
         ).select("vec_id", "uq")
     )
 
 
 _LSH_ORACLE = f"""
 WITH b AS (
-  SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
-         {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+  SELECT * FROM (
+    SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
+           {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+  ) WHERE uq[1] IS NOT NULL
 ), q AS (SELECT * FROM b WHERE {QUERY_FILTER}),
 probes AS (
   SELECT vec_id, uq, unnest({H.srp_probe_buckets_duck("bucket")}) AS pb FROM q
@@ -147,7 +154,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SRP-LSH top-k (see lsh_topk for the plan shape)."""
     return lsh_topk(
         H.with_quantized_unit(
-            load_table_parallel(spark, sf_dir, "embeddings"), "embedding", "uq"
+            load_table_parallel(spark, sf_dir, "embeddings"),
+            "embedding",
+            "uq",
+            drop_zero_norm=True,
         ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
     )
 
@@ -212,6 +222,9 @@ def _score_centroids(embq: DataFrame, cent: DataFrame, max_rank: int = 1) -> Dat
         "c_label", "cq"
     )
     crows = centq.collect()
+    # a degenerate all-zero centroid quantizes to NULL elements and
+    # cannot be scored — drop it (its members reassign elsewhere)
+    crows = [r for r in crows if r.cq is not None and len(r.cq) and r.cq[0] is not None]
     labels = np.asarray([r.c_label for r in crows], dtype="int64")
     cmat = np.asarray([list(r.cq) for r in crows], dtype="int64")
     r = min(max_rank, len(labels))
@@ -295,8 +308,9 @@ def _ivf_centroids_duck(iters: int = IVF_ITERS) -> str:
         " FROM expl GROUP BY label, pos)",
         "cent0 AS (SELECT c_label, list(c ORDER BY pos) AS centroid"
         " FROM comp0 GROUP BY c_label)",
-        f"embq AS (SELECT vec_id, label, {H.quantized_unit_duck('embedding')} AS uq"
-        " FROM embeddings)",
+        f"embq AS (SELECT * FROM (SELECT vec_id, label,"
+        f" {H.quantized_unit_duck('embedding')} AS uq"
+        " FROM embeddings) WHERE uq[1] IS NOT NULL)",
     ]
     for t in range(1, iters + 1):
         prev = f"cent{t - 1}"
@@ -354,7 +368,7 @@ def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the generating labels."""
     e = load_table(spark, sf_dir, "embeddings")
     embq = (
-        H.with_quantized_unit(e, "embedding", "uq")
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
@@ -434,7 +448,7 @@ def q_ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Lloyd-iterated set from ivf_centroids_iterated."""
     e = load_table(spark, sf_dir, "embeddings")
     embq = (
-        H.with_quantized_unit(e, "embedding", "uq")
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
         .select("vec_id", "uq")
         # feeds the centroid iterations AND the final probe/assign pass
         .localCheckpoint(eager=False)
@@ -534,7 +548,7 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table_parallel(spark, sf_dir, "embeddings")
     prepared = (
-        H.with_quantized_unit(raw, "embedding", "uq")
+        H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
         .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
         .localCheckpoint(eager=False)
     )
