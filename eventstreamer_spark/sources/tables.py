@@ -20,16 +20,25 @@ from eventstreamer_spark.session import TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one canonical table. Vectorized parquet reader, lazy.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; we read nanos as epoch-long (runtime conf) and convert to
-    a native microsecond timestamp — same truncation DuckDB applies,
-    so the oracle sees identical instants.
+    ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) — which
+    Spark's reader rejects, so we read nanos as epoch-long (runtime
+    conf) and truncate to microseconds, same as DuckDB — or as
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark surfaces
+    as TIMESTAMP_NTZ. Either way the column normalizes to a plain
+    session-TZ TIMESTAMP (the session is pinned to UTC by
+    session.configure), so every downstream instant function
+    (unix_micros, window, watermarks) sees identical values to the
+    DuckDB oracle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: float division of epoch-nanos loses µs precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # integer division: float division of epoch-nanos loses µs precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

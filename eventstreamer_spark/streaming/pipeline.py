@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from eventstreamer_spark.functions.casting import fmt_ts, round6
 from eventstreamer_spark.operators.windowed import tumbling_stats
@@ -44,6 +45,27 @@ def stream_events(spark: SparkSession, dir_path: str, max_files: int | None = 1)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     return reader.parquet(dir_path)
+
+
+def stream_events_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of ``sources.tables.load_events`` for a
+    canonical sf dir: schema-adaptive to however the driver encoded
+    ``events.ts`` (TIMESTAMP(NANOS) → long via nanosAsLong, or
+    TIMESTAMP(MICROS) → TIMESTAMP_NTZ), normalizing to a plain UTC
+    TIMESTAMP either way. File streams need an explicit schema, so the
+    one-off batch footer read here is what infers it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a directory
+        .parquet(sf_dir.rstrip("/"))
+    )
+    dt = batch_schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer division: float division of epoch-nanos loses µs precision
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_stream(events: DataFrame, window: str = "1 second", watermark: str = "10 seconds") -> DataFrame:
@@ -132,17 +154,7 @@ def q_stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.session import configure
 
     configure(spark)
-    # the driver's events.parquet carries TIMESTAMP(NANOS): stream it
-    # as epoch-nanos long and convert (same convention as load_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")  # file source needs a directory
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events_sf(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.col("user_id").cast("string").alias("key"),
@@ -260,15 +272,7 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.session import configure
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events_sf(spark, sf_dir)
     dup_stream = stream.union(stream.filter(F.col("event_id") % 3 == 0))
     deduped = (
         dup_stream.withWatermark("ts", "10 seconds")
@@ -319,18 +323,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.session import configure
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def branch(prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
+            stream_events_sf(spark, sf_dir)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
                 F.col("user_id").alias(f"{prefix}_uid"),
             )
             .withWatermark(f"{prefix}_ts", "1 hour")
@@ -385,15 +384,7 @@ def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.session import configure
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events_sf(spark, sf_dir)
     agg = (
         stream.groupBy("event_type", F.window("ts", "2 seconds", "1 second").alias("w"))
         .agg(
