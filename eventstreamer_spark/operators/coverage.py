@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions.casting import fmt_ts
+from eventstreamer_spark.operators.windowed import _DP_EAV_ORACLE
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, register_views
 
@@ -335,11 +336,31 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("windowed_emit_json", oracle=None)  # JSON key order is engine-specific
+# Rebuild Spark's to_json output byte-for-byte: struct fields in
+# declared order, map keys sorted (Spark side sorts via sort_array of
+# entries), values as fixed %.6f strings — concatenation makes the
+# JSON text engine-neutral, so this output-shape query hash-checks.
+_EMIT_JSON_ORACLE = """
+WITH eav AS ({eav}),
+g AS (
+  SELECT key, window_start,
+         string_agg('"' || m_name || '":"' || printf('%.6f', avg_value) || '"',
+                    ',' ORDER BY m_name) AS kv
+  FROM eav GROUP BY key, window_start
+)
+SELECT key,
+       '{{"ts":"' || window_start || '","sessionid":"' || split_part(key, ':', 1)
+       || '","sessionstart":"","allvalues":{{' || kv || '}}}}' AS json
+FROM g
+""".format(eav=_DP_EAV_ORACLE)
+
+
+@query("windowed_emit_json", oracle=_EMIT_JSON_ORACLE)
 def q_windowed_emit_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exact output record as JSON rows
-    (DispatcherFunction.cs:152-161) — covered by unit tests; JSON
-    text formatting differs across engines so no SQL oracle."""
+    (DispatcherFunction.cs:152-161), emitted with deterministic field
+    order / key order / number formatting so the concatenation oracle
+    below reproduces the bytes."""
     from eventstreamer_spark.operators.windowed import windowed_emit_json
     from eventstreamer_spark.sources.tables import load_events
 

@@ -147,16 +147,85 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_aggregates", oracle=None)  # sketch outputs are engine-specific
+# The sketch VALUES are engine-specific, but their error BOUNDS are
+# not: the oracle pins the exact aggregates and asserts the bound
+# flags true, so a sketch drifting out of tolerance breaks the hash.
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median_price,
+       CAST(1 AS BIGINT) AS parts_within_bound,
+       CAST(1 AS BIGINT) AS orders_within_bound,
+       CAST(1 AS BIGINT) AS median_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("approx_aggregates", oracle=_APPROX_ORACLE)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketches — the 100 TB path: HLL++ distinct counts and
     KLL-ish quantiles combine associatively across partitions, so no
-    single executor ever holds the full value set."""
+    single executor ever holds the full value set.
+
+    Self-validating (the ann_recall_at_k pattern): the sketch outputs
+    are joined against their exact twins and what leaves the query is
+    the exact value plus a bounded relative-error flag as a 0/1
+    BIGINT — HLL++ at rsd=0.02 gated at 6% (3 sigma), percentile_approx
+    at accuracy 10000 gated at 1% (observed error is ~0.1%). The
+    oracle pins the exact values and asserts every bound flag, so a
+    sketch drifting out of tolerance breaks the hash.
+
+    Plan shape matters here: the sketches run in ONE pass with no
+    distinct aggregates next to them. Mixing approx_count_distinct
+    with count(DISTINCT) in a single aggregate makes Catalyst stage
+    the sketch partials per distinct-key group — millions of HLL merge
+    buffers (measured 136s vs 2s at sf0.1). The exact twins each get
+    their own clean two-level pass, and the 3-row results
+    broadcast-join back together. The exact passes exist only to
+    referee the sketches; at 100 TB you ship the sketch pass alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    exact_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_median = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median")
+    )
+    joined = (
+        sketches.join(F.broadcast(exact_parts), "l_returnflag")
+        .join(F.broadcast(exact_orders), "l_returnflag")
+        .join(F.broadcast(exact_median), "l_returnflag")
+    )
+
+    def within(approx: str, exact: str, tol: float):
+        return (
+            F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
+            <= F.lit(tol) * F.col(exact).cast("double")
+        ).cast("long")
+
+    return joined.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.round(F.col("exact_median"), 6).alias("exact_median_price"),
+        within("approx_parts", "exact_parts", 0.06).alias("parts_within_bound"),
+        within("approx_orders", "exact_orders", 0.06).alias("orders_within_bound"),
+        within("approx_median_price", "exact_median", 0.01).alias("median_within_bound"),
     )
 
 

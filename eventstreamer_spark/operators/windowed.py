@@ -165,16 +165,22 @@ def windowed_emit_json(events: DataFrame, window: str = "1 second") -> DataFrame
     One JSON row per (key, window): ``{ts, deviceid, sessionid,
     sessionstart, allvalues: {name: avg-as-string}}`` — including the
     vestigial empty ``sessionstart`` (reference
-    DispatcherFunction.cs:152-159). JSON key order differs between
-    engines, so this query is covered by unit tests rather than the
-    SQL oracle.
+    DispatcherFunction.cs:152-159). The emitted text is byte-exact
+    deterministic: struct fields serialize in declared order, map keys
+    in sorted order, and values as fixed ``%.6f`` strings — so the
+    DuckDB oracle (coverage.py) rebuilds the identical JSON by string
+    concatenation and the query hash-checks like any other.
     """
     eav = datapoint_window_eav(events, window)
     return (
         eav.groupBy("key", "window_start")
         .agg(
             F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("m_name", F.col("avg_value").cast("string"))))
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("m_name", F.format_string("%.6f", F.col("avg_value")))
+                    )
+                )
             ).alias("allvalues")
         )
         .select(

@@ -170,11 +170,47 @@ def push_time_windows(events: DataFrame, num_partitions: int = 32) -> DataFrame:
     )
 
 
-@query("push_time_parity", oracle=None)  # anchor chain is a recurrence: not one SQL pass
+# The anchor chain is a per-key left-to-right recurrence — not one
+# relational pass, but still SQL-expressible as a recursive CTE that
+# advances one row per key per iteration (the reach-style iteration,
+# cf. _CLUSTERS_ORACLE in operators/dedup.py). Iteration count = max
+# rows per key, so the oracle is cheap at gate scale while the Spark
+# side stays the single-shuffle mapInPandas walk.
+_PUSH_TIME_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_us(ts) AS ts_us,
+         event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT key, rn, ts_us, event_id, event_type, value, ts_us AS anchor
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.rn, e.ts_us, e.event_id, e.event_type, e.value,
+         CASE WHEN e.ts_us - w.anchor >= {WINDOW_US} THEN e.ts_us ELSE w.anchor END
+  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1
+)
+SELECT key,
+       anchor AS anchor_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       CAST(arg_min(event_id, rn) AS BIGINT) AS first_event_id,
+       arg_min(event_type, rn) AS first_event_type
+FROM walk
+GROUP BY key, anchor
+"""
+
+
+@query("push_time_parity", oracle=_PUSH_TIME_ORACLE)
 def q_push_time_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact data-driven windows (O8-O11) in batch form;
-    verified in tests against the pure-Python reference model."""
-    return push_time_windows(load_events(spark, sf_dir))
+    verified in tests against the pure-Python reference model AND
+    hash-checked against the recursive-CTE oracle (avg rounded to 6
+    decimals here only — the raw operator keeps full precision)."""
+    out = push_time_windows(load_events(spark, sf_dir))
+    return out.withColumn("avg_value", F.round(F.col("avg_value"), 6))
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,39 @@ def test_transition_matrix_broadcast_normalization(spark):
     df = q_event_transition_matrix(spark, SF_DIR)
     assert_broadcast_join(df, min_count=1)
     assert_no_cartesian(df)
+
+
+def test_approx_aggregates_sketches_unmixed_with_distinct(spark):
+    """The HLL/percentile sketch pass must never share an aggregate
+    with count(DISTINCT): Catalyst would stage sketch partials per
+    distinct-key group (measured 136s vs 2s at sf0.1). Exact twins
+    join back as broadcasts."""
+    from eventstreamer_spark.operators.relational import q_approx_aggregates
+
+    df = q_approx_aggregates(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Expand" not in plan  # the multi-distinct rewrite marker
+    assert "SortMergeJoin" not in plan  # 3-row exact twins broadcast
+    assert_broadcast_join(df, min_count=3)
+
+
+def test_emit_json_single_key_shuffle(spark):
+    """The reference output record: EAV aggregate + map assembly ride
+    one (key, window) partitioning — no extra exchange for to_json."""
+    from eventstreamer_spark.operators.coverage import q_windowed_emit_json
+
+    df = q_windowed_emit_json(spark, SF_DIR)
+    assert count_exchanges(df) <= 2  # (key, window, m_name) agg + (key, window) roll-up
+    assert "EvalPython" not in physical_plan(df)  # JSON emit stays JVM-side
+
+
+def test_push_time_parity_single_shuffle_arrow(spark):
+    """The anchor walk: one hash exchange on key into a single
+    Arrow-batched python stage — no window, no sort on the Spark side
+    (ordering happens per key inside the worker)."""
+    from eventstreamer_spark.streaming.stateful import q_push_time_parity
+
+    df = q_push_time_parity(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan
