@@ -31,6 +31,9 @@ import eventstreamer_spark.operators.hygiene  # noqa: F401
 import eventstreamer_spark.operators.curation  # noqa: F401
 import eventstreamer_spark.operators.sampling  # noqa: F401
 import eventstreamer_spark.operators.assembly  # noqa: F401
+import eventstreamer_spark.operators.analytics  # noqa: F401
+import eventstreamer_spark.operators.indexing  # noqa: F401
+import eventstreamer_spark.operators.audit  # noqa: F401
 import eventstreamer_spark.streaming.pipeline  # noqa: F401
 import eventstreamer_spark.streaming.stateful  # noqa: F401
 

@@ -1,0 +1,256 @@
+"""Corpus indexing / language-model statistics over ``documents``.
+
+The training-data counterparts of the text.py feature extractors:
+posting lists (the retrieval index build), bigram conditionals (the
+n-gram LM estimation step), cross-document duplicate-span profiling
+(the "how much verbatim overlap is left after dedup" audit), and the
+length histogram every corpus report starts with.
+
+All four are explode → hash-aggregate pipelines on built-in
+expressions — no Python in the row path — and every small side
+(totals, cutoffs) rejoins as a broadcast; shapes pinned in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
+
+_TOKS_S = H.TOKENS_SPARK.format(col="text")
+_TOKS_D = H.TOKENS_DUCK.format(col="text")
+
+# ---------------------------------------------------------------------------
+# Inverted index (token → df + leading posting list)
+# ---------------------------------------------------------------------------
+
+INDEX_TOP = 20
+POSTINGS_PER_TOKEN = 10
+
+_INVERTED_ORACLE = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_D}) AS token FROM documents
+), agg AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS df,
+         array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTINGS_PER_TOKEN}], ',')
+           AS postings
+  FROM td GROUP BY token
+)
+SELECT token, df, postings FROM agg
+ORDER BY df DESC, token LIMIT {INDEX_TOP}
+"""
+
+
+@query("inverted_index_topk", oracle=_INVERTED_ORACLE)
+def q_inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build for the highest-df terms: explode to
+    distinct (token, doc) pairs, aggregate df + the first
+    ``POSTINGS_PER_TOKEN`` doc ids per token, top-k by df.
+
+    One shuffle keyed by token does both the df count and the posting
+    assembly (collect_list of already-distinct pairs, sorted and
+    sliced — bounded output per token), and the top-k is a
+    TakeOrderedAndProject. This is exactly the map-reduce index build,
+    Catalyst-planned; at 100 TB the same plan emits the full postings
+    instead of the head slice."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    td = d.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("token")).distinct()
+    agg = td.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_PER_TOKEN),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.orderBy(F.col("df").desc(), "token").limit(INDEX_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional probabilities (n-gram LM estimation)
+# ---------------------------------------------------------------------------
+
+MIN_PREFIX_COUNT = 50
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+), bg AS (
+  SELECT t[i] AS prefix, t[i + 1] AS next_token
+  FROM toks, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+), counts AS (
+  SELECT prefix, next_token, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+), ranked AS (
+  SELECT prefix, next_token, c_ab,
+         CAST(sum(c_ab) OVER (PARTITION BY prefix) AS BIGINT) AS c_prefix,
+         row_number() OVER (PARTITION BY prefix ORDER BY c_ab DESC, next_token) AS rn
+  FROM counts
+)
+SELECT prefix, next_token, c_ab, c_prefix,
+       round(c_ab * 1.0 / c_prefix, 6) AS cond_prob
+FROM ranked WHERE rn = 1 AND c_prefix >= {MIN_PREFIX_COUNT}
+"""
+
+
+@query("bigram_conditional_probs", oracle=_BIGRAM_ORACLE)
+def q_bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM estimation: for every prefix token seen ≥
+    ``MIN_PREFIX_COUNT`` times, its most likely successor with the
+    conditional probability — the count/normalize/argmax core of
+    n-gram language modeling.
+
+    Positional pairs come from one sequence-transform explode (no
+    self-join on position); the (prefix, next) counts are the only
+    corpus-scale shuffle, and the per-prefix total + argmax ride a
+    window over the already-aggregated count table keyed by prefix —
+    aggregate-then-window, never window-over-raw-tokens."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_TOKS_S}) >= 2 THEN "
+                f"transform(sequence(0, size({_TOKS_S}) - 2), "
+                f"i -> struct(element_at({_TOKS_S}, i + 1) AS prefix, "
+                f"element_at({_TOKS_S}, i + 2) AS next_token)) "
+                f"ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.prefix", "p.next_token")
+    counts = bg.groupBy("prefix", "next_token").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    w = Window.partitionBy("prefix")
+    wr = Window.partitionBy("prefix").orderBy(
+        F.col("c_ab").desc(), F.col("next_token")
+    )
+    return (
+        counts.withColumn("c_prefix", F.sum("c_ab").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("c_prefix") >= MIN_PREFIX_COUNT))
+        .select(
+            "prefix",
+            "next_token",
+            "c_ab",
+            "c_prefix",
+            F.round(F.col("c_ab") * F.lit(1.0) / F.col("c_prefix"), 6).alias(
+                "cond_prob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span profile (verbatim 8-gram overlap audit)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+
+# Spark Column built lazily inside the query (F.expr needs a live
+# session); the DuckDB twin is a plain string and can bake now.
+_SPAN_SH_D = H.shingles_from_tokens_duck(_TOKS_D, SPAN_N)
+
+_SPAN_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(unnest({_SPAN_SH_D})) AS span FROM documents
+), per_span AS (
+  SELECT span, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY span
+)
+SELECT n_docs, CAST(count(*) AS BIGINT) AS n_spans
+FROM per_span WHERE n_docs >= 2 GROUP BY n_docs
+"""
+
+
+@query("duplicate_span_histogram", oracle=_SPAN_ORACLE)
+def q_duplicate_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim overlap profile: how many distinct
+    {SPAN_N}-token spans appear in exactly k documents, for k ≥ 2 —
+    the residual-duplication audit run after dedup, and the
+    memorization-risk estimate before training.
+
+    Spans hash to md5 before the shuffle so only 32-byte keys move
+    (never span text); two hash aggregates, histogram output of
+    bounded size. The same plan at 100 TB is the standard
+    suffix-overlap audit with n tuned upward."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(H.shingles_from_tokens_expr(_TOKS_S, SPAN_N)).alias("span_text"),
+        )
+        .select("doc_id", F.md5("span_text").alias("span"))
+        .distinct()
+    )
+    per_span = sh.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_span.filter(F.col("n_docs") >= 2)
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document length histogram (fixed char-count bands)
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0, 100), (100, 300), (300, 1000), (1000, 3000), (3000, 10000)]
+
+
+def _band_case_spark() -> str:
+    whens = " ".join(
+        f"WHEN length(text) < {hi} THEN '{lo:05d}-{hi:05d}'" for lo, hi in _BANDS
+    )
+    return f"CASE {whens} ELSE '10000+' END"
+
+
+def _band_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN length(text) < {hi} THEN '{lo:05d}-{hi:05d}'" for lo, hi in _BANDS
+    )
+    return f"CASE {whens} ELSE '10000+' END"
+
+
+_LENGTH_ORACLE = f"""
+WITH banded AS (
+  SELECT {_band_case_duck()} AS band, length(text) AS n FROM documents
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM banded)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n), 6) AS avg_chars,
+       round(count(*) * 1.0 / any_value(tot.total), 6) AS share
+FROM banded CROSS JOIN tot
+GROUP BY band
+"""
+
+
+@query("doc_length_histogram", oracle=_LENGTH_ORACLE)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile in fixed char bands with corpus share —
+    integer band edges (no float log bucketing) so the banding is
+    bit-identical across engines. One aggregation shuffle; the grand
+    total joins back as a broadcast one-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    banded = d.select(
+        F.expr(_band_case_spark()).alias("band"), F.length("text").alias("n")
+    )
+    tot = banded.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n"), 6).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_docs",
+            "avg_chars",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        )
+    )

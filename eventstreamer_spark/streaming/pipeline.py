@@ -225,6 +225,61 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESSION_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM d
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+@query("stream_session_windows", oracle=_STREAM_SESSION_ORACLE)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven session windows executed as a REAL streaming query:
+    readStream → watermark → session_window(gap 30 min) →
+    complete-mode memory sink (session aggregation rejects update
+    mode; with the whole input in one micro-batch, complete equals
+    the final state). Session state merges windows as events arrive
+    and evicts once the watermark passes a session's close — the
+    stateful operator the reference's "push time forward" loop
+    approximates. The result equals the batch sessionization oracle
+    (the lag/gap-cumsum form)."""
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    stream = stream_events_sf(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    run_to_memory(agg, "stream_session_sink", mode="complete")
+    return spark.table("stream_session_sink")
+
+
 def observed_windowed_stream(events: DataFrame) -> DataFrame:
     """O17 parity: per-batch row counts / conversion metrics via
     ``observe`` — the declarative replacement for the reference's
@@ -356,6 +411,41 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming sliding windows (the hopping aggregate under readStream)
 # ---------------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 5
+"""
+
+
+@query("stream_topk_types", oracle=_STREAM_TOPK_ORACLE)
+def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the per-type aggregate ordered and limited
+    INSIDE the streaming query — complete output mode is what makes
+    sorting legal on an unbounded stream (the sort runs over the
+    bounded aggregate state each trigger, never over raw events).
+    With all input processed the result equals the batch top-5."""
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    stream = stream_events_sf(spark, sf_dir)
+    agg = (
+        stream.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(5)
+    )
+    run_to_memory(agg, "stream_topk_sink", mode="complete")
+    return spark.table("stream_topk_sink")
+
 
 _STREAM_SLIDING_ORACLE = """
 WITH hops AS (

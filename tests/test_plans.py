@@ -264,3 +264,113 @@ def test_push_time_parity_single_shuffle_arrow(spark):
     plan = physical_plan(df)
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan or "PythonMapInArrow" in plan
+
+
+def test_retention_broadcasts_cohort_sizes(spark):
+    """Cohort sizes rejoin as a broadcast; the user-day fact is never
+    sort-merge joined against an aggregate of itself."""
+    from eventstreamer_spark.operators.analytics import q_user_retention_cohorts
+
+    df = q_user_retention_cohorts(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_heatmap_single_shuffle(spark):
+    from eventstreamer_spark.operators.analytics import q_dow_hour_heatmap
+
+    df = q_dow_hour_heatmap(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "partial_" in physical_plan(df), "no map-side partial aggregation"
+
+
+def test_outlier_screen_broadcasts_stats(spark):
+    """The per-type stats broadcast back over the unshuffled fact —
+    the two-pass shape; no window over the raw events."""
+    from eventstreamer_spark.operators.analytics import q_value_outliers_zscore
+
+    df = q_value_outliers_zscore(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert_broadcast_join(df, min_count=1)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """Q3 shape: both date filters reach the scans, customer keys
+    broadcast, top-10 is TakeOrdered — never a global sort."""
+    from eventstreamer_spark.operators.analytics import q_shipping_priority_topk
+
+    df = q_shipping_priority_topk(spark, SF_DIR)
+    assert_take_ordered(df)
+    assert_broadcast_join(df, min_count=1)
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_trade_volume_broadcasts_all_dims(spark):
+    """Q7 shape: supplier/customer/nation² broadcast; only
+    lineitem⋈orders and the final rollup shuffle fact rows."""
+    from eventstreamer_spark.operators.analytics import q_nation_trade_volume
+
+    df = q_nation_trade_volume(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=4)
+    assert_no_cartesian(df)
+
+
+def test_rfm_no_global_window(spark):
+    """Median cuts broadcast back as a one-row aggregate — no ntile,
+    no single-partition sort anywhere in the plan."""
+    from eventstreamer_spark.operators.analytics import q_rfm_segmentation
+
+    df = q_rfm_segmentation(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_gap_fill_broadcasts_spine(spark):
+    """Date spine × type dimension are broadcast-sized; the daily
+    counts join them without shuffling the spine side."""
+    from eventstreamer_spark.operators.analytics import q_calendar_gap_fill
+
+    df = q_calendar_gap_fill(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_inverted_index_topk_take_ordered(spark):
+    from eventstreamer_spark.operators.indexing import q_inverted_index_topk
+
+    df = q_inverted_index_topk(spark, SF_DIR)
+    assert_take_ordered(df)
+
+
+def test_bigram_window_over_aggregate_only(spark):
+    """The per-prefix total/argmax windows run over the (prefix, next)
+    count table, never over raw exploded tokens: ≤ 3 exchanges (read
+    fan-out + bigram agg + prefix re-key)."""
+    from eventstreamer_spark.operators.indexing import q_bigram_conditional_probs
+
+    df = q_bigram_conditional_probs(spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+
+
+def test_duplicate_span_hashes_before_shuffle(spark):
+    """Only 32-byte md5 span keys shuffle — the span text must be
+    projected away before the exchange."""
+    from eventstreamer_spark.operators.indexing import q_duplicate_span_histogram
+    import re
+
+    df = q_duplicate_span_histogram(spark, SF_DIR)
+    plan = physical_plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "span_text" not in m.group(1)
+    assert_no_cartesian(df)
+
+
+def test_length_histogram_broadcast_total(spark):
+    from eventstreamer_spark.operators.indexing import q_doc_length_histogram
+
+    df = q_doc_length_histogram(spark, SF_DIR)
+    # the band aggregation + the one-row total's single-partition agg
+    assert count_exchanges(df) <= 2
+    assert_broadcast_join(df, min_count=1)  # the one-row total
