@@ -13,7 +13,7 @@ terminates in TakeOrderedAndProject, never a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.registry import query

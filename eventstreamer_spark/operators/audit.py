@@ -1,0 +1,414 @@
+"""Corpus / pipeline audit reports: the measured-quality layer.
+
+Where text.py and dedup.py implement the curation operators, this
+module implements the REPORTS a data team runs to judge them:
+vocabulary coverage (OOV rates against a frozen top-k vocab),
+near-duplication broken down by source pair, MinHash estimator
+calibration against exact jaccard, embedding norm profiles, per-source
+quality rollups, changelog compaction, and priority share drift.
+
+Every query keeps the established determinism contract (integer-scaled
+means, rounded floats, explicit tie-breaks) so all of them hash-check
+against DuckDB oracles, and the small sides (vocab, cutoffs, pair
+tables) always broadcast — shapes pinned in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
+
+_TOKS_S = H.TOKENS_SPARK.format(col="text")
+_TOKS_D = H.TOKENS_DUCK.format(col="text")
+
+# Integer-scaled 6-decimal mean: both engines sum identical integers,
+# so the average cannot drift across summation orders.
+_MEAN6_DUCK = "floor(sum(CAST(round({v} * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0"
+
+
+def _mean6_spark(v) -> F.Column:
+    return (
+        F.floor(
+            F.sum(F.round(v * F.lit(1000000.0), 0).cast("long"))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (tokenizer-freeze audit)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 20
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS tf FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT {VOCAB_SIZE}
+  )
+), per_doc AS (
+  SELECT t.doc_id,
+         round(count(*) FILTER (WHERE v.token IS NULL) * 1.0 / count(*), 6) AS oov_rate
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+)
+SELECT CASE WHEN oov_rate < 0.25 THEN 'lt25' WHEN oov_rate < 0.35 THEN 'lt35'
+            WHEN oov_rate < 0.45 THEN 'lt45' ELSE 'ge45' END AS oov_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {_MEAN6_DUCK.format(v="oov_rate")} AS avg_oov_rate
+FROM per_doc GROUP BY 1
+"""
+
+
+@query("vocab_oov_coverage", oracle=_OOV_ORACLE)
+def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: freeze the top-``VOCAB_SIZE`` corpus
+    tokens as the vocabulary, measure each document's OOV token rate,
+    report the banded histogram — the coverage check run before
+    freezing a tokenizer. The synthetic corpus has only 31 distinct
+    tokens, so the frozen vocab is deliberately sub-corpus-sized (20)
+    to keep the measured distribution non-degenerate; at real scale
+    the same plan runs with the actual vocab budget.
+
+    The vocab is a TakeOrdered top-k over the token counts (tiny) that
+    rejoins the exploded corpus as a broadcast left join; per-doc
+    rates aggregate on doc_id and the band histogram is a fixed-size
+    rollup. Two corpus-scale shuffles (token tf, per-doc rate) — both
+    unavoidable, neither carries more than (key, count)."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select(F.col("token").alias("v_token"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), tok.token == F.col("v_token"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("v_token").isNull().cast("long")) * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate")
+        )
+    )
+    band = (
+        F.when(F.col("oov_rate") < 0.25, "lt25")
+        .when(F.col("oov_rate") < 0.35, "lt35")
+        .when(F.col("oov_rate") < 0.45, "lt45")
+        .otherwise("ge45")
+    )
+    return per_doc.groupBy(band.alias("oov_band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _mean6_spark(F.col("oov_rate")).alias("avg_oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplication by source pair (where is the duplication coming from?)
+# ---------------------------------------------------------------------------
+
+from eventstreamer_spark.operators.dedup import _MINHASH_ORACLE, q_minhash_lsh_neardup
+
+_SOURCE_MATRIX_ORACLE = f"""
+WITH pairs AS ({_MINHASH_ORACLE}),
+lab AS (
+  SELECT p.est_jaccard,
+         least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {_MEAN6_DUCK.format(v="est_jaccard")} AS avg_est_jaccard
+FROM lab GROUP BY 1, 2
+"""
+
+
+@query("neardup_source_matrix", oracle=_SOURCE_MATRIX_ORACLE)
+def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs attributed to (source, source) cells — the
+    "which feeds overlap" audit that decides what to drop or
+    re-crawl. Reuses the full MinHash+LSH pipeline, then joins the
+    (tiny) pair table against the doc→source dimension twice; the
+    pair side broadcasts, sources normalize to an unordered cell via
+    least/greatest."""
+    pairs = q_minhash_lsh_neardup(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _mean6_spark(F.col("est_jaccard")).alias("avg_est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration (estimated vs exact jaccard on LSH candidates)
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.shingles_from_tokens_duck("toks")} AS sh FROM tk
+), pairs AS ({_MINHASH_ORACLE}),
+scored AS (
+  SELECT p.est_jaccard,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS exact_jaccard
+  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+)
+SELECT CASE WHEN est_jaccard < 0.7 THEN 'est_050_070'
+            WHEN est_jaccard < 0.9 THEN 'est_070_090'
+            ELSE 'est_090_100' END AS est_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {_MEAN6_DUCK.format(v="est_jaccard")} AS avg_est,
+       {_MEAN6_DUCK.format(v="exact_jaccard")} AS avg_exact,
+       {_MEAN6_DUCK.format(v="abs(est_jaccard - exact_jaccard)")} AS mean_abs_err
+FROM scored GROUP BY 1
+"""
+
+
+@query("minhash_jaccard_calibration", oracle=_CALIBRATION_ORACLE)
+def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: on every LSH candidate pair, the 12-hash
+    MinHash estimate vs the exact 3-gram jaccard, banded by estimate —
+    the measured-quality report (ann_recall_at_k's pattern applied to
+    the dedup path). A drifting hash family or banding bug shows up as
+    mean_abs_err inflation and breaks the hash gate.
+
+    The candidate pair table is LSH-bounded (tiny vs the corpus), so
+    it broadcasts into the shingle-array dimension; exact jaccard is
+    array_intersect arithmetic JVM-side."""
+    pairs = q_minhash_lsh_neardup(spark, sf_dir)
+    sh = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", H.tokens_expr("text").alias("toks"))
+        .select("doc_id", H.shingles_from_tokens_expr("toks").alias("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = F.round(
+        inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    )
+    band = (
+        F.when(F.col("est_jaccard") < 0.7, "est_050_070")
+        .when(F.col("est_jaccard") < 0.9, "est_070_090")
+        .otherwise("est_090_100")
+    )
+    return (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("est_jaccard", exact.alias("exact_jaccard"))
+        .groupBy(band.alias("est_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _mean6_spark(F.col("est_jaccard")).alias("avg_est"),
+            _mean6_spark(F.col("exact_jaccard")).alias("avg_exact"),
+            _mean6_spark(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))).alias(
+                "mean_abs_err"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile (per generating label)
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+WITH n AS (
+  SELECT CAST(label AS INTEGER) AS label,
+         round(sqrt(list_sum(list_transform(embedding, v -> v * v))), 6) AS norm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       {_MEAN6_DUCK.format(v="norm")} AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@query("embedding_norm_stats", oracle=_NORM_ORACLE)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2 norm profile — the sanity report run before any
+    cosine pipeline (catches unnormalized feeds, dead/zero vectors,
+    scale drift between shards). Row-local aggregate arithmetic, one
+    shuffle of (label, rounded norm); min/max are exact, the mean is
+    integer-scaled."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(F.expr("aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)")),
+        6,
+    )
+    return (
+        e.select(F.col("label").cast("int").alias("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            _mean6_spark(F.col("norm")).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality rollup by (source, lang)
+# ---------------------------------------------------------------------------
+
+from eventstreamer_spark.operators.text import _SW_D, _SW_S  # same marker sets
+
+_QUALITY_S = (
+    f"CASE WHEN size({_TOKS_S}) BETWEEN 20 AND 90 THEN 0.5D ELSE 0.0D END"
+    f" + CASE WHEN size(array_distinct({_TOKS_S})) * CAST(1 AS DOUBLE) / size({_TOKS_S}) > 0.5"
+    f" THEN 0.3D ELSE 0.0D END"
+    f" + CASE WHEN {_SW_S} * CAST(1 AS DOUBLE) / size({_TOKS_S}) BETWEEN 0.01 AND 0.5"
+    f" THEN 0.2D ELSE 0.0D END"
+)
+_QUALITY_D = (
+    f"CASE WHEN len({_TOKS_D}) BETWEEN 20 AND 90 THEN 0.5 ELSE 0.0 END"
+    f" + CASE WHEN len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}) > 0.5 THEN 0.3 ELSE 0.0 END"
+    f" + CASE WHEN {_SW_D} * 1.0 / len({_TOKS_D}) BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END"
+)
+
+_QUALITY_ROLLUP_ORACLE = f"""
+WITH q AS (
+  SELECT source, lang, round({_QUALITY_D}, 6) AS quality FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {_MEAN6_DUCK.format(v="quality")} AS avg_quality,
+       CAST(count(*) FILTER (WHERE quality >= 0.8) AS BIGINT) AS n_high_quality
+FROM q GROUP BY source, lang
+"""
+
+
+@query("quality_by_source_report", oracle=_QUALITY_ROLLUP_ORACLE)
+def q_quality_by_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard rollup: composite quality score (same
+    formula as text_stats_quality) aggregated per (source, lang) with
+    a high-quality share — what a team reads to decide per-source
+    sampling weights. Single hash-aggregate shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "source", "lang", F.round(F.expr(_QUALITY_S), 6).alias("quality")
+    )
+    return q.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _mean6_spark(F.col("quality")).alias("avg_quality"),
+        F.sum((F.col("quality") >= 0.8).cast("long")).alias("n_high_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction (events as an upsert stream)
+# ---------------------------------------------------------------------------
+
+_COMPACTION_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(value), 4) AS total_latest_value,
+       round(min(value), 6) AS min_latest_value,
+       round(max(value), 6) AS max_latest_value
+FROM latest WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+@query("cdc_changelog_compaction", oracle=_COMPACTION_ORACLE)
+def q_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-stream compaction: events replayed as a changelog keyed
+    by (user, type), latest-wins by (ts, event_id), then the compacted
+    state summarized per type — the batch twin of a CDC materialized
+    view refresh. One shuffle on the compaction key (window argmax),
+    one bounded rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("value"), 4).alias("total_latest_value"),
+        F.round(F.min("value"), 6).alias("min_latest_value"),
+        F.round(F.max("value"), 6).alias("max_latest_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority share drift by year
+# ---------------------------------------------------------------------------
+
+_PRIORITY_SHARE_ORACLE = """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT order_year, o_orderpriority, n_orders, revenue,
+       round(n_orders * 1.0 / sum(n_orders) OVER (PARTITION BY order_year), 6)
+         AS share_in_year
+FROM agg
+"""
+
+
+@query("priority_share_by_year", oracle=_PRIORITY_SHARE_ORACLE)
+def q_priority_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift: per-year priority counts/revenue with
+    within-year share — the aggregate-then-window shape (the window
+    normalizes a #years × #priorities table, never raw orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    w = Window.partitionBy("order_year")
+    return agg.select(
+        "order_year",
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        F.round(F.col("n_orders") * F.lit(1.0) / F.sum("n_orders").over(w), 6).alias(
+            "share_in_year"
+        ),
+    )

@@ -300,3 +300,64 @@ def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame
     return prepared.groupBy("key").applyInPandasWithState(
         fn, OUT_SCHEMA, state_schema, "append", timeout
     )
+
+
+# The streaming operator's emitted surface is the batch walk minus
+# each key's open tail (the max-anchor window, still buffered in
+# state) — so the same recursive-CTE walk, with the per-key last
+# window excluded, is an exact oracle for the REAL streaming
+# execution.
+_PUSH_STREAM_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_us(ts) AS ts_us,
+         event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT key, rn, ts_us, event_id, event_type, value, ts_us AS anchor
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.rn, e.ts_us, e.event_id, e.event_type, e.value,
+         CASE WHEN e.ts_us - w.anchor >= {WINDOW_US} THEN e.ts_us ELSE w.anchor END
+  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1
+),
+wins AS (
+  SELECT key,
+         anchor AS anchor_ts,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 6) AS avg_value,
+         CAST(arg_min(event_id, rn) AS BIGINT) AS first_event_id,
+         arg_min(event_type, rn) AS first_event_type,
+         max(anchor) OVER (PARTITION BY key) AS tail_anchor
+  FROM walk
+  GROUP BY key, anchor
+)
+SELECT key, anchor_ts, n_events, avg_value, first_event_id, first_event_type
+FROM wins WHERE anchor_ts < tail_anchor
+"""
+
+
+@query("push_time_stream_parity", oracle=_PUSH_STREAM_ORACLE)
+def q_push_time_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data-driven windows as a REAL stateful
+    streaming execution: applyInPandasWithState over a readStream
+    source, append mode — per-key (anchor, buffer) state lives across
+    micro-batches, closed windows emit as they are pushed past, each
+    key's open tail stays in state. The oracle replays the anchor
+    recurrence and drops every key's final window, so the live
+    streaming output is hash-checked — not just rows-counted —
+    against an independent engine."""
+    from eventstreamer_spark.session import configure
+    from eventstreamer_spark.streaming.pipeline import run_to_memory, stream_events_sf
+
+    configure(spark)
+    stream = stream_events_sf(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = push_time_stream(stream)
+    run_to_memory(out, "push_stream_parity_sink", mode="append")
+    return spark.table("push_stream_parity_sink").withColumn(
+        "avg_value", F.round(F.col("avg_value"), 6)
+    )

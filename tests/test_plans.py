@@ -367,6 +367,74 @@ def test_duplicate_span_hashes_before_shuffle(spark):
     assert_no_cartesian(df)
 
 
+def test_vocab_oov_broadcasts_frozen_vocab(spark):
+    """The top-k vocab is TakeOrdered-tiny and rejoins the exploded
+    corpus as a broadcast left join — the corpus never shuffles
+    against the vocabulary."""
+    from eventstreamer_spark.operators.audit import q_vocab_oov_coverage
+
+    df = q_vocab_oov_coverage(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_source_matrix_broadcasts_pair_table(spark):
+    """The LSH-bounded pair table broadcasts into the doc→source
+    dimension; no sort-merge join of corpus-scale sides."""
+    from eventstreamer_spark.operators.audit import q_neardup_source_matrix
+
+    df = q_neardup_source_matrix(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_calibration_broadcasts_pair_table(spark):
+    from eventstreamer_spark.operators.audit import q_minhash_jaccard_calibration
+
+    df = q_minhash_jaccard_calibration(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_norm_stats_row_local_then_one_agg(spark):
+    """Norms are row-local arithmetic; the only shuffles are the read
+    fan-out and the per-label aggregate — no Python, no join."""
+    from eventstreamer_spark.operators.audit import q_embedding_norm_stats
+
+    df = q_embedding_norm_stats(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 2
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_quality_rollup_single_shuffle(spark):
+    from eventstreamer_spark.operators.audit import q_quality_by_source_report
+
+    df = q_quality_by_source_report(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "partial_" in physical_plan(df), "no map-side partial aggregation"
+
+
+def test_compaction_two_exchanges(spark):
+    """Latest-wins argmax shuffles once on the compaction key, the
+    type rollup once more — nothing else."""
+    from eventstreamer_spark.operators.audit import q_cdc_changelog_compaction
+
+    df = q_cdc_changelog_compaction(spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+
+
+def test_priority_share_window_over_aggregate(spark):
+    """The share window normalizes the (year, priority) aggregate —
+    never raw orders: ≤ 2 exchanges total."""
+    from eventstreamer_spark.operators.audit import q_priority_share_by_year
+
+    df = q_priority_share_by_year(spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+
+
 def test_length_histogram_broadcast_total(spark):
     from eventstreamer_spark.operators.indexing import q_doc_length_histogram
 
