@@ -121,7 +121,7 @@ def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplication by source pair (where is the duplication coming from?)
 # ---------------------------------------------------------------------------
 
-from eventstreamer_spark.operators.dedup import _MINHASH_ORACLE, q_minhash_lsh_neardup
+from eventstreamer_spark.operators.dedup import _MINHASH_ORACLE, minhash_pairs_for
 
 _SOURCE_MATRIX_ORACLE = f"""
 WITH pairs AS ({_MINHASH_ORACLE}),
@@ -144,11 +144,11 @@ FROM lab GROUP BY 1, 2
 def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs attributed to (source, source) cells — the
     "which feeds overlap" audit that decides what to drop or
-    re-crawl. Reuses the full MinHash+LSH pipeline, then joins the
-    (tiny) pair table against the doc→source dimension twice; the
-    pair side broadcasts, sources normalize to an unordered cell via
-    least/greatest."""
-    pairs = q_minhash_lsh_neardup(spark, sf_dir)
+    re-crawl. Reuses the MinHash+LSH pair table (session-memoized,
+    dedup.minhash_pairs_for), then joins it against the doc→source
+    dimension twice; the pair side broadcasts, sources normalize to
+    an unordered cell via least/greatest."""
+    pairs = minhash_pairs_for(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -205,8 +205,10 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The candidate pair table is LSH-bounded (tiny vs the corpus), so
     it broadcasts into the shingle-array dimension; exact jaccard is
-    array_intersect arithmetic JVM-side."""
-    pairs = q_minhash_lsh_neardup(spark, sf_dir)
+    array_intersect arithmetic JVM-side. The pair table comes from the
+    session memo (dedup.minhash_pairs_for) shared with the source
+    matrix and the dedup query itself."""
+    pairs = minhash_pairs_for(spark, sf_dir)
     sh = (
         load_table_parallel(spark, sf_dir, "documents")
         .select("doc_id", H.tokens_expr("text").alias("toks"))

@@ -221,6 +221,33 @@ def q_push_time_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 IDLE_TTL_US = 86_400_000_000  # 1 day, the reference's start-key TTL (cs:78)
 
 
+def advance_anchor_chain(
+    anchor: int | None,
+    buf: list[tuple[int, int, str, float]],
+    rows: list[tuple[int, int, str, float]],
+) -> tuple[list[dict], int | None, list[tuple[int, int, str, float]]]:
+    """One micro-batch step of the anchor recurrence: fold ``rows``
+    (sorted by ts, event_id) into carried state ``(anchor, buf)``,
+    returning (closed-window records, new anchor, new buffer).
+
+    Pure by design so the streaming operator's core is property-
+    testable: folding any chunking of an input through this function
+    yields the same closed windows as the batch model — micro-batch
+    boundaries cannot change results (pinned by
+    test_push_time_stream_chunking_invariant)."""
+    out: list[dict] = []
+    for ts, eid, etype, val in rows:
+        ts = int(ts)
+        if anchor is None:
+            anchor = ts
+        elif ts - anchor >= WINDOW_US:
+            out.append(_emit(anchor, buf))
+            buf = []
+            anchor = ts
+        buf.append((ts, int(eid), etype, float(val)))
+    return out, anchor, buf
+
+
 def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Streaming form of the same operator: per-key state holds
     (anchor, buffer) across micro-batches; closed windows emit as
@@ -268,16 +295,8 @@ def push_time_stream(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame
                 )
             )
         rows.sort(key=lambda r: (r[0], r[1]))
-        out = []
-        for ts, eid, etype, val in rows:
-            ts = int(ts)
-            if anchor is None:
-                anchor = ts
-            elif ts - anchor >= WINDOW_US:
-                out.append({"key": key[0], **_emit(anchor, buf)})
-                buf = []
-                anchor = ts
-            buf.append((ts, int(eid), etype, float(val)))
+        closed, anchor, buf = advance_anchor_chain(anchor, buf, rows)
+        out = [{"key": key[0], **rec} for rec in closed]
         state.update((anchor, buf))
         if use_ttl and anchor is not None:
             # flush+reclaim once the watermark passes anchor + TTL

@@ -125,6 +125,40 @@ def test_safe_double_nan_inf_parity(spark):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# streaming fold == batch model under ANY micro-batch chunking
+# ---------------------------------------------------------------------------
+
+
+@given(events, st.lists(st.integers(min_value=0, max_value=200), max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_push_time_stream_chunking_invariant(rows, cut_points):
+    """Folding the event sequence through the streaming core
+    (advance_anchor_chain) in ANY chunking yields exactly the batch
+    model's windows: the closed windows stream out, and flushing the
+    final (anchor, buffer) state equals the batch model's tail —
+    micro-batch boundaries cannot change results."""
+    from eventstreamer_spark.streaming.stateful import advance_anchor_chain
+
+    rows = sorted(set(rows))
+    cuts = sorted({c for c in cut_points if c < len(rows)})
+    chunks, prev = [], 0
+    for c in cuts + [len(rows)]:
+        chunks.append(rows[prev:c])
+        prev = c
+
+    anchor, buf, streamed = None, [], []
+    for chunk in chunks:
+        closed, anchor, buf = advance_anchor_chain(anchor, buf, chunk)
+        streamed.extend(closed)
+    if buf:  # flush the open tail, as the batch model does
+        from eventstreamer_spark.streaming.stateful import _emit
+
+        streamed.append(_emit(anchor, buf))
+
+    assert streamed == anchor_windows_py(rows)
+
+
 @given(events)
 @settings(max_examples=300, deadline=None)
 def test_push_time_vectorized_matches_model(rows):
