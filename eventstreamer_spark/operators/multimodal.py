@@ -159,6 +159,40 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_META_STATS_ORACLE = """
+SELECT 'image/fake' AS media_type,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("multimodal_metadata_stats", oracle=_META_STATS_ORACLE)
+def q_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the multimodal table — the query
+    that makes the lakehouse layout pay: because the payload is a
+    plain column beside a typed metadata struct, a stats/inventory
+    query projects only the struct and Catalyst prunes the BINARY
+    column out of the scan entirely (pinned by
+    test_multimodal_metadata_prunes_payload). At 100 TB this is the
+    difference between scanning kilobytes of footer-indexed metadata
+    and petabytes of media bytes."""
+    m = media_table(spark, sf_dir).select("doc_id", "meta")
+    return m.groupBy(
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.lang").alias("lang"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("meta.n_chars").alias("min_chars"),
+        F.max("meta.n_chars").alias("max_chars"),
+        F.round(F.avg("meta.n_chars"), 6).alias("avg_chars"),
+    )
+
+
 @query("multimodal_resize_stub", oracle=None)  # stubbed pixel math: rows-only
 def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/re-encode shape: binary in → binary out, metadata

@@ -367,6 +367,17 @@ def test_duplicate_span_hashes_before_shuffle(spark):
     assert_no_cartesian(df)
 
 
+def test_multimodal_metadata_prunes_payload(spark):
+    """A metadata-only query over the multimodal table must never read
+    the binary payload column: the scan's ReadSchema is the metadata
+    fields alone — the petabytes-stay-at-rest property."""
+    from eventstreamer_spark.operators.multimodal import q_multimodal_metadata_stats
+
+    df = q_multimodal_metadata_stats(spark, SF_DIR)
+    assert_read_schema_only(df, "documents", {"lang", "n_chars"})
+    assert "text" not in physical_plan(df).split("ReadSchema")[-1]
+
+
 def test_vocab_oov_broadcasts_frozen_vocab(spark):
     """The top-k vocab is TakeOrdered-tiny and rejoins the exploded
     corpus as a broadcast left join — the corpus never shuffles
