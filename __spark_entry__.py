@@ -36,10 +36,12 @@ import eventstreamer_spark.operators.indexing  # noqa: F401
 import eventstreamer_spark.operators.audit  # noqa: F401
 import eventstreamer_spark.streaming.pipeline  # noqa: F401
 import eventstreamer_spark.streaming.stateful  # noqa: F401
-# formats registers LAST: the driver records the first 50 queries()
-# entries and the 50 never-recorded slots are exactly filled this
-# round — these land at 51+ and get recorded next round.
+# formats/timeseries register LAST: the driver records the first 50
+# queries() entries and the 50 never-recorded slots are exactly
+# filled this round — these land at 51+ (via _DEFER_RECORDING) and
+# get recorded next round.
 import eventstreamer_spark.operators.formats  # noqa: F401
+import eventstreamer_spark.operators.timeseries  # noqa: F401
 
 from eventstreamer_spark import registry
 from eventstreamer_spark.session import configure
@@ -103,6 +105,9 @@ _DEFER_RECORDING = (
     "json_source_parity",
     "orc_source_parity",
     "multimodal_metadata_stats",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "fuzzy_name_matches",
 )
 
 

@@ -1,0 +1,224 @@
+"""Time-series and approximate-matching operators.
+
+Three families the event/order lake needs beyond plain windows:
+
+- **OHLC bars** — open/high/low/close + volume per (user, 10 s bar):
+  the financial-rollup shape; open/close are deterministic
+  ``min_by``/``max_by`` picks under a total (ts, event_id) order.
+- **Time-weighted average** — irregularly sampled values weighted by
+  how long they were current (the TimescaleDB ``time_weight`` shape):
+  a lead() window per key, then a weighted aggregate. Correct for
+  sensors that report on change, where the plain AVG over-weights
+  chatty intervals.
+- **Fuzzy string matching** — edit-distance ≤ 2 name pairs via
+  bucketed candidate generation (first token + length band) and a
+  levenshtein verify: the small-edit analog of the dedup suite's
+  jaccard path, with the same never-all-pairs discipline.
+
+All hash-checked against DuckDB; registered in the deferred-recording
+group (__spark_entry__._DEFER_RECORDING) so they cannot displace this
+round's 50 recording slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_events, load_table, load_table_parallel
+
+# ---------------------------------------------------------------------------
+# OHLC bars (10-second bars per user)
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH binned AS (
+  SELECT user_id,
+         to_timestamp(floor(epoch(ts) / 10) * 10) AS bar_start,
+         ts, event_id, value
+  FROM events
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bar_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bar_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM binned
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(bar_start, '%Y-%m-%d %H:%M:%S') AS bar_start,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM ranked
+GROUP BY user_id, bar_start
+"""
+
+
+@query("ohlc_bars", oracle=_OHLC_ORACLE)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close/volume per (user, 10 s bar) — one hash
+    aggregate; open and close are min_by/max_by under the total
+    (ts, event_id) order, so parallel aggregation cannot produce a
+    different pick than a sorted scan."""
+    ev = load_events(spark, sf_dir)
+    order = F.struct(F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 10) * 10
+            ).alias("bar_start"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "bar_start")
+        .agg(
+            F.round(F.min_by("value", order), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (last-observation-carried-forward weighting)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT user_id, value, epoch_us(ts) AS t0,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(t1 - t0) AS BIGINT) AS observed_us,
+       round(sum(value * (t1 - t0)) / sum(t1 - t0), 6) AS time_weighted_avg,
+       round(avg(value), 6) AS naive_avg
+FROM seg WHERE t1 IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("time_weighted_avg", oracle=_TWA_ORACLE)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average: each observation holds until
+    the next one (LOCF), so its weight is its holding interval — the
+    irregular-sampling correction a plain AVG gets wrong (chatty
+    bursts over-weight). Reported beside the naive average so the bias
+    is visible. One window pass keyed by user (lead), one aggregate on
+    the same key — the second stage reuses the window's partitioning."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t0 = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = ev.select(
+        "user_id", "value", t0.alias("t0"), F.lead(t0).over(w).alias("t1")
+    ).filter(F.col("t1").isNotNull())
+    dur = F.col("t1") - F.col("t0")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dur).alias("observed_us"),
+        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias(
+            "time_weighted_avg"
+        ),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy name matching (bucketed levenshtein)
+# ---------------------------------------------------------------------------
+
+MAX_EDITS = 2
+PROBE_FILTER = "id % 20 = 0"  # deterministic probe subset, the ANN pattern
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_partkey AS id, p_name AS name,
+         string_split(p_name, ' ')[1] AS first_tok,
+         length(p_name) AS n
+  FROM part
+), probes AS (
+  SELECT * FROM names WHERE {PROBE_FILTER}
+), cand AS (
+  SELECT a.id AS probe_id, b.id AS match_id, a.name AS probe_name, b.name AS match_name,
+         levenshtein(a.name, b.name) AS edits
+  FROM probes a JOIN names b
+    ON a.first_tok = b.first_tok
+   AND b.n BETWEEN a.n - {MAX_EDITS} AND a.n + {MAX_EDITS}
+   AND a.id != b.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY edits, match_id) AS rn
+  FROM cand WHERE edits <= {MAX_EDITS}
+)
+SELECT probe_id, match_id, probe_name, match_name, CAST(edits AS INTEGER) AS edits
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best fuzzy match per probe: a deterministic probe subset of
+    part names resolved against the full catalog — the entity-
+    resolution shape (new records vs the master list). Candidates
+    meet through a (first token, ±length) bucket equi-join on the
+    broadcast probe side (never an all-pairs product), the exact
+    levenshtein verify runs only on candidates, and a per-probe
+    argmin (edits, then id) picks the single best match — bounded
+    output, one row per matched probe. An unrestricted self-join
+    emitting every pair measured 39.7s at sf0.1 on these ~90-shared-
+    first-token names; the probe-argmin form is the query a pipeline
+    actually runs. At real scale the bucket key generalizes to q-gram
+    prefixes with the same plan shape."""
+    # parallel read: the catalog is a single parquet file, and the
+    # levenshtein verify would otherwise run in ONE scan task
+    p = load_table_parallel(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_tok"),
+        F.length("p_name").alias("n"),
+    )
+    probes = names.filter(F.expr(PROBE_FILTER)).select(
+        F.col("id").alias("probe_id"),
+        F.col("name").alias("probe_name"),
+        F.col("first_tok").alias("p_tok"),
+        F.col("n").alias("p_n"),
+    )
+    cand = F.broadcast(probes).join(
+        names,
+        (F.col("p_tok") == F.col("first_tok"))
+        & (F.col("n") >= F.col("p_n") - MAX_EDITS)
+        & (F.col("n") <= F.col("p_n") + MAX_EDITS)
+        & (F.col("probe_id") != F.col("id")),
+    ).select(
+        "probe_id",
+        F.col("id").alias("match_id"),
+        "probe_name",
+        F.col("name").alias("match_name"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("edits", "match_id")
+    return (
+        cand.withColumn("edits", F.levenshtein("probe_name", "match_name").cast("int"))
+        .filter(F.col("edits") <= MAX_EDITS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "match_id", "probe_name", "match_name", "edits")
+    )

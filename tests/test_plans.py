@@ -367,6 +367,37 @@ def test_duplicate_span_hashes_before_shuffle(spark):
     assert_no_cartesian(df)
 
 
+def test_ohlc_single_shuffle(spark):
+    """One hash aggregate per (user, bar); open/close are min_by/
+    max_by inside it — no window, no second pass over raw events."""
+    from eventstreamer_spark.operators.timeseries import q_ohlc_bars
+
+    df = q_ohlc_bars(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1
+    assert "Window" not in plan
+
+
+def test_twa_aggregate_reuses_window_partitioning(spark):
+    """The lead() window and the per-user aggregate share the user_id
+    hash partitioning: exactly one exchange."""
+    from eventstreamer_spark.operators.timeseries import q_time_weighted_avg
+
+    df = q_time_weighted_avg(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+
+
+def test_fuzzy_match_bucketed_no_cartesian(spark):
+    """The probe subset broadcasts; candidates meet through the
+    (first token, length band) bucket equi-join and the levenshtein
+    verify runs on candidates only — the catalog never self-joins."""
+    from eventstreamer_spark.operators.timeseries import q_fuzzy_name_matches
+
+    df = q_fuzzy_name_matches(spark, SF_DIR)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=1)
+
+
 def test_multimodal_metadata_prunes_payload(spark):
     """A metadata-only query over the multimodal table must never read
     the binary payload column: the scan's ReadSchema is the metadata
