@@ -158,7 +158,8 @@ _SPAN_SH_D = H.shingles_from_tokens_duck(_TOKS_D, SPAN_N)
 
 _SPAN_ORACLE = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, md5(unnest({_SPAN_SH_D})) AS span FROM documents
+  SELECT DISTINCT doc_id, substr(md5(unnest({_SPAN_SH_D})), 1, 16) AS span
+  FROM documents
 ), per_span AS (
   SELECT span, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY span
 )
@@ -174,9 +175,11 @@ def q_duplicate_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual-duplication audit run after dedup, and the
     memorization-risk estimate before training.
 
-    Spans hash to md5 before the shuffle so only 32-byte keys move
-    (never span text); two hash aggregates, histogram output of
-    bounded size. The same plan at 100 TB is the standard
+    Spans hash to a 64-bit md5 prefix before the shuffle so only
+    16-byte keys move (never span text — and a collision can only
+    merge two spans' doc sets, vanishingly unlikely below 2^32
+    distinct spans); two hash aggregates, histogram output of bounded
+    size. The same plan at 100 TB is the standard
     suffix-overlap audit with n tuned upward."""
     d = load_table_parallel(spark, sf_dir, "documents")
     sh = (
@@ -184,7 +187,7 @@ def q_duplicate_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(H.shingles_from_tokens_expr(_TOKS_S, SPAN_N)).alias("span_text"),
         )
-        .select("doc_id", F.md5("span_text").alias("span"))
+        .select("doc_id", F.substring(F.md5("span_text"), 1, 16).alias("span"))
         .distinct()
     )
     per_span = sh.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
