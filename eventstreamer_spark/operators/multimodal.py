@@ -193,11 +193,23 @@ def q_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_resize_stub", oracle=None)  # stubbed pixel math: rows-only
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       md5(substr(text, 1, 32)) AS thumb_md5,
+       CAST(least(octet_length(CAST(text AS BLOB)), 32) AS INTEGER) AS thumb_bytes
+FROM documents
+"""
+
+
+@query("multimodal_resize_stub", oracle=_RESIZE_ORACLE)
 def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/re-encode shape: binary in → binary out, metadata
     updated. The pixel math is a stub (first 32 bytes as the
-    'thumbnail'); the binary-in/binary-out Arrow round-trip is real."""
+    'thumbnail'); the binary-in/binary-out Arrow round-trip is real —
+    the UDF emits a BINARY thumb column through Arrow, and the final
+    select hashes it JVM-side so the output is value-comparable across
+    engines (ASCII payloads make byte math == char math for the
+    oracle's substr)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,6 +222,9 @@ def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return media_table(spark, sf_dir).mapInPandas(
+    resized = media_table(spark, sf_dir).mapInPandas(
         resize, "doc_id bigint, thumb binary, thumb_bytes int"
+    )
+    return resized.select(
+        "doc_id", F.md5("thumb").alias("thumb_md5"), "thumb_bytes"
     )
