@@ -26,20 +26,10 @@ _TOKS_S = H.TOKENS_SPARK.format(col="text")
 _TOKS_D = H.TOKENS_DUCK.format(col="text")
 
 # Integer-scaled 6-decimal mean: both engines sum identical integers,
-# so the average cannot drift across summation orders.
-_MEAN6_DUCK = "floor(sum(CAST(round({v} * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0"
-
-
-def _mean6_spark(v) -> F.Column:
-    return (
-        F.floor(
-            F.sum(F.round(v * F.lit(1000000.0), 0).cast("long"))
-            * F.lit(1.0)
-            / F.count(F.lit(1))
-            + F.lit(0.5)
-        )
-        / F.lit(1000000.0)
-    )
+# so the average cannot drift across summation orders. Shared with the
+# other float-mean oracles via functions.numeric.
+from eventstreamer_spark.functions.numeric import MEAN6_DUCK as _MEAN6_DUCK
+from eventstreamer_spark.functions.numeric import mean6_spark as _mean6_spark
 
 
 # ---------------------------------------------------------------------------

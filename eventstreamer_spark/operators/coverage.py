@@ -338,19 +338,22 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rebuild Spark's to_json output byte-for-byte: struct fields in
 # declared order, map keys sorted (Spark side sorts via sort_array of
-# entries), values as fixed %.6f strings — concatenation makes the
-# JSON text engine-neutral, so this output-shape query hash-checks.
+# entries), values as fixed %.6f strings. Interpolated strings
+# (m_name keys, the sessionid) render through DuckDB's to_json so
+# quotes/backslashes escape exactly as Spark's to_json escapes them;
+# numeric %.6f strings and timestamp text are escape-free by
+# construction.
 _EMIT_JSON_ORACLE = """
 WITH eav AS ({eav}),
 g AS (
   SELECT key, window_start,
-         string_agg('"' || m_name || '":"' || printf('%.6f', avg_value) || '"',
+         string_agg(to_json(m_name) || ':"' || printf('%.6f', avg_value) || '"',
                     ',' ORDER BY m_name) AS kv
   FROM eav GROUP BY key, window_start
 )
 SELECT key,
-       '{{"ts":"' || window_start || '","sessionid":"' || split_part(key, ':', 1)
-       || '","sessionstart":"","allvalues":{{' || kv || '}}}}' AS json
+       '{{"ts":"' || window_start || '","sessionid":' || to_json(split_part(key, ':', 1))
+       || ',"sessionstart":"","allvalues":{{' || kv || '}}}}' AS json
 FROM g
 """.format(eav=_DP_EAV_ORACLE)
 

@@ -18,18 +18,30 @@ timestamp_micros on read.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events
 
 # One round-trip per (application, sf_dir, format): the write is part
-# of the proven path but needn't repeat per bench pass.
+# of the proven path but needn't repeat per bench pass. Dirs are
+# removed at interpreter exit so repeated driver runs don't accumulate
+# copies of events under /tmp.
 _RT_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_roundtrip_dirs() -> None:
+    for path in _RT_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _RT_CACHE.clear()
 
 
 def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
@@ -49,11 +61,11 @@ def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     return path
 
 
-_FORMAT_ORACLE = """
+_FORMAT_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(sum(value), 4) AS total_value,
+       {N.SUMK_DUCK.format(v="value", s=10000)} AS total_value,
        CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
        CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
 FROM events
@@ -62,10 +74,11 @@ GROUP BY event_type
 
 
 def _format_agg(df: DataFrame) -> DataFrame:
+    # integer-scaled sum (functions.numeric): order-free across engines
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         F.min("ts_us").alias("first_ts_us"),
         F.max("ts_us").alias("last_ts_us"),
     )

@@ -15,9 +15,7 @@ Three families the event/order lake needs beyond plain windows:
   levenshtein verify: the small-edit analog of the dedup suite's
   jaccard path, with the same never-all-pairs discipline.
 
-All hash-checked against DuckDB; registered in the deferred-recording
-group (__spark_entry__._DEFER_RECORDING) so they cannot displace this
-round's 50 recording slots.
+All hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -25,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table, load_table_parallel
 
@@ -100,7 +99,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-weighted average (last-observation-carried-forward weighting)
 # ---------------------------------------------------------------------------
 
-_TWA_ORACLE = """
+_TWA_ORACLE = f"""
 WITH seg AS (
   SELECT user_id, value, epoch_us(ts) AS t0,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
@@ -109,8 +108,8 @@ WITH seg AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_segments,
        CAST(sum(t1 - t0) AS BIGINT) AS observed_us,
-       round(sum(value * (t1 - t0)) / sum(t1 - t0), 6) AS time_weighted_avg,
-       round(avg(value), 6) AS naive_avg
+       {N.RATIO6_DUCK.format(num="value * (t1 - t0)", den="t1 - t0")} AS time_weighted_avg,
+       {N.MEAN6_DUCK.format(v="value")} AS naive_avg
 FROM seg WHERE t1 IS NOT NULL
 GROUP BY user_id
 """
@@ -131,13 +130,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", t0.alias("t0"), F.lead(t0).over(w).alias("t1")
     ).filter(F.col("t1").isNotNull())
     dur = F.col("t1") - F.col("t0")
+    # integer-scaled sums (functions.numeric): summation-order-free
+    # across Spark's partial-aggregate tree and the DuckDB oracle
     return seg.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(dur).alias("observed_us"),
-        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias(
-            "time_weighted_avg"
-        ),
-        F.round(F.avg("value"), 6).alias("naive_avg"),
+        N.ratio6_spark(F.col("value") * dur, dur).alias("time_weighted_avg"),
+        N.mean6_spark(F.col("value")).alias("naive_avg"),
     )
 
 

@@ -355,8 +355,8 @@ def test_bigram_window_over_aggregate_only(spark):
 
 
 def test_duplicate_span_hashes_before_shuffle(spark):
-    """Only 32-byte md5 span keys shuffle — the span text must be
-    projected away before the exchange."""
+    """Only 16-hex-char (64-bit) md5-prefix span keys shuffle — the
+    span text must be projected away before the exchange."""
     from eventstreamer_spark.operators.indexing import q_duplicate_span_histogram
     import re
 
