@@ -13,11 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-# 6-decimal mean over pre-scaled integers; `{v}` is the value expr.
-MEAN6_DUCK = (
-    "floor(sum(CAST(round({v} * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5)"
-    " / 1000000.0"
+# Mean over pre-scaled integers, rounded to 1/{s} units; `{v}` is the
+# value expr, `{s}` the 10^k scale.
+MEANK_DUCK = (
+    "floor(sum(CAST(round({v} * {s}, 0) AS BIGINT)) * 1.0 / count(*) + 0.5)"
+    " / {s}.0"
 )
+
+# 6-decimal mean over pre-scaled integers; `{v}` is the value expr.
+MEAN6_DUCK = MEANK_DUCK.replace("{s}", "1000000")
 
 # Order-free 6-decimal ratio sum(num)/sum(den): numerator rounded to
 # int64 whole units per row (exact summation), denominator must
@@ -39,17 +43,22 @@ def sumk_spark(v, scale: int) -> F.Column:
     )
 
 
-def mean6_spark(v) -> F.Column:
-    """Spark twin of MEAN6_DUCK (identical int64 partial sums)."""
+def meank_spark(v, scale: int) -> F.Column:
+    """Spark twin of MEANK_DUCK (identical int64 partial sums)."""
     return (
         F.floor(
-            F.sum(F.round(v * F.lit(1000000.0), 0).cast("long"))
+            F.sum(F.round(v * F.lit(float(scale)), 0).cast("long"))
             * F.lit(1.0)
             / F.count(F.lit(1))
             + F.lit(0.5)
         )
-        / F.lit(1000000.0)
+        / F.lit(float(scale))
     )
+
+
+def mean6_spark(v) -> F.Column:
+    """Spark twin of MEAN6_DUCK (identical int64 partial sums)."""
+    return meank_spark(v, 1000000)
 
 
 def ratio6_spark(num, den) -> F.Column:

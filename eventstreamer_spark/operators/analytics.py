@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table
 
@@ -81,12 +82,12 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Day-of-week × hour activity heatmap
 # ---------------------------------------------------------------------------
 
-_HEATMAP_ORACLE = """
+_HEATMAP_ORACLE = f"""
 SELECT CAST(isodow(ts) AS INTEGER) AS dow,
        CAST(hour(ts) AS INTEGER) AS hour,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -105,7 +106,7 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        N.mean6_spark(F.col("value")).alias("avg_value"),
     )
 
 
@@ -113,11 +114,23 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-score outlier screen (two-pass: broadcast stats back over the fact)
 # ---------------------------------------------------------------------------
 
+# mu/sigma from integer-scaled moments (milli-unit quantization):
+# s1/s2 are exact int sums, so both engines derive bit-identical
+# mu/sigma in the same fixed double-op order — a near-boundary |z|=3
+# row cannot flip between engines. int64 bound: qv² ~ 1e10 per row →
+# safe past 1e8 rows per type.
 _OUTLIER_ORACLE = """
-WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma,
+WITH q AS (
+  SELECT event_type, value, CAST(round(value * 1000, 0) AS BIGINT) AS qv
+  FROM events
+), stats AS (
+  SELECT event_type,
+         CAST(sum(qv) AS DOUBLE) / count(*) / 1000.0 AS mu,
+         sqrt(CAST(sum(qv * qv) AS DOUBLE) / count(*)
+              - (CAST(sum(qv) AS DOUBLE) / count(*)) * (CAST(sum(qv) AS DOUBLE) / count(*)))
+           / 1000.0 AS sigma,
          CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type
+  FROM q GROUP BY event_type
 )
 SELECT e.event_type,
        s.n AS n_events,
@@ -138,10 +151,25 @@ def q_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanged only for the final per-type rollup. (A windowed
     single-pass form would shuffle the entire fact by type instead.)"""
     ev = load_events(spark, sf_dir)
-    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
-        F.count(F.lit(1)).alias("n"),
+    # integer-scaled moments: see _OUTLIER_ORACLE comment
+    qv = F.round(F.col("value") * 1000, 0).cast("long")
+    s1d = F.col("s1").cast("double") / F.col("n")
+    stats = (
+        ev.groupBy(F.col("event_type").alias("s_type"))
+        .agg(
+            F.sum(qv).alias("s1"),
+            F.sum(qv * qv).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "s_type",
+            (s1d / 1000.0).alias("mu"),
+            (
+                F.sqrt(F.col("s2").cast("double") / F.col("n") - s1d * s1d)
+                / 1000.0
+            ).alias("sigma"),
+            "n",
+        )
     )
     z6 = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
     return (
@@ -163,7 +191,7 @@ _Q3_CUTOFF = "1998-06-30"
 
 _SHIPPING_ORACLE = f"""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       {N.SUMK_DUCK.format(v="l.l_extendedprice * (1 - l.l_discount)", s=10000)} AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -199,8 +227,10 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+            # integer-scaled: revenue is in ORDER BY, so both engines
+            # must agree bit-exactly or the top-k membership can flip
+            N.sumk_spark(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
             ).alias("revenue")
         )
         .select(
@@ -218,12 +248,12 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Nation-to-nation trade volume (TPC-H Q7 shape)
 # ---------------------------------------------------------------------------
 
-_TRADE_ORACLE = """
+_TRADE_ORACLE = f"""
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
        CAST(count(*) AS BIGINT) AS n_lineitems,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+       {N.SUMK_DUCK.format(v="l.l_extendedprice * (1 - l.l_discount)", s=10000)} AS volume
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -267,8 +297,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+            N.sumk_spark(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
             ).alias("volume"),
         )
     )
@@ -278,12 +308,12 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segmentation (median-split bands, no global window)
 # ---------------------------------------------------------------------------
 
-_RFM_ORACLE = """
+_RFM_ORACLE = f"""
 WITH rfm AS (
   SELECT o_custkey,
          date_diff('day', max(o_orderdate), TIMESTAMP '2002-01-01 00:00:00') AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
-         sum(o_totalprice) AS monetary
+         {N.SUMK_DUCK.format(v="o_totalprice", s=100)} AS monetary
   FROM orders GROUP BY o_custkey
 ), cuts AS (
   SELECT quantile_cont(recency_days, 0.5) AS r_med,
@@ -295,7 +325,7 @@ SELECT concat(CASE WHEN rfm.recency_days <= cuts.r_med THEN 'R1' ELSE 'R0' END,
               CASE WHEN rfm.frequency >= cuts.f_med THEN 'F1' ELSE 'F0' END,
               CASE WHEN rfm.monetary >= cuts.m_med THEN 'M1' ELSE 'M0' END) AS segment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(rfm.monetary), 4) AS avg_monetary,
+       {N.MEANK_DUCK.format(v="rfm.monetary", s=10000)} AS avg_monetary,
        round(avg(rfm.frequency), 6) AS avg_frequency
 FROM rfm CROSS JOIN cuts
 GROUP BY 1
@@ -317,7 +347,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days"
         ),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        # exact cents: identical median/compare inputs on both engines
+        N.sumk_spark(F.col("o_totalprice"), 100).alias("monetary"),
     )
     cuts = rfm.agg(
         F.expr("percentile(recency_days, 0.5)").alias("r_med"),
@@ -334,7 +365,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(seg.alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            N.meank_spark(F.col("monetary"), 10000).alias("avg_monetary"),
             F.round(F.avg("frequency"), 6).alias("avg_frequency"),
         )
     )

@@ -30,6 +30,7 @@ _TOKS_D = H.TOKENS_DUCK.format(col="text")
 # other float-mean oracles via functions.numeric.
 from eventstreamer_spark.functions.numeric import MEAN6_DUCK as _MEAN6_DUCK
 from eventstreamer_spark.functions.numeric import mean6_spark as _mean6_spark
+from eventstreamer_spark.functions.numeric import sumk_spark as _sumk_spark
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +337,7 @@ WITH latest AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_keys,
-       round(sum(value), 4) AS total_latest_value,
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_latest_value,
        round(min(value), 6) AS min_latest_value,
        round(max(value), 6) AS max_latest_value
 FROM latest WHERE rn = 1
@@ -358,7 +359,7 @@ def q_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.round(F.sum("value"), 4).alias("total_latest_value"),
+        _sumk_spark(F.col("value"), 10000).alias("total_latest_value"),
         F.round(F.min("value"), 6).alias("min_latest_value"),
         F.round(F.max("value"), 6).alias("max_latest_value"),
     )
@@ -372,7 +373,7 @@ _PRIORITY_SHARE_ORACLE = """
 WITH agg AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
          CAST(count(*) AS BIGINT) AS n_orders,
-         round(sum(o_totalprice), 4) AS revenue
+         sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
   FROM orders GROUP BY 1, 2
 )
 SELECT order_year, o_orderpriority, n_orders, revenue,
@@ -392,7 +393,7 @@ def q_priority_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        _sumk_spark(F.col("o_totalprice"), 10000).alias("revenue"),
     )
     w = Window.partitionBy("order_year")
     return agg.select(

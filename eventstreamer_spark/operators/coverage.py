@@ -281,8 +281,8 @@ WITH longf AS (
 )
 SELECT l_returnflag, measure,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(val), 6) AS avg_val,
-       round(sum(val), 4) AS sum_val
+       floor(sum(CAST(round(val * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_val,
+       sum(CAST(round(val * 10000, 0) AS BIGINT)) / 10000.0 AS sum_val
 FROM longf
 GROUP BY l_returnflag, measure
 """
@@ -299,10 +299,12 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     ).withColumn("measure", F.regexp_replace(F.col("measure"), "^l_", ""))
+    from eventstreamer_spark.functions import numeric as N
+
     return long_df.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("val"), 6).alias("avg_val"),
-        F.round(F.sum("val"), 4).alias("sum_val"),
+        N.mean6_spark(F.col("val")).alias("avg_val"),
+        N.sumk_spark(F.col("val"), 10000).alias("sum_val"),
     )
 
 
@@ -310,10 +312,12 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL entry point
 # ---------------------------------------------------------------------------
 
+# dialect-shared SQL: runs verbatim on Spark AND DuckDB, so the
+# revenue sum is integer-scaled in the shared text itself
 _SQL_API_ORACLE = """
 SELECT c.c_mktsegment,
        CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) / 1e4 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -69,7 +69,7 @@ WITH feats AS (
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_tokens), 6) AS avg_tokens,
-       round(avg(quality_score), 6) AS avg_quality
+       floor(sum(CAST(round(quality_score * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_quality
 FROM curated
 GROUP BY lang, source
 """
@@ -93,8 +93,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_pairs(kept_docs)
     drops = edges.select(F.col("doc_b").alias("doc_id")).distinct()
     curated = kept.join(drops, "doc_id", "left_anti")
+    from eventstreamer_spark.functions.numeric import mean6_spark
+
     return curated.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        mean6_spark(F.col("quality_score")).alias("avg_quality"),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.datamodel import DATAPOINT_SCHEMA, events_as_datapoints, parse_json
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import safe_double
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events
@@ -22,7 +23,7 @@ from eventstreamer_spark.sources.tables import load_events
 _INGEST_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(value), 6) AS avg_value
+       floor(sum(CAST(round(value * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_value
 FROM events
 WHERE event_id % 97 != 0
 GROUP BY event_type
@@ -67,8 +68,10 @@ def q_json_ingest_corrupt_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.avg(F.when(is_ok, safe_double(F.element_at(F.col("p.values"), 1)))), 6
+        # groups are pure ok/corrupt, so count(*) == count(v) and the
+        # all-null corrupt bucket propagates NULL through the mean
+        N.mean6_spark(
+            F.when(is_ok, safe_double(F.element_at(F.col("p.values"), 1)))
         ).alias("avg_value"),
     )
 

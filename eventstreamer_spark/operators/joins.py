@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table
@@ -29,11 +30,11 @@ from eventstreamer_spark.sources.tables import load_events, load_table
 # Broadcast star join: events enriched by a dimension
 # ---------------------------------------------------------------------------
 
-_BCAST_ORACLE = """
+_BCAST_ORACLE = f"""
 SELECT c.c_mktsegment,
        e.event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(e.value), 4) AS total_value
+       {N.SUMK_DUCK.format(v="e.value", s=10000)} AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment, e.event_type
@@ -51,7 +52,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
     )
 
@@ -60,9 +61,9 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-way star join (TPC-H Q5 shape)
 # ---------------------------------------------------------------------------
 
-_STAR_ORACLE = """
+_STAR_ORACLE = f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       {N.SUMK_DUCK.format(v="l.l_extendedprice * (1 - l.l_discount)", s=10000)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -92,9 +93,9 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name").isin("AMERICA", "ASIA"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            N.sumk_spark(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -187,7 +188,7 @@ WITH bands(band_name, lo, hi) AS (
 )
 SELECT b.band_name,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(e.value), 6) AS avg_value
+       floor(sum(CAST(round(e.value * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_value
 FROM events e
 JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band_name
@@ -210,7 +211,7 @@ def q_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
         )
     )
 
@@ -306,7 +307,7 @@ _SALTED_ORACLE = """
 SELECT CAST(e.user_id % 3 AS BIGINT) AS hot_key,
        r.r_name AS region_name,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(e.value), 4) AS total_value
+       sum(CAST(round(e.value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
 FROM events e
 JOIN region r ON e.user_id % 3 = r.r_regionkey
 GROUP BY e.user_id % 3, r.r_name
@@ -344,6 +345,6 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hot_key", "region_name")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table
@@ -25,16 +26,16 @@ from eventstreamer_spark.sources.tables import load_events, load_table
 # Aggregation (TPC-H Q1 shape): groupBy + many aggregates
 # ---------------------------------------------------------------------------
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag,
        l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {N.SUMK_DUCK.format(v="l_quantity", s=10000)} AS sum_qty,
+       {N.SUMK_DUCK.format(v="l_extendedprice", s=10000)} AS sum_base_price,
+       {N.SUMK_DUCK.format(v="l_extendedprice * (1 - l_discount)", s=10000)} AS sum_disc_price,
+       {N.SUMK_DUCK.format(v="l_extendedprice * (1 - l_discount) * (1 + l_tax)", s=10000)} AS sum_charge,
+       {N.MEAN6_DUCK.format(v="l_quantity")} AS avg_qty,
+       {N.MEAN6_DUCK.format(v="l_extendedprice")} AS avg_price,
+       {N.MEAN6_DUCK.format(v="l_discount")} AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,13 +57,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # integer-scaled sums/means (functions.numeric): identical
+            # int64 partials in any summation order on both engines
+            N.sumk_spark(F.col("l_quantity"), 10000).alias("sum_qty"),
+            N.sumk_spark(F.col("l_extendedprice"), 10000).alias("sum_base_price"),
+            N.sumk_spark(disc_price, 10000).alias("sum_disc_price"),
+            N.sumk_spark(disc_price * (1 + F.col("l_tax")), 10000).alias("sum_charge"),
+            N.mean6_spark(F.col("l_quantity")).alias("avg_qty"),
+            N.mean6_spark(F.col("l_extendedprice")).alias("avg_price"),
+            N.mean6_spark(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -74,7 +77,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = """
 SELECT o_custkey,
-       round(sum(o_totalprice), 4) AS total_spend,
+       sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS total_spend,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -92,7 +95,7 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            N.sumk_spark(F.col("o_totalprice"), 10000).alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
@@ -273,7 +276,7 @@ _ROLLUP_ORACLE = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
-       round(sum(o_totalprice), 4) AS total,
+       sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS total,
        CAST(count(*) AS BIGINT) AS n
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -291,7 +294,7 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
             .cast("int")
             .alias("gid"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            N.sumk_spark(F.col("o_totalprice"), 10000).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -308,7 +311,7 @@ _CUBE_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
-       round(sum(l_quantity), 4) AS sum_qty,
+       sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0 AS sum_qty,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -324,7 +327,7 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
             .cast("int")
             .alias("gid"),
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            N.sumk_spark(F.col("l_quantity"), 10000).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -340,7 +343,7 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GSETS_ORACLE = """
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(CAST(user_id % 5 AS BIGINT), -1) AS user_bucket,
-       round(sum(value), 4) AS total_value,
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
@@ -355,7 +358,7 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(CAST(user_id % 5 AS BIGINT), -1L) AS user_bucket,
-               round(sum(value), 4) AS total_value,
+               sum(CAST(round(value * 10000, 0) AS BIGINT)) / 1e4 AS total_value,
                count(*) AS n
         FROM ev_gsets
         GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
@@ -525,7 +528,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(value), 6) AS avg_value,
+       floor(sum(CAST(round(value * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_value,
        CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events
@@ -545,7 +548,7 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -835,7 +838,7 @@ WITH bounds AS (
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_kept,
-       round(avg(e.value), 6) AS trimmed_mean,
+       floor(sum(CAST(round(e.value * 1000000, 0) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS trimmed_mean,
        round(min(b.lo), 6) AS p05,
        round(min(b.hi), 6) AS p95
 FROM events e JOIN bounds b ON e.event_type = b.event_type
@@ -869,7 +872,7 @@ def q_trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+            N.mean6_spark(F.col("value")).alias("trimmed_mean"),
             F.round(F.min("lo"), 6).alias("p05"),
             F.round(F.min("hi"), 6).alias("p95"),
         )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.datamodel import events_as_datapoints, explode_payload, with_key
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts, round6, safe_double
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events
@@ -45,8 +46,10 @@ def tumbling_stats(events: DataFrame, window: str = "1 second") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round6(F.avg("value")).alias("avg_value"),
-            round6(F.sum("value")).alias("sum_value"),
+            # integer-scaled mean/sum (functions.numeric): identical
+            # int64 partial sums in any order on both engines
+            N.mean6_spark(F.col("value")).alias("avg_value"),
+            N.sumk_spark(F.col("value"), 1000000).alias("sum_value"),
             round6(F.min("value")).alias("min_value"),
             round6(F.max("value")).alias("max_value"),
             F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
@@ -80,8 +83,8 @@ WITH ranked AS (
 SELECT key,
        strftime(ws, '{TS_OUT}') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value,
-       round(sum(value), 6) AS sum_value,
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value,
+       {N.SUMK_DUCK.format(v="value", s=1000000)} AS sum_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value,
        max(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
@@ -115,7 +118,7 @@ def datapoint_window_eav(events: DataFrame, window: str = "1 second") -> DataFra
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round6(F.avg(safe_double(F.col("m_value")))).alias("avg_value"),
+            N.mean6_spark(safe_double(F.col("m_value"))).alias("avg_value"),
         )
         .select(
             "key",
@@ -147,7 +150,7 @@ SELECT key,
        strftime(ws, '{TS_OUT}') AS window_start,
        m_name,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(v), 6) AS avg_value
+       {N.MEAN6_DUCK.format(v="v")} AS avg_value
 FROM eav
 GROUP BY key, ws, m_name
 """
@@ -210,7 +213,7 @@ WITH hops AS (
 SELECT event_type,
        strftime(ws, '{TS_OUT}') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value,
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM hops
@@ -237,7 +240,7 @@ def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.window("ts", "2 seconds", "1 second").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round6(F.avg("value")).alias("avg_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
             round6(F.min("value")).alias("min_value"),
             round6(F.max("value")).alias("max_value"),
         )

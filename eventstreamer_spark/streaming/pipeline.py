@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts, round6
 from eventstreamer_spark.operators.windowed import tumbling_stats
 from eventstreamer_spark.registry import query
@@ -84,8 +85,8 @@ def windowed_stream(events: DataFrame, window: str = "1 second", watermark: str 
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round6(F.avg("value")).alias("avg_value"),
-            round6(F.sum("value")).alias("sum_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
+            N.sumk_spark(F.col("value"), 1000000).alias("sum_value"),
         )
         .select(
             "key",
@@ -152,12 +153,12 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
         spark.conf.set(part_key, prev_part)
 
 
-_STREAM_TUMBLING_ORACLE = """
+_STREAM_TUMBLING_ORACLE = f"""
 SELECT CAST(user_id AS VARCHAR) AS key,
        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value,
-       round(sum(value), 6) AS sum_value
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value,
+       {N.SUMK_DUCK.format(v="value", s=1000000)} AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -182,8 +183,8 @@ def q_stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round6(F.avg("value")).alias("avg_value"),
-            round6(F.sum("value")).alias("sum_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
+            N.sumk_spark(F.col("value"), 1000000).alias("sum_value"),
         )
         .select(
             "key",
@@ -214,7 +215,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
 FROM s
 GROUP BY user_id, sess
 """
@@ -233,7 +234,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
         .select(
             "user_id",
@@ -261,7 +262,7 @@ WITH d AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
 FROM s
 GROUP BY user_id, sess
 """
@@ -287,7 +288,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
         .select(
             "user_id",
@@ -321,7 +322,7 @@ def observed_windowed_stream(events: DataFrame) -> DataFrame:
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -357,7 +358,7 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
     )
     run_to_memory(agg, "stream_dedup_sink", mode="complete")
@@ -435,7 +436,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_TOPK_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS total_value
 FROM events
 GROUP BY event_type
 ORDER BY n_events DESC, event_type
@@ -458,7 +459,7 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            N.sumk_spark(F.col("value"), 10000).alias("total_value"),
         )
         .orderBy(F.col("n_events").desc(), "event_type")
         .limit(5)
@@ -467,7 +468,7 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_topk_sink")
 
 
-_STREAM_SLIDING_ORACLE = """
+_STREAM_SLIDING_ORACLE = f"""
 WITH hops AS (
   SELECT e.event_type, e.value,
          date_trunc('second', e.ts) - k.k * INTERVAL 1 SECOND AS ws
@@ -476,7 +477,7 @@ WITH hops AS (
 SELECT event_type,
        strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value
 FROM hops
 GROUP BY event_type, ws
 """
@@ -499,7 +500,7 @@ def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy("event_type", F.window("ts", "2 seconds", "1 second").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round6(F.avg("value")).alias("avg_value"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
         )
         .select(
             "event_type",

@@ -79,11 +79,18 @@ def anchor_windows_py(rows: list[tuple[int, int, str, float]]) -> list[dict]:
 
 
 def _emit(anchor: int, buf: list[tuple[int, int, str, float]]) -> dict:
+    import math
+
     n = len(buf)
+    # integer-scaled 6-decimal mean (functions.numeric pattern): the
+    # micro-unit int sum is exact in any order, so the Python model,
+    # the numpy walk, and the DuckDB oracle all derive the identical
+    # double — no pairwise-vs-running summation drift.
+    s = sum(math.floor(b[3] * 1000000.0 + 0.5) for b in buf)
     return {
         "anchor_ts": anchor,
         "n_events": n,
-        "avg_value": sum(b[3] for b in buf) / n,
+        "avg_value": math.floor(s / n + 0.5) / 1000000.0,
         "first_event_id": buf[0][1],
         "first_event_type": buf[0][2],
     }
@@ -95,9 +102,9 @@ def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
     with ``np.searchsorted`` (O(windows * log rows)) and aggregate each
     window slice with ``np.add.reduceat``. Window boundaries, counts and
     first-event picks are exactly ``anchor_windows_py``; avg_value sums
-    the same float64 set in numpy's pairwise order (≤1 ulp drift vs the
-    model's running sum — pinned by
-    test_push_time_vectorized_matches_model)."""
+    micro-unit int64s (exact in any order), so it equals the model's
+    ``_emit`` bit-for-bit — pinned by
+    test_push_time_vectorized_matches_model."""
     import numpy as np
 
     if len(pdf) == 0:
@@ -120,14 +127,16 @@ def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         starts.append(idx)
         idx = int(np.searchsorted(ts, ts[idx] + WINDOW_US, side="left"))
     s = np.array(starts, dtype=np.int64)
-    sums = np.add.reduceat(pdf["value"].to_numpy(np.float64), s)
+    # micro-unit int64 sums: exact, order-free (see _emit)
+    qv = np.floor(pdf["value"].to_numpy(np.float64) * 1000000.0 + 0.5).astype(np.int64)
+    sums = np.add.reduceat(qv, s)
     counts = np.diff(np.append(s, n))
     return pd.DataFrame(
         {
             "key": pdf["key"].iloc[0],
             "anchor_ts": ts[s],
             "n_events": counts,
-            "avg_value": sums / counts,
+            "avg_value": np.floor(sums / counts + 0.5) / 1000000.0,
             "first_event_id": pdf["event_id"].to_numpy(np.int64)[s],
             "first_event_type": pdf["event_type"].to_numpy()[s],
         }
@@ -195,7 +204,7 @@ walk AS (
 SELECT key,
        anchor AS anchor_ts,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 6) AS avg_value,
+       floor(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_value,
        CAST(arg_min(event_id, rn) AS BIGINT) AS first_event_id,
        arg_min(event_type, rn) AS first_event_type
 FROM walk
@@ -346,7 +355,7 @@ wins AS (
   SELECT key,
          anchor AS anchor_ts,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(avg(value), 6) AS avg_value,
+         floor(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_value,
          CAST(arg_min(event_id, rn) AS BIGINT) AS first_event_id,
          arg_min(event_type, rn) AS first_event_type,
          max(anchor) OVER (PARTITION BY key) AS tail_anchor
