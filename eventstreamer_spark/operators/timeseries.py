@@ -172,36 +172,31 @@ FROM ranked WHERE rn = 1
 """
 
 
-@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
-def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best fuzzy match per probe: a deterministic probe subset of
-    part names resolved against the full catalog — the entity-
-    resolution shape (new records vs the master list). Candidates
-    meet through a (first token, ±length) bucket equi-join on the
-    broadcast probe side (never an all-pairs product), the exact
-    levenshtein verify runs only on candidates, and a per-probe
-    argmin (edits, then id) picks the single best match — bounded
-    output, one row per matched probe. An unrestricted self-join
-    emitting every pair measured 39.7s at sf0.1 on these ~90-shared-
-    first-token names; the probe-argmin form is the query a pipeline
-    actually runs. At real scale the bucket key generalizes to q-gram
-    prefixes with the same plan shape."""
-    # parallel read: the catalog is a single parquet file, and the
-    # levenshtein verify would otherwise run in ONE scan task
-    p = load_table_parallel(spark, sf_dir, "part")
-    names = p.select(
-        F.col("p_partkey").alias("id"),
-        F.col("p_name").alias("name"),
-        F.split(F.col("p_name"), " ").getItem(0).alias("first_tok"),
-        F.length("p_name").alias("n"),
-    )
-    probes = names.filter(F.expr(PROBE_FILTER)).select(
+# Probe sets stay broadcast-worthy up to roughly the session's
+# autoBroadcastJoinThreshold (10 MB default): a probe row is
+# ~(8 B id + name + token + lengths) ≈ 100 B, so ~100k probes is the
+# bound. Past that, the hint must DROP — Spark then plans a shuffle
+# join on the same (first_tok) bucket key, identical semantics.
+FUZZY_BROADCAST_MAX_PROBES = 100_000
+
+
+def fuzzy_match_best(names: DataFrame, probes: DataFrame, broadcast_probes: bool) -> DataFrame:
+    """Bucketed-levenshtein best match per probe.
+
+    ``broadcast_probes`` encodes the regime choice: True for
+    probe sets under FUZZY_BROADCAST_MAX_PROBES (the hint pins a map
+    -side join: the catalog never shuffles); False for master-list-
+    sized probe sets, where both sides shuffle on the bucket key
+    (first_tok) — same candidates, same output, pinned by
+    test_fuzzy_match_both_join_regimes."""
+    probes = probes.select(
         F.col("id").alias("probe_id"),
         F.col("name").alias("probe_name"),
         F.col("first_tok").alias("p_tok"),
         F.col("n").alias("p_n"),
     )
-    cand = F.broadcast(probes).join(
+    build = F.broadcast(probes) if broadcast_probes else probes
+    cand = build.join(
         names,
         (F.col("p_tok") == F.col("first_tok"))
         & (F.col("n") >= F.col("p_n") - MAX_EDITS)
@@ -221,3 +216,35 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("probe_id", "match_id", "probe_name", "match_name", "edits")
     )
+
+
+def part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallel read: the catalog is a single parquet file, and the
+    # levenshtein verify would otherwise run in ONE scan task
+    p = load_table_parallel(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_tok"),
+        F.length("p_name").alias("n"),
+    )
+
+
+@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best fuzzy match per probe: a deterministic probe subset of
+    part names resolved against the full catalog — the entity-
+    resolution shape (new records vs the master list). Candidates
+    meet through a (first token, ±length) bucket equi-join on the
+    broadcast probe side (never an all-pairs product; 5% of the
+    catalog is far under FUZZY_BROADCAST_MAX_PROBES), the exact
+    levenshtein verify runs only on candidates, and a per-probe
+    argmin (edits, then id) picks the single best match — bounded
+    output, one row per matched probe. An unrestricted self-join
+    emitting every pair measured 39.7s at sf0.1 on these ~90-shared-
+    first-token names; the probe-argmin form is the query a pipeline
+    actually runs. At real scale the bucket key generalizes to q-gram
+    prefixes with the same plan shape."""
+    names = part_names(spark, sf_dir)
+    probes = names.filter(F.expr(PROBE_FILTER))
+    return fuzzy_match_best(names, probes, broadcast_probes=True)

@@ -484,3 +484,30 @@ def test_length_histogram_broadcast_total(spark):
     # the band aggregation + the one-row total's single-partition agg
     assert count_exchanges(df) <= 2
     assert_broadcast_join(df, min_count=1)  # the one-row total
+
+
+def test_fuzzy_match_both_join_regimes(spark):
+    """The fuzzy-match broadcast bound, both regimes: under
+    FUZZY_BROADCAST_MAX_PROBES the probe side broadcasts (catalog
+    never shuffles); above it the hint drops and Spark plans a
+    shuffle join on the same bucket key — with identical output."""
+    from eventstreamer_spark.operators.timeseries import (
+        fuzzy_match_best,
+        part_names,
+        PROBE_FILTER,
+    )
+
+    names = part_names(spark, SF_DIR)
+    probes = names.filter(F.expr(PROBE_FILTER))
+    small = fuzzy_match_best(names, probes, broadcast_probes=True)
+    assert "BroadcastHashJoin" in physical_plan(small)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = fuzzy_match_best(names, probes, broadcast_probes=False)
+        plan = physical_plan(big)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
