@@ -13,7 +13,7 @@ terminates in TakeOrderedAndProject, never a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import numeric as N
@@ -427,4 +427,59 @@ def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (event-type distribution)
+# ---------------------------------------------------------------------------
+
+# Each (user, type) contributes -p·log2(p) with p = c/T, both exact
+# ints; the term quantizes to micro-bits BEFORE the per-user sum, so
+# the ≤|types|-term summation is exact int64 addition on both engines.
+_ENTROPY_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id, c,
+         CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types
+  FROM per_type
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(t) AS BIGINT) AS n_events,
+       CAST(min(n_types) AS BIGINT) AS n_types,
+       sum(CAST(round(-(c * 1.0 / t) * log2(c * 1.0 / t) * 1000000, 0) AS BIGINT))
+         / 1000000.0 AS entropy_bits
+FROM per_user
+GROUP BY user_id
+"""
+
+
+@query("user_event_entropy", oracle=_ENTROPY_ORACLE)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score (bots pin near 0, uniform browsers near
+    log2(|types|)); the same shape scores source/language diversity in
+    a training-data mixture audit. Two aggregates ride ONE user_id
+    partitioning: the (user, type) counts and the per-user window both
+    hash on user_id, so the fact shuffles once."""
+    ev = load_events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    per_user = per_type.select(
+        "user_id",
+        "c",
+        F.sum("c").over(w).alias("t"),
+        F.count(F.lit(1)).over(w).alias("n_types"),
+    )
+    p = F.col("c") * F.lit(1.0) / F.col("t")
+    term = F.round(-p * F.log2(p) * 1000000, 0).cast("long")
+    return per_user.groupBy("user_id").agg(
+        F.min("t").alias("n_events"),
+        F.min("n_types").alias("n_types"),
+        (F.sum(term) / 1000000.0).alias("entropy_bits"),
     )

@@ -257,3 +257,73 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") * F.lit(1.0) / F.col("total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the token vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 100
+
+# lx/ly are ln(rank)/ln(freq) quantized to micro-units as int64, so
+# the closed-form least-squares slope is computed from EXACT integer
+# sums on both engines (n·Σxy − ΣxΣy ~ 1e17 < int64 max). The only
+# cross-engine float op left is ln() itself on identical integer
+# inputs — a 1-ulp libm difference would have to land within 1e-9 of
+# a rounding boundary to flip a quantized value.
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({{toks}}) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM tf
+  ORDER BY freq DESC, token LIMIT {ZIPF_TOP}
+), pts AS (
+  SELECT CAST(round(ln(rank) * 1000000, 0) AS BIGINT) AS lx,
+         CAST(round(ln(freq) * 1000000, 0) AS BIGINT) AS ly
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly)) * 1.0
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS zipf_slope
+FROM pts
+""".format(toks=_TOKS_D)
+
+
+@query("zipf_slope", oracle=_ZIPF_ORACLE)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of log-frequency vs
+    log-rank over the top tokens — the one-number corpus-health check
+    (natural text ≈ −1; template/boilerplate corpora flatten). Token
+    counting is the usual explode + hash aggregate; the top-100 rank
+    assignment sorts only 100 rows (TakeOrdered, no global sort), and
+    the regression is a single tiny aggregate over exact integer
+    points."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.expr(_TOKS_S)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    pts = tf.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000, 0).cast("long").alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000, 0).cast("long").alias("ly"),
+    )
+    n = F.count(F.lit(1))
+    sxy, sx, sy, sxx = (
+        F.sum(F.col("lx") * F.col("ly")),
+        F.sum("lx"),
+        F.sum("ly"),
+        F.sum(F.col("lx") * F.col("lx")),
+    )
+    return pts.agg(
+        n.alias("n_points"),
+        F.round(
+            (n * sxy - sx * sy) * F.lit(1.0) / (n * sxx - sx * sx), 6
+        ).alias("zipf_slope"),
+    )
