@@ -445,11 +445,11 @@ def q_ntile_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
-       round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click_total,
-       round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view_total,
-       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase_total,
-       round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup_total,
-       round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error_total
+       coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 10000, 0) AS BIGINT) END), 0) / 10000.0 AS click_total,
+       coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 10000, 0) AS BIGINT) END), 0) / 10000.0 AS view_total,
+       coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 10000, 0) AS BIGINT) END), 0) / 10000.0 AS purchase_total,
+       coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 10000, 0) AS BIGINT) END), 0) / 10000.0 AS signup_total,
+       coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 10000, 0) AS BIGINT) END), 0) / 10000.0 AS error_total
 FROM events
 GROUP BY user_id % 10
 """
@@ -462,14 +462,23 @@ def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
     piv = (
-        ev.select((F.col("user_id") % 10).cast("long").alias("user_bucket"), "event_type", "value")
+        ev.select(
+            (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+            "event_type",
+            # pre-scaled int64 (functions.numeric pattern): the pivot
+            # sums exact ints, order-free on both engines
+            F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+        )
         .groupBy("user_bucket")
         .pivot("event_type", types)
-        .sum("value")
+        .sum("v")
     )
     return piv.select(
         "user_bucket",
-        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(f"{t}_total") for t in types],
+        *[
+            (F.coalesce(F.col(t), F.lit(0)) / 10000.0).alias(f"{t}_total")
+            for t in types
+        ],
     )
 
 
