@@ -50,15 +50,28 @@ def stream_events(spark: SparkSession, dir_path: str, max_files: int | None = 1)
     return reader.parquet(dir_path)
 
 
+# Session-scoped memo of the inferred events schema per sf dir: every
+# stream query pays a driver-side parquet footer read otherwise (~0.15 s,
+# twice for the dual-branch stream-stream join). Keyed on the Spark app id
+# so a new session (or test run) re-infers; the testdata within one
+# application never changes, so the memo cannot go stale.
+_EVENTS_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+
+
 def stream_events_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream twin of ``sources.tables.load_events`` for a
     canonical sf dir: schema-adaptive to however the driver encoded
     ``events.ts`` (TIMESTAMP(NANOS) → long via nanosAsLong, or
     TIMESTAMP(MICROS) → TIMESTAMP_NTZ), normalizing to a plain UTC
     TIMESTAMP either way. File streams need an explicit schema, so the
-    one-off batch footer read here is what infers it."""
+    one-off batch footer read here is what infers it (memoized per
+    session + sf dir)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    batch_schema = _EVENTS_SCHEMA_MEMO.get(memo_key)
+    if batch_schema is None:
+        batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+        _EVENTS_SCHEMA_MEMO[memo_key] = batch_schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a directory
@@ -123,13 +136,18 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
     spark = df.sparkSession
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     part_key = "spark.sql.shuffle.partitions"
+    retain_key = "spark.sql.streaming.minBatchesToRetain"
     prev_prov = spark.conf.get(prov_key, None)
     prev_part = spark.conf.get(part_key)
+    prev_retain = spark.conf.get(retain_key, None)
     spark.conf.set(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
     spark.conf.set(part_key, "8")
+    # Gate runs are one-batch and never restarted from this checkpoint, so
+    # retaining the default 100 committed batches only adds checkpoint I/O.
+    spark.conf.set(retain_key, "1")
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix="es_ckpt_", dir=ckpt_root)
     q = None
@@ -150,6 +168,10 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev_prov)
+        if prev_retain is None:
+            spark.conf.unset(retain_key)
+        else:
+            spark.conf.set(retain_key, prev_retain)
         spark.conf.set(part_key, prev_part)
 
 
