@@ -186,3 +186,84 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.operators.similarity import _ranked_topk
 
     return _ranked_topk(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid distance matrix (cluster-separation diagnostics)
+# ---------------------------------------------------------------------------
+
+# The centroid build reuses the label_centroids formula verbatim (the
+# 6-dec-rounded means are integral in 1e-6 units, so every downstream
+# moment is an exact int64).
+_CENT_CTE = f"""
+  SELECT CAST(e.label AS INTEGER) AS label,
+         CAST(d.i AS INTEGER) AS dim,
+         {N.MEAN6_DUCK.format(v="CAST(e.embedding[d.i] AS DOUBLE)")} AS centroid
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) d
+  GROUP BY e.label, d.i
+"""
+
+_CENT_DIST_ORACLE = f"""
+WITH cent AS ({_CENT_CTE}
+), units AS (
+  SELECT label, dim, CAST(round(centroid * 1000000, 0) AS BIGINT) AS cu
+  FROM cent
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum((a.cu - b.cu) * (a.cu - b.cu)) AS BIGINT) AS d2,
+         CAST(sum(a.cu * b.cu) AS BIGINT) AS dot,
+         CAST(sum(a.cu * a.cu) AS BIGINT) AS na,
+         CAST(sum(b.cu * b.cu) AS BIGINT) AS nb
+  FROM units a JOIN units b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round(sqrt(CAST(d2 AS DOUBLE)) / 1000000.0, 6) AS euclidean,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+FROM pairs
+"""
+
+
+@query("centroid_distance_matrix", oracle=_CENT_DIST_ORACLE)
+def q_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise euclidean/cosine between per-label centroids — the
+    cluster-separation report that tells you whether labels are
+    embedding-distinguishable before training on them.
+
+    Two-stage shape: the corpus reduces to the k×dim centroid table
+    (one aggregate, label_centroids), and only that tiny table
+    self-joins per dimension — a broadcast hash join however large
+    the corpus was. Centroid values are 6-dec means, so their 1e-6
+    units are exact int64s and both engines accumulate identical
+    squared/dot moments; the two sqrt/divide ops are written in the
+    same order on both sides."""
+    cent = q_label_centroids(spark, sf_dir).select(
+        "label", "dim", F.round(F.col("centroid") * 1000000, 0).cast("long").alias("cu")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("cu").alias("cu_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("cu").alias("cu_b")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (a.dim == b.dim) & (F.col("label_a") < F.col("label_b")),
+    ).groupBy("label_a", "label_b").agg(
+        F.sum((F.col("cu_a") - F.col("cu_b")) * (F.col("cu_a") - F.col("cu_b"))).alias("d2"),
+        F.sum(F.col("cu_a") * F.col("cu_b")).alias("dot"),
+        F.sum(F.col("cu_a") * F.col("cu_a")).alias("na"),
+        F.sum(F.col("cu_b") * F.col("cu_b")).alias("nb"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.sqrt(F.col("d2").cast("double")) / 1000000.0, 6).alias("euclidean"),
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            6,
+        ).alias("cosine"),
+    )

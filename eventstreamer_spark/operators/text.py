@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -426,4 +427,81 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram lexical diversity profile per language
+# ---------------------------------------------------------------------------
+
+_BIGRAM_DIVERSITY_ORACLE = """
+WITH bg AS (
+  SELECT t.doc_id, t.lang, substring(t.text, g.i, 2) AS bigram
+  FROM documents t,
+       LATERAL (SELECT unnest(generate_series(1, length(t.text) - 1)) AS i) g
+  WHERE length(t.text) >= 2
+), cnt AS (
+  SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, lang, bigram
+), per_doc AS (
+  SELECT doc_id, lang,
+         sum(c) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         max(c) AS n_top,
+         round(count(*) * 1.0 / sum(c), 6) AS ttr,
+         round(max(c) * 1.0 / sum(c), 6) AS top_share
+  FROM cnt GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(sum(CAST(round(ttr * 1000000, 0) AS BIGINT)) * 1.0
+             / count(*) + 0.5) / 1000000.0 AS avg_ttr,
+       floor(sum(CAST(round(top_share * 1000000, 0) AS BIGINT)) * 1.0
+             / count(*) + 0.5) / 1000000.0 AS avg_top_share,
+       CAST(max(n_top) AS BIGINT) AS max_top_count
+FROM per_doc GROUP BY lang
+"""
+
+
+@query("char_bigram_diversity", oracle=_BIGRAM_DIVERSITY_ORACLE)
+def q_char_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity screen on character bigrams: per-doc
+    type-token ratio (distinct/total) and top-bigram share — the
+    cheap repetition/degeneracy signal (a keyboard-mash or template
+    doc has low TTR and a dominant bigram), aggregated per language.
+
+    Bigrams explode row-locally (no UDF — substring over an index
+    sequence), reduce per (doc, bigram), then per doc, then per lang:
+    three hash aggregates of strictly shrinking cardinality, all with
+    map-side partials. Per-doc ratios are exact small-int divisions
+    rounded once; the per-lang mean uses the integer-scaled
+    MEANK pattern (functions.numeric) so engines cannot drift."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("n_top"),
+    ).select(
+        "lang",
+        "n_top",
+        F.round(F.col("n_distinct") * F.lit(1.0) / F.col("n_total"), 6).alias("ttr"),
+        F.round(F.col("n_top") * F.lit(1.0) / F.col("n_total"), 6).alias("top_share"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        N.meank_spark(F.col("ttr"), 1000000).alias("avg_ttr"),
+        N.meank_spark(F.col("top_share"), 1000000).alias("avg_top_share"),
+        F.max("n_top").alias("max_top_count"),
     )

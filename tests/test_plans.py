@@ -511,3 +511,161 @@ def test_fuzzy_match_both_join_regimes(spark):
         assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: trends, containment, bigram diversity, centroids
+# ---------------------------------------------------------------------------
+
+
+def test_q5_broadcasts_all_dims_one_fact_join(spark):
+    """TPC-H Q5: lineitem⋈orders is the only shuffle join; customer,
+    supplier and the nation⋈region chain broadcast."""
+    from eventstreamer_spark.operators.subqueries import q_q5_local_supplier_volume
+
+    df = q_q5_local_supplier_volume(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q7_residual_pair_filter_before_agg(spark):
+    from eventstreamer_spark.operators.subqueries import q_q7_nation_trade_flow
+
+    df = q_q7_nation_trade_flow(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=3)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_no_cartesian(df)
+
+
+def test_q16_anti_join_broadcasts_bad_suppliers(spark):
+    from eventstreamer_spark.operators.subqueries import q_q16_parts_supplier_count
+
+    df = q_q16_parts_supplier_count(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert_no_cartesian(df)
+
+
+def test_moving_average_windows_over_daily_aggregate(spark):
+    """The RANGE frame must sort only the daily pre-aggregate: the
+    plan is scan → partial agg → exchange → final agg → window sort,
+    with the fact never entering a global sort."""
+    from eventstreamer_spark.operators.trends import q_moving_average_revenue
+
+    df = q_moving_average_revenue(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # the window's sort consumes the aggregate output, not the scan:
+    # HashAggregate appears before (deeper than) the Window operator
+    assert plan.index("HashAggregate") > plan.index("Window"), (
+        "window should run over the daily aggregate, not raw orders"
+    )
+    assert "partial_" in plan
+
+
+def test_wau_explode_is_row_local(spark):
+    """The 7-day contribution explode must not shuffle: Generate sits
+    between the scan and the first aggregate exchange."""
+    from eventstreamer_spark.operators.trends import q_weekly_active_users
+
+    df = q_weekly_active_users(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Generate" in plan  # the sequence explode
+    assert "EvalPython" not in plan  # stays JVM-side
+    # (user,day) distinct + count-distinct rewrite: ≤ 3 exchanges
+    assert count_exchanges(df) <= 3
+
+
+def test_gap_stats_two_shuffles(spark):
+    """user-window sort shuffle + event_type aggregate shuffle only."""
+    from eventstreamer_spark.operators.trends import q_interevent_gap_stats
+
+    df = q_interevent_gap_stats(spark, SF_DIR)
+    assert count_exchanges(df) == 2
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_decile_share_ntile_over_user_totals(spark):
+    """ntile sorts per-user totals (post-aggregate), never raw events."""
+    from eventstreamer_spark.operators.trends import q_decile_value_share
+
+    df = q_decile_value_share(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.index("HashAggregate") > plan.index("Window")
+
+
+def test_gini_rank_over_user_totals(spark):
+    """row_number sorts the per-user totals (the single-partition
+    window input carries only (units, user_id) — pre-aggregated),
+    and the moment sums are map-side partials."""
+    from eventstreamer_spark.operators.trends import q_gini_value_concentration
+
+    df = q_gini_value_concentration(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "row_number" in plan
+    assert "partial_sum" in plan
+    # events→user agg shuffle + the single-partition rank exchange
+    assert count_exchanges(df) == 2
+
+
+def test_mad_broadcasts_per_type_medians(spark):
+    from eventstreamer_spark.operators.trends import q_median_abs_deviation
+
+    df = q_median_abs_deviation(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_correlation_single_moment_shuffle(spark):
+    """All five moments ride ONE map-side-combined aggregation."""
+    from eventstreamer_spark.operators.trends import q_correlation_stats
+
+    df = q_correlation_stats(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "partial_" in physical_plan(df)
+
+
+def test_first_touch_broadcasts_channel_table(spark):
+    """Orders never shuffle for the attribution join — the per-user
+    first-touch table broadcasts."""
+    from eventstreamer_spark.operators.trends import q_first_touch_attribution
+
+    df = q_first_touch_attribution(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    # shuffles: events→user agg, orders→channel agg (+ AQE variance)
+    assert count_exchanges(df) <= 3
+
+
+def test_containment_no_cartesian_prefix_probe(spark):
+    """Asymmetric prefix filter: candidates meet on a shingle
+    equi-join, never a product; verify is candidate-bound."""
+    from eventstreamer_spark.operators.dedup import q_minhash_containment
+
+    df = q_minhash_containment(spark, SF_DIR)
+    assert_no_cartesian(df)
+    assert "EvalPython" not in physical_plan(df)
+
+
+def test_bigram_diversity_shrinking_aggregates(spark):
+    """explode → (doc,bigram) → (doc) → (lang): no UDF, no cartesian,
+    strictly shrinking hash aggregates."""
+    from eventstreamer_spark.operators.text import q_char_bigram_diversity
+
+    df = q_char_bigram_diversity(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Generate" in plan
+    assert "EvalPython" not in plan
+    assert_no_cartesian(df)
+
+
+def test_centroid_distance_joins_tiny_table(spark):
+    """Only the k×dim centroid table self-joins — as a broadcast."""
+    from eventstreamer_spark.operators.embeddings import q_centroid_distance_matrix
+
+    df = q_centroid_distance_matrix(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
