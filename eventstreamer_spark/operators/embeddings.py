@@ -243,14 +243,14 @@ def q_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "dim", F.round(F.col("centroid") * 1000000, 0).cast("long").alias("cu")
     )
     a = cent.select(
-        F.col("label").alias("label_a"), "dim", F.col("cu").alias("cu_a")
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("cu").alias("cu_a")
     )
     b = cent.select(
-        F.col("label").alias("label_b"), "dim", F.col("cu").alias("cu_b")
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("cu").alias("cu_b")
     )
     pairs = a.join(
         F.broadcast(b),
-        (a.dim == b.dim) & (F.col("label_a") < F.col("label_b")),
+        (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
     ).groupBy("label_a", "label_b").agg(
         F.sum((F.col("cu_a") - F.col("cu_b")) * (F.col("cu_a") - F.col("cu_b"))).alias("d2"),
         F.sum(F.col("cu_a") * F.col("cu_b")).alias("dot"),

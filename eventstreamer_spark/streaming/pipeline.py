@@ -129,6 +129,17 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
     durable checkpoint dir, session.py) — the only combination that
     survives state larger than memory or a driver crash. All confs are
     restored and the checkpoint dir removed on exit.
+
+    Measured warm floor (round 4, sf0.1): ~1.0 s per one-batch gate
+    query, of which the micro-batch itself (source listing + batch
+    plan + state commit + sink) is ~0.4-0.6 s and the memory-sink
+    read-back ~0.3-0.4 s. Knobs probed and found neutral at this
+    scale: availableNow vs processAllAvailable, 4 vs 8 shuffle
+    partitions. What did move the needle: the per-sf-dir schema memo
+    (saves a driver footer read per query, two for the dual-branch
+    join) and minBatchesToRetain=1 below. The residual cost is the
+    streaming engine's per-query machinery, not plan shape — batch
+    twins of the same aggregations run in 0.2-0.8 s.
     """
     import shutil
     import tempfile

@@ -28,13 +28,20 @@ def main() -> int:
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # The gate runs a PLAIN session (default 1g heap) at sf0.01 —
+    # keep that fidelity by default. For correctness runs against the
+    # x10/x100 scale replicas (SCALING.md), the heap must scale with
+    # the data like any real deployment: opt in via DRIVER_SIM_MEM=8g.
+    mem = os.environ.get("DRIVER_SIM_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as c

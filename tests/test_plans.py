@@ -640,14 +640,19 @@ def test_first_touch_broadcasts_channel_table(spark):
     assert count_exchanges(df) <= 3
 
 
-def test_containment_no_cartesian_prefix_probe(spark):
-    """Asymmetric prefix filter: candidates meet on a shingle
-    equi-join, never a product; verify is candidate-bound."""
+def test_containment_no_cartesian_counting_join(spark):
+    """Pairs meet on a shingle equi-join (shuffled hash — the corpus-
+    sized posting list must never broadcast), never a product; the
+    shared count reduces through a map-side partial aggregate."""
     from eventstreamer_spark.operators.dedup import q_minhash_containment
 
     df = q_minhash_containment(spark, SF_DIR)
+    plan = physical_plan(df)
     assert_no_cartesian(df)
-    assert "EvalPython" not in physical_plan(df)
+    assert "EvalPython" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "partial_count" in plan
 
 
 def test_bigram_diversity_shrinking_aggregates(spark):
