@@ -306,7 +306,7 @@ def ivf_centroids_iterated(
 # driver-sized by construction (the same k rows _score_centroids
 # collects anyway) — and the inputs are immutable parquet, so the
 # memo can never go stale within an application.
-_CENT_CACHE: dict[tuple[str, str, int], tuple[list, object]] = {}
+_CENT_CACHE: dict[tuple[str, str, int, str], tuple[list, object]] = {}
 
 
 def ivf_centroids_for(
@@ -315,12 +315,16 @@ def ivf_centroids_for(
     iters: int = IVF_ITERS,
     e: DataFrame | None = None,
     embq: DataFrame | None = None,
+    variant: str = "label",
 ) -> DataFrame:
     """Lloyd-iterated centroids with a session-scoped memo (see
-    _CENT_CACHE). First call per (app, sf_dir, iters) runs the full
-    distributed build; later calls rebuild the k-row DataFrame from
-    the cached rows without touching the cluster."""
-    key = (spark.sparkContext.applicationId, sf_dir, iters)
+    _CENT_CACHE). First call per (app, sf_dir, iters, variant) runs
+    the full distributed build; later calls rebuild the k-row
+    DataFrame from the cached rows without touching the cluster.
+    ``variant`` names the seeding scheme so differently-seeded builds
+    (label seeds vs adaptive mod-⌈√n⌉ seeds) never share a cache
+    slot."""
+    key = (spark.sparkContext.applicationId, sf_dir, iters, variant)
     hit = _CENT_CACHE.get(key)
     if hit is None:
         if e is None:
@@ -332,11 +336,13 @@ def ivf_centroids_for(
     return spark.createDataFrame(rows, schema)
 
 
-def _ivf_centroids_duck(iters: int = IVF_ITERS) -> str:
+def _ivf_centroids_duck(iters: int = IVF_ITERS, seed: str = "label") -> str:
     """DuckDB twin of ivf_centroids_iterated as a WITH-clause body;
-    the final centroid table is named ``cent`` (c_label, centroid)."""
+    the final centroid table is named ``cent`` (c_label, centroid).
+    ``seed`` is the cluster-seed expression — the data's label column
+    by default, or a computed seed (adaptive-k: vec_id mod ⌈√n⌉)."""
     parts = [
-        "expl AS (SELECT vec_id, label, unnest(embedding) AS v,"
+        f"expl AS (SELECT vec_id, {seed} AS label, unnest(embedding) AS v,"
         " generate_subscripts(embedding, 1) AS pos FROM embeddings)",
         f"comp0 AS (SELECT label AS c_label, pos, {_MEAN_SCALED_DUCK} AS c"
         " FROM expl GROUP BY label, pos)",
@@ -432,8 +438,10 @@ def q_ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NPROBE = 2
 
-_IVF_SEARCH_ORACLE = f"""
-WITH {_ivf_centroids_duck()},
+def _ivf_search_sql(centroids_body: str) -> str:
+    """The IVF probe-search oracle over any centroid WITH-body."""
+    return f"""
+WITH {centroids_body},
 centq AS (
   SELECT c_label, {{quant_cent}} AS cq FROM cent
 ), fscored AS (
@@ -460,10 +468,13 @@ centq AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """.format(
-    quant_cent=H.quantized_unit_duck("centroid"),
-    qcos_cent=H.qcosine_duck("e.uq", "c.cq"),
-    qcos_pair=H.qcosine_duck("p.q_uq", "a.uq"),
-)
+        quant_cent=H.quantized_unit_duck("centroid"),
+        qcos_cent=H.qcosine_duck("e.uq", "c.cq"),
+        qcos_pair=H.qcosine_duck("p.q_uq", "a.uq"),
+    )
+
+
+_IVF_SEARCH_ORACLE = _ivf_search_sql(_ivf_centroids_duck())
 
 
 @query("ivf_topk_search", oracle=_IVF_SEARCH_ORACLE)
@@ -512,6 +523,56 @@ def ivf_topk(e: DataFrame, embq: DataFrame, cent: DataFrame | None = None) -> Da
         )
     )
     return _ranked_topk(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-k IVF (k = ⌈√n⌉ — the scale rule the fixed-k build documents)
+# ---------------------------------------------------------------------------
+
+# The seed expression both engines share: cluster j = vec_id mod k with
+# k = ⌈√(corpus size)⌉ — so centroid count, bucket size and probe cost
+# all grow as √n instead of bucket size growing linearly (the
+# ivf_topk_search limitation measured in SCALING.md: fixed k ⇒ probed
+# candidates ∝ n²/k across a 10× scale-up). ⌈√n⌉ from an exact int64
+# count is bit-identical across engines.
+_ADAPTIVE_SEED_DUCK = (
+    "vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+)
+
+_IVF_ADAPTIVE_ORACLE = _ivf_search_sql(
+    _ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)
+)
+
+
+@query("ivf_adaptive_topk", oracle=_IVF_ADAPTIVE_ORACLE)
+def q_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search with corpus-adaptive cluster count k = ⌈√n⌉.
+
+    Identical machinery to ivf_topk_search (Lloyd iterations,
+    broadcast centroid scoring, nprobe probing, exact re-rank) with
+    one change: seeds are ``vec_id mod ⌈√n⌉`` instead of the data's
+    labels, so k — and with it the probe-list length — scales as √n.
+    This is the standard IVF sizing rule (bucket ≈ n/k ≈ √n, probe
+    cost ≈ nprobe·√n per query) and the concrete answer to the fixed-k
+    scaling note in SCALING.md; the label-seeded variant remains the
+    cluster-quality diagnostic, this one is the search-cost path.
+    The driver-side count() that sizes k is a metadata-cheap action
+    (the same count every auto-sizing index build performs) and the
+    SQL twin computes the identical ⌈√n⌉ from the identical int."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_for(
+        spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}"
+    )
+    return ivf_topk(seeded, embq, cent=cent)
 
 
 # ---------------------------------------------------------------------------
