@@ -63,6 +63,11 @@ QUERIES: tuple[str, ...] = (
     "curation_pipeline", "assembly_pipeline",
     # streaming (one-batch gate runs)
     "stream_tumbling_stats", "push_time_stream_parity",
+    # round-4 additions
+    "minhash_containment", "ivf_adaptive_topk", "moving_average_revenue",
+    "weekly_active_users", "correlation_stats", "first_touch_attribution",
+    "char_bigram_diversity", "q5_local_supplier_volume",
+    "q7_nation_trade_flow",
 )
 
 # name -> (max factor, reason)
