@@ -66,14 +66,13 @@ def _wrap(fn: registry.QueryFn) -> registry.QueryFn:
     return wrapped
 
 
-# Queries with a hash-green row in CORRECTNESS_r01/r02/r03. The driver
-# records the FIRST 50 entries of queries() each round, so never-yet-recorded
-# (and re-oracled) queries are ordered first to put them inside the recording
-# window; the names below keep their existing rows as evidence.
-# ``multimodal_resize_stub`` is deliberately NOT listed even though r01
-# recorded it: that row was rows-only, and round 4 re-records it at the
-# front of the window with a real value oracle.
-_RECORDED_GREEN = frozenset({
+# Queries with a hash-green row in CORRECTNESS_r01..r04, keyed by the most
+# recent round that recorded them. The driver records the FIRST 50 entries of
+# queries() each round, so never-yet-recorded queries are ordered first and
+# already-green queries are ordered stalest-first: testdata regenerates every
+# round, so the recording window re-proves the 50 rows whose evidence is
+# oldest (VERDICT r4 item 1 — "ordering discipline keeps evidence fresh").
+_GREEN_R12 = frozenset({
     # r01/r02
     "activity_histogram", "ann_bruteforce_topk", "ann_lsh_topk",
     "ann_recall_at_k", "anti_join_no_big_orders", "array_map_functions",
@@ -95,7 +94,10 @@ _RECORDED_GREEN = frozenset({
     "text_stats_quality", "token_frequencies", "topk_customers",
     "topk_per_group", "trimmed_mean_stats", "tumbling_window_stats",
     "window_analytics_extended", "window_functions_orders",
-    # r03 (all 50 rows hash-green, CORRECTNESS_r03.json)
+})
+
+# r03 (all 50 rows hash-green, CORRECTNESS_r03.json)
+_GREEN_R3 = frozenset({
     "approx_aggregates", "tfidf_top_terms", "conditional_aggregates",
     "statistical_aggregates", "unpivot_measures", "sql_entrypoint",
     "windowed_emit_json", "regex_functions", "pandas_udf_scalar",
@@ -116,28 +118,59 @@ _RECORDED_GREEN = frozenset({
     "stream_sliding_stats", "push_time_parity", "push_time_stream_parity",
 })
 
+# r04 (all 50 rows hash-green, CORRECTNESS_r04.json)
+_GREEN_R4 = frozenset({
+    "simhash_multiblock_neardup", "minhash_containment", "ivf_adaptive_topk",
+    "char_bigram_diversity", "multimodal_metadata_stats",
+    "multimodal_resize_stub", "user_event_entropy", "zipf_slope",
+    "csv_source_parity", "json_source_parity", "orc_source_parity",
+    "ohlc_bars", "time_weighted_avg", "fuzzy_name_matches",
+    "q4_priority_exists", "q17_small_quantity_revenue",
+    "q21_waiting_suppliers", "q22_idle_customers", "q18_large_volume_orders",
+    "q2_min_cost_supplier", "q11_important_values", "q20_dominant_suppliers",
+    "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_revenue", "q12_late_priority_mix",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q19_bracket_revenue", "q5_local_supplier_volume", "q7_nation_trade_flow",
+    "q16_parts_supplier_count", "embedding_quantization_error",
+    "label_centroids", "ann_filtered_topk", "centroid_distance_matrix",
+    "moving_average_revenue", "yoy_growth", "weekly_active_users",
+    "interevent_gap_stats", "decile_value_share", "gini_value_concentration",
+    "median_abs_deviation", "correlation_stats", "first_touch_attribution",
+    "tumbling_window_stats", "datapoint_window_eav", "sliding_window_stats",
+})
+
+# Last-recorded round per green query (later rounds overwrite earlier: e.g.
+# tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
+_GREEN_ROUND: dict[str, int] = {}
+for _round, _names in ((1, _GREEN_R12), (3, _GREEN_R3), (4, _GREEN_R4)):
+    for _n in _names:
+        _GREEN_ROUND[_n] = _round
+
+_RECORDED_GREEN = frozenset(_GREEN_ROUND)
+
 
 # Queries added mid-round past a full 50-slot recording window: ordered
 # after every other never-recorded query so they cannot displace one from
-# this round's window. Empty at round-4 start — the 7 round-3 deferrals
-# now lead round 4's window.
+# this round's window.
 _DEFER_RECORDING: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    never-driver-recorded queries first (see _RECORDED_GREEN), the
-    post-window additions next (_DEFER_RECORDING), recorded-green
-    queries last."""
+    never-driver-recorded queries first, the post-window additions next
+    (_DEFER_RECORDING), then recorded-green queries stalest-round-first
+    so the driver's 50-row window re-proves the oldest evidence."""
     regs = registry.queries()
+    order = {n: i for i, n in enumerate(regs)}
     front = [
         n for n in regs if n not in _RECORDED_GREEN and n not in _DEFER_RECORDING
     ]
-    ordered = (
-        front
-        + [n for n in regs if n in _DEFER_RECORDING]
-        + [n for n in regs if n in _RECORDED_GREEN]
+    green = sorted(
+        (n for n in regs if n in _RECORDED_GREEN),
+        key=lambda n: (_GREEN_ROUND[n], order[n]),
     )
+    ordered = front + [n for n in regs if n in _DEFER_RECORDING] + green
     return {name: _wrap(regs[name]) for name in ordered}
 
 

@@ -238,6 +238,89 @@ def srp_bucket_duck(vec_col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Banded SRP (sign-bit LSH bands) for embedding near-dup prefiltering
+# ---------------------------------------------------------------------------
+# MinHash-LSH's band trick applied to sign-random-projection bits: a
+# pair is a candidate if ANY band's bit string matches exactly. Band
+# bit strings are NESTED (band b's r-bit bucket is the first r chars
+# of its SRP_BAND_BITS-bit string), so callers can pick the band
+# LENGTH adaptively from the corpus size with a plain substring —
+# which is what lets a static SQL oracle mirror the adaptivity.
+
+SRP_BANDS = 6
+SRP_BAND_BITS = 12
+
+
+def band_hyperplanes() -> list[list[list[float]]]:
+    """SRP_BANDS independent banks of SRP_BAND_BITS hyperplanes
+    (seed 777, rounded to 4 decimals so the SQL literal and the Spark
+    literal are the same numbers)."""
+    rng = np.random.RandomState(777)
+    flat = rng.randn(SRP_BANDS * SRP_BAND_BITS, EMB_DIM)
+    return [
+        [
+            [round(float(x), 4) for x in flat[b * SRP_BAND_BITS + i]]
+            for i in range(SRP_BAND_BITS)
+        ]
+        for b in range(SRP_BANDS)
+    ]
+
+
+def srp_band_buckets_expr(vec_col: str) -> Column:
+    """ARRAY of SRP_BANDS sign-bit strings (SRP_BAND_BITS chars each)."""
+    bands = []
+    for bank in band_hyperplanes():
+        bits = []
+        for p in bank:
+            arr = "array(" + ", ".join(f"{w}D" for w in p) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"IF({dot} >= 0, '1', '0')")
+        bands.append("concat_ws('', array(" + ", ".join(bits) + "))")
+    return F.expr("array(" + ", ".join(bands) + ")")
+
+
+def srp_band_buckets_duck(vec_col: str) -> str:
+    """72 sign bits per vector: the per-element lambda formulation is
+    ~100× too slow at this plane count, so the DuckDB twin uses native
+    ``list_dot_product``. Its float summation order may differ from
+    Spark's sequential fold by an ulp, but a sign bit only flips when
+    |dot| is within that ulp of 0 — the same tolerance the 8-plane
+    srp_bucket_duck already relies on with list_sum."""
+    vecd = f"CAST({vec_col} AS DOUBLE[])"
+    bands = []
+    for bank in band_hyperplanes():
+        bits = []
+        for p in bank:
+            arr = "[" + ", ".join(str(w) for w in p) + "]"
+            dot = f"list_dot_product({vecd}, {arr})"
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        bands.append("concat_ws('', " + ", ".join(bits) + ")")
+    return "[" + ", ".join(bands) + "]"
+
+
+def srp_band_bits_for(n_rows: int) -> int:
+    """Adaptive band length: r = clamp(ceil(0.75·log2(n)), 5, 12).
+
+    Bucket count per band is 2^r, so candidate pairs per band scale as
+    n²/2^r ≈ n^(2-0.75·…) — sublinear growth in candidates while the
+    band-match probability (recall) degrades gracefully. Exact powers
+    of two are the only n where 0.75·log2(n) can land on an integer,
+    and IEEE log2 is exact there, so the Spark-side Python ceil and the
+    DuckDB SQL ceil can never disagree."""
+    import math
+
+    return max(5, min(SRP_BAND_BITS, int(math.ceil(0.75 * math.log2(max(2, n_rows))))))
+
+
+SRP_BAND_BITS_DUCK = (
+    "GREATEST(5, LEAST(12, CAST(ceil(0.75 * log2({n})) AS INT)))"
+)
+
+
+# ---------------------------------------------------------------------------
 # Cosine similarity (exact, sequential-order dot product)
 # ---------------------------------------------------------------------------
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -219,13 +220,15 @@ def _band_case_duck() -> str:
     return f"CASE {whens} ELSE '10000+' END"
 
 
+_MEAN6_DUCK = N.MEAN6_DUCK
+
 _LENGTH_ORACLE = f"""
 WITH banded AS (
   SELECT {_band_case_duck()} AS band, length(text) AS n FROM documents
 ), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM banded)
 SELECT band,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(n), 6) AS avg_chars,
+       {_MEAN6_DUCK.format(v="n")} AS avg_chars,
        round(count(*) * 1.0 / any_value(tot.total), 6) AS share
 FROM banded CROSS JOIN tot
 GROUP BY band
@@ -247,7 +250,10 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n"), 6).alias("avg_chars"),
+            # n is an integer char count (exact sums either way), but the
+            # mean6 integer-scaled convention is used for uniformity with
+            # every other float-mean oracle in the repo (VERDICT r4).
+            N.mean6_spark(F.col("n")).alias("avg_chars"),
         )
         .crossJoin(F.broadcast(tot))
         .select(

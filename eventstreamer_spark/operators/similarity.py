@@ -702,6 +702,166 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-probe recall check (the O(n) production form)
+# ---------------------------------------------------------------------------
+
+N_FIXED_PROBES = 32
+
+_FIXED_ORACLE = f"""
+WITH u AS (SELECT * FROM (
+  SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
+         {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+) WHERE uq[1] IS NOT NULL),
+q AS (
+  SELECT vec_id, uq, bucket FROM u
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_FIXED_PROBES}
+),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
+  FROM q JOIN u e ON q.vec_id != e.vec_id
+), brute AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM bpairs
+  ) WHERE rank <= {TOP_K}
+),
+probes AS (
+  SELECT vec_id, uq, unnest({H.srp_probe_buckets_duck("bucket")}) AS pb FROM q
+), lpairs AS (
+  SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({H.qcosine_duck("p.uq", "e.uq")}, 5) AS cosine
+  FROM probes p JOIN u e ON p.pb = e.bucket AND p.vec_id != e.vec_id
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM lpairs
+  ) WHERE rank <= {TOP_K}
+)
+SELECT method,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS brute_total,
+       floor(hits * 1000000.0 / total + 0.5) / 1000000.0 AS recall_at_k,
+       CAST(hits_at_1 AS BIGINT) AS hits_at_1,
+       CAST(total_at_1 AS BIGINT) AS total_at_1,
+       floor(hits_at_1 * 1000000.0 / total_at_1 + 0.5) / 1000000.0 AS recall_at_1
+FROM (
+  SELECT 'srp_lsh' AS method,
+         (SELECT count(*) FROM lsh l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM lsh l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+)
+"""
+
+
+@query("ann_recall_fixed_probes", oracle=_FIXED_ORACLE)
+def q_ann_recall_fixed_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH recall against exact top-k for a FIXED-SIZE probe set —
+    the O(n) production form of the recall check.
+
+    ``ann_recall_at_k`` probes a fixed *fraction* of the corpus
+    (vec_id % 100 = 0), so its brute-force ground truth is O(n²/100)
+    and its measured scaling exponent is honestly ~1.1 (SCALING.md).
+    A production index health-check samples a CONSTANT number of
+    probes: here the 32 (N_FIXED_PROBES) first vectors by
+    (md5(vec_id), vec_id) — deterministic, size-independent, and
+    uniformly spread over the corpus because md5 order is unrelated to
+    insertion order. Ground truth is then 32·n exact dot products —
+    linear in corpus size, the check you can afford at every scale.
+
+    Plan shape: probe set is TakeOrdered (O(n) scan, no full sort),
+    then broadcast; both the exact pass and the bucketed pass stream
+    the corpus once. Output is one audit row (hits, recall@k,
+    recall@1) for the SRP path; the IVF path's quality is measured in
+    ann_recall_at_k."""
+    raw = load_table_parallel(spark, sf_dir, "embeddings")
+    prepared = (
+        H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    probes = (
+        prepared.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+        )
+        .limit(N_FIXED_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("uq").alias("q_uq"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    brute = (
+        _ranked_topk(
+            F.broadcast(probes.drop("q_bucket"))
+            .join(prepared, F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+            )
+        )
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=False)
+    )
+    lsh = _ranked_topk(
+        F.broadcast(
+            probes.select(
+                "query_id",
+                "q_uq",
+                F.explode(H.srp_probe_buckets_expr("q_bucket")).alias("pb"),
+            )
+        )
+        .join(
+            prepared,
+            (F.col("pb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    total = brute.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("rank") == 1).cast("long")).alias("total_at_1"),
+    )
+    hits = (
+        lsh.select("query_id", "neighbor_id")
+        .join(brute, ["query_id", "neighbor_id"])
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.coalesce(F.sum((F.col("rank") == 1).cast("long")), F.lit(0)).alias(
+                "hits_at_1"
+            ),
+        )
+        .select(F.lit("srp_lsh").alias("method"), "hits", "hits_at_1")
+    )
+
+    def ratio6(num: str, den: str):
+        return F.floor(F.col(num) * F.lit(1000000.0) / F.col(den) + F.lit(0.5)) / F.lit(
+            1000000.0
+        )
+
+    return hits.crossJoin(total).select(
+        "method",
+        F.col("hits").alias("hits"),
+        F.col("total").alias("brute_total"),
+        ratio6("hits", "total").alias("recall_at_k"),
+        F.col("hits_at_1").alias("hits_at_1"),
+        F.col("total_at_1").alias("total_at_1"),
+        ratio6("hits_at_1", "total_at_1").alias("recall_at_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining (contrastive training pairs)
 # ---------------------------------------------------------------------------
 

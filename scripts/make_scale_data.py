@@ -10,17 +10,26 @@ distributions:
   referential integrity (l_orderkey→o_orderkey, o_custkey→c_custkey,
   l_partkey→p_partkey, l_suppkey→s_suppkey); nation/region copy as-is.
   This matches how the TPC-H generator itself scales.
-- **names follow keys** — c_name/s_name are rewritten from the new key
-  so name-keyed operators (fuzzy matching) see K× distinct entities,
-  not K copies of each name (which would inflate per-bucket pair counts
-  quadratically and measure the data, not the operator).
-- **documents get a per-replica letter rotation** — a Caesar shift of
-  [a-zA-Z] keyed by the replica. Lengths, word boundaries, token shapes
-  and intra-replica duplicate structure are preserved exactly; shingles
-  across replicas share nothing, so near-dup workloads scale in corpus
-  size rather than in manufactured cross-replica duplicates.
-- **embeddings get a per-replica dimension rotation** — norms and
-  intra-replica geometry are exact; cross-replica vectors are generic.
+- **names follow keys, except part** — c_name/s_name are rewritten from
+  the new key so name-keyed operators see K× distinct entities. p_name is
+  deliberately NOT rewritten: the x10/x100 catalogs recycle part names K×
+  as an adversarial duplication stressor for fuzzy matching (this is what
+  exposed the 16.2 s fuzzy_name_matches blowup the r4 sweep found and
+  fixed — see SCALING.md).
+- **documents get a per-replica seeded letter permutation** — replica k
+  maps [a-z] (and [A-Z], same permutation) through an independent
+  RandomState(k)-seeded permutation of the 26 letters (26! space, so no
+  two replicas collide — unlike a Caesar shift, which wraps at k % 26 and
+  would make replicas 26/52/78 byte-identical to replica 0). Lengths,
+  word boundaries, token shapes and intra-replica duplicate structure are
+  preserved exactly; shingles across replicas share (essentially) nothing,
+  so near-dup workloads scale in corpus size rather than in manufactured
+  cross-replica duplicates.
+- **embeddings get a per-replica signed dimension permutation** — an
+  orthogonal transform (RandomState-seeded axis permutation composed with
+  per-axis sign flips, keyed by the full replica index, not k % dim):
+  norms and intra-replica geometry are exact; cross-replica vectors are
+  generic and never repeat across replicas.
 
 Usage: python scripts/make_scale_data.py SRC_DIR OUT_DIR K
 """
@@ -38,15 +47,22 @@ import pyarrow.parquet as pq
 LETTERS = string.ascii_lowercase + string.ascii_uppercase
 
 
-def _shift_table(text: pa.ChunkedArray, k: int) -> list:
-    """Per-replica Caesar shift over ASCII letters (identity for k=0)."""
+def _shift_table(text: pa.ChunkedArray, k: int) -> dict | None:
+    """Per-replica seeded letter permutation (identity for k=0).
+
+    RandomState(k) draws an independent permutation of the 26 letters per
+    replica (applied to lower and upper case alike), so distinct replicas
+    produce byte-distinct documents for every k — a Caesar shift would wrap
+    at k % 26 and reproduce replica 0 verbatim at k=26/52/78 (ADVICE r4).
+    """
     if k == 0:
         return None
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
-    s = k % 26
+    perm = np.random.RandomState(k).permutation(26)
     return str.maketrans(
-        LETTERS, lower[s:] + lower[:s] + upper[s:] + upper[:s]
+        LETTERS,
+        "".join(lower[i] for i in perm) + "".join(upper[i] for i in perm),
     )
 
 
@@ -185,7 +201,14 @@ def replicate(src: str, out: str, factor: int) -> None:
             n = len(col)
             dim = len(flat) // n
             mat = flat.reshape(n, dim)
-            rot = np.roll(mat, k % dim, axis=1)
+            # Orthogonal per-replica transform keyed by the FULL replica
+            # index: seeded axis permutation + per-axis sign flips. Unlike
+            # np.roll(mat, k % dim) this never repeats across replicas
+            # (k and k+dim previously shared identical vectors, ADVICE r4).
+            rs = np.random.RandomState(1_000_003 + k)
+            perm = rs.permutation(dim)
+            signs = rs.choice(np.array([-1.0, 1.0], dtype=np.float32), dim)
+            rot = mat[:, perm] * signs
             arr = pa.FixedSizeListArray.from_arrays(
                 pa.array(rot.ravel(), type=pa.float32()), dim
             ).cast(t.schema.field("embedding").type)

@@ -90,6 +90,9 @@ def main() -> int:
     only = None
     if "--passes" in argv:
         i = argv.index("--passes"); passes = int(argv[i + 1]); del argv[i:i + 2]
+        if passes < 1:
+            print("--passes must be >= 1", file=sys.stderr)
+            return 2
     if "--out" in argv:
         i = argv.index("--out"); out_path = argv[i + 1]; del argv[i:i + 2]
     if "--only" in argv:
@@ -117,22 +120,30 @@ def main() -> int:
             if factor > cap:
                 continue
             best = None
+            failed = False
             for _ in range(passes):
                 t0 = time.perf_counter()
                 try:
                     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 except Exception as e:
                     print(f"x{factor} {name} FAILED: {e}", file=sys.stderr)
-                    best = -1.0
+                    failed = True
                     break
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            if failed:
+                # Explicit failure marker — never a fake timing (ADVICE r4).
+                rec["t"][str(factor)] = {"failed": True}
+                continue
             rec["t"][str(factor)] = round(best, 3)
             print(f"x{factor:<4} {name:<32} {best:8.2f}s", flush=True)
 
     for name, rec in results.items():
         t = rec["t"]
-        ks = sorted(int(k) for k in t if t[k] > 0)
+        ks = sorted(
+            int(k) for k in t
+            if isinstance(t[k], (int, float)) and t[k] > 0
+        )
         if len(ks) >= 2 and t[str(ks[0])] > 0:
             k0, k1 = ks[0], ks[-1]
             rec["exponent"] = round(
