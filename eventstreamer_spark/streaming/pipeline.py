@@ -111,7 +111,9 @@ def windowed_stream(events: DataFrame, window: str = "1 second", watermark: str 
     )
 
 
-def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
+def run_to_memory(
+    df: DataFrame, name: str, mode: str = "update", nodata_batches: bool = False
+) -> list[dict]:
     """Drive a streaming frame to completion against a memory sink
     (synchronous: processAllAvailable then stop).
 
@@ -168,11 +170,15 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
     # that extra batch changes nothing they return — measured -25% on the
     # 7-query stream slice (11.7 s → 8.8 s) with hash-identical results.
     # Production/append pipelines that rely on watermark-driven finalized
-    # emission keep the default (session confs untouched outside here).
-    spark.conf.set(nodata_key, "false")
+    # emission keep the default (session confs untouched outside here);
+    # multi-batch append gates pass nodata_batches=True for the same
+    # reason — the final no-data batch is what emits windows closed by
+    # the last data batch's watermark advance.
+    spark.conf.set(nodata_key, "true" if nodata_batches else "false")
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix="es_ckpt_", dir=ckpt_root)
     q = None
+    progresses: list[dict] = []
     try:
         q = (
             df.writeStream.outputMode(mode)
@@ -182,6 +188,9 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
             .start()
         )
         q.processAllAvailable()
+        # Captured before stop: per-batch state metrics (rows dropped by
+        # watermark, state row counts) for tests that pin eviction.
+        progresses = [p for p in (q.recentProgress or []) if p is not None]
     finally:
         if q is not None:
             q.stop()
@@ -199,6 +208,7 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "update") -> None:
         else:
             spark.conf.set(nodata_key, prev_nodata)
         spark.conf.set(part_key, prev_part)
+    return progresses
 
 
 _STREAM_TUMBLING_ORACLE = f"""
@@ -559,3 +569,180 @@ def q_stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "stream_sliding_sink", mode="complete")
     return spark.table("stream_sliding_sink")
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch late-data gate: watermark eviction proven live
+# ---------------------------------------------------------------------------
+
+# Deterministic replay of the engine's late-data policy across FOUR
+# real micro-batches. Events are mapped onto a compressed 300-second
+# timeline (ts_c derived from event_id alone, so both engines compute
+# identical timestamps; the ms jitter is never 0, so no window
+# boundary can tie with a watermark and the strict-vs-inclusive
+# eviction comparison can never matter). Batches, in replay order:
+#
+#   b0 history    sec < 270, event_id % 7 != 3
+#   b1 tick       270 <= sec < 280          (advances the watermark)
+#   b2 stragglers sec < 270, event_id % 7 = 3, delivered AFTER the
+#                 advance — rows at or before the LATE-EVENT watermark
+#                 are DROPPED (numRowsDroppedByWatermark, pinned by
+#                 test); stragglers in the last ~10 s of history
+#                 survive and MERGE into windows still open in state
+#   b3 tail       sec >= 280                (advances the watermark to
+#                 wm_final = msfloor(max all) - 10 s; the trailing
+#                 no-data batch then emits every window closed by it)
+#
+# Spark ≥3.4 runs TWO watermarks per stateful operator (calibrated
+# empirically here on 4.1, boundary cases included): late-event
+# filtering uses the PREVIOUS batch's watermark — for b2 that is
+# wm_late = msfloor(max ts over b0) - 10 s, dropping rows whose 1 s
+# WINDOW END is at or before wm_late — while state eviction uses the
+# CURRENT batch's watermark. Kept stragglers (window end > wm_late)
+# therefore always land in windows not yet emitted, so append output =
+# windows with end <= wm_final aggregated over all rows except the
+# dropped stragglers. The ms jitter term (1 + id % 996, never 0) keeps
+# every watermark off the whole-second grid of window ends, so a tie —
+# where strict-vs-inclusive comparison could differ between engines —
+# is impossible. The oracle replays exactly this arithmetic, so the
+# streamed result is value-hash-checked.
+LATE_DELAY_S = 10
+LATE_SPAN_S = 300     # compressed timeline length
+LATE_TICK_S = 270     # history/tick boundary
+LATE_TAIL_S = 280     # tick/tail boundary
+LATE_RESIDUE = 3      # event_id % 7 = 3 → delivered late
+
+_TS_C_SPARK = (
+    "timestampadd(MILLISECOND, CAST(1 + event_id % 996 AS INT), "
+    f"timestampadd(SECOND, CAST(event_id % {LATE_SPAN_S} AS INT), "
+    "TIMESTAMP '2024-01-01 00:00:00'))"
+)
+_TS_C_DUCK = (
+    f"TIMESTAMP '2024-01-01 00:00:00' + (event_id % {LATE_SPAN_S}) * INTERVAL 1 SECOND"
+    " + (1 + event_id % 996) * INTERVAL 1 MILLISECOND"
+)
+_WM_FLOOR = "make_timestamp((epoch_us({t}) // 1000) * 1000)"
+
+_STREAM_LATE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, {_TS_C_DUCK} AS ts_c,
+         event_id % {LATE_SPAN_S} AS sec,
+         (event_id % {LATE_SPAN_S} < {LATE_TICK_S}
+          AND event_id % 7 = {LATE_RESIDUE}) AS straggler
+  FROM events
+), wm_late AS (
+  SELECT {_WM_FLOOR.format(t="max(ts_c)")} - INTERVAL {LATE_DELAY_S} SECOND AS v
+  FROM e WHERE sec < {LATE_TICK_S} AND NOT straggler
+), wmf AS (
+  SELECT {_WM_FLOOR.format(t="max(ts_c)")} - INTERVAL {LATE_DELAY_S} SECOND AS v
+  FROM e
+), kept AS (
+  SELECT e.* FROM e, wm_late
+  WHERE NOT e.straggler
+     OR date_trunc('second', e.ts_c) + INTERVAL 1 SECOND > wm_late.v
+)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       strftime(date_trunc('second', ts_c), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {N.MEAN6_DUCK.format(v="value")} AS avg_value
+FROM kept, wmf
+WHERE date_trunc('second', ts_c) + INTERVAL 1 SECOND <= wmf.v
+GROUP BY 1, 2
+"""
+
+
+def late_policy_stream(stream: DataFrame) -> DataFrame:
+    """Watermarked 1 s tumbling aggregate in APPEND mode — the form
+    whose output existence depends on watermark advancement (a window
+    emits exactly once, when the watermark passes its end)."""
+    return (
+        stream.withWatermark("ts", f"{LATE_DELAY_S} seconds")
+        .groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.window("ts", "1 second").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.mean6_spark(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            "key",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def write_late_chunks(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write the four deterministic micro-batch chunk files (mtime
+    staggered so the file source replays them in order)."""
+    import glob
+    import shutil
+
+    events = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(_TS_C_SPARK).alias("ts"),
+        (F.col("event_id") % LATE_SPAN_S).alias("sec"),
+        (
+            (F.col("event_id") % LATE_SPAN_S < LATE_TICK_S)
+            & (F.col("event_id") % 7 == LATE_RESIDUE)
+        ).alias("straggler"),
+    )
+    chunks = [
+        events.filter((F.col("sec") < LATE_TICK_S) & ~F.col("straggler")),
+        events.filter((F.col("sec") >= LATE_TICK_S) & (F.col("sec") < LATE_TAIL_S)),
+        events.filter(F.col("straggler")),
+        events.filter(F.col("sec") >= LATE_TAIL_S),
+    ]
+    base = 1_600_000_000
+    for i, df in enumerate(chunks):
+        staging = f"{out_dir}/_stage_{i}"
+        df.drop("sec", "straggler").coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        dest = f"{out_dir}/chunk-{i:03d}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.utime(dest, (base + i * 60, base + i * 60))
+
+
+def run_late_policy(spark: SparkSession, sf_dir: str, sink: str) -> list[dict]:
+    """Chunk the events table, replay it as four micro-batches through
+    the append-mode watermark aggregate, return the progress metrics.
+    The result lands in the ``sink`` memory table."""
+    import shutil
+    import tempfile
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_late_chunks_")
+    try:
+        write_late_chunks(spark, sf_dir, chunk_dir)
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        return run_to_memory(
+            late_policy_stream(stream), sink, mode="append", nodata_batches=True
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+@query("stream_late_data_policy", oracle=_STREAM_LATE_ORACLE)
+def q_stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark eviction proven across four real micro-batches (see
+    the module comment above _STREAM_LATE_ORACLE): stragglers
+    delivered after the watermark advanced are dropped, survivors
+    merge into still-open state, and only watermark-finalized windows
+    ever reach the append sink — value-hash-checked against a DuckDB
+    replay of the watermark arithmetic. The eviction metric
+    (numRowsDroppedByWatermark > 0) is pinned by
+    tests/test_streaming.py::test_late_data_policy_drops_and_merges."""
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    run_late_policy(spark, sf_dir, "stream_late_sink")
+    return spark.table("stream_late_sink")

@@ -68,6 +68,9 @@ QUERIES: tuple[str, ...] = (
     "weekly_active_users", "correlation_stats", "first_touch_attribution",
     "char_bigram_diversity", "q5_local_supplier_volume",
     "q7_nation_trade_flow",
+    # round-5 additions
+    "embedding_neardup_prefiltered", "ann_recall_fixed_probes",
+    "stream_late_data_policy",
 )
 
 # name -> (max factor, reason)
