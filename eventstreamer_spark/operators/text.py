@@ -58,6 +58,22 @@ _TOKS_D = H.TOKENS_DUCK.format(col="text")
 _SW_S = _count_hits_spark(_TOKS_S, _STOPWORDS)
 _SW_D = _count_hits_duck(_TOKS_D, _STOPWORDS)
 
+# Composite quality score (length band + TTR + stopword band) — shared
+# by text_stats_quality and the dedup canonical-selection step.
+QUALITY_DUCK = f"""round(
+         CASE WHEN len({_TOKS_D}) BETWEEN 20 AND 90 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}) > 0.5 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN {_SW_D} * 1.0 / len({_TOKS_D}) BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END
+       , 6)"""
+
+_TTR_S = f"size(array_distinct({_TOKS_S})) * CAST(1 AS DOUBLE) / size({_TOKS_S})"
+_SWR_S = f"{_SW_S} * CAST(1 AS DOUBLE) / size({_TOKS_S})"
+QUALITY_SPARK = (
+    f"round(CASE WHEN size({_TOKS_S}) BETWEEN 20 AND 90 THEN 0.5D ELSE 0.0D END"
+    f" + CASE WHEN {_TTR_S} > 0.5 THEN 0.3D ELSE 0.0D END"
+    f" + CASE WHEN {_SWR_S} BETWEEN 0.01 AND 0.5 THEN 0.2D ELSE 0.0D END, 6)"
+)
+
 _STATS_ORACLE = f"""
 SELECT doc_id, lang, source,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -66,11 +82,7 @@ SELECT doc_id, lang, source,
        round(len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}), 6) AS ttr,
        round(length(replace(text, ' ', '')) * 1.0 / len({_TOKS_D}), 6) AS avg_word_len,
        round({_SW_D} * 1.0 / len({_TOKS_D}), 6) AS stopword_ratio,
-       round(
-         CASE WHEN len({_TOKS_D}) BETWEEN 20 AND 90 THEN 0.5 ELSE 0.0 END
-         + CASE WHEN len(list_distinct({_TOKS_D})) * 1.0 / len({_TOKS_D}) > 0.5 THEN 0.3 ELSE 0.0 END
-         + CASE WHEN {_SW_D} * 1.0 / len({_TOKS_D}) BETWEEN 0.01 AND 0.5 THEN 0.2 ELSE 0.0 END
-       , 6) AS quality_score
+       {QUALITY_DUCK} AS quality_score
 FROM documents
 """
 
@@ -95,14 +107,7 @@ def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"length(replace(text, ' ', '')) * CAST(1 AS DOUBLE) / size({_TOKS_S})"), 6
         ).alias("avg_word_len"),
         F.round(F.expr(swr), 6).alias("stopword_ratio"),
-        F.round(
-            F.expr(
-                f"CASE WHEN size({_TOKS_S}) BETWEEN 20 AND 90 THEN 0.5D ELSE 0.0D END"
-                f" + CASE WHEN {ttr} > 0.5 THEN 0.3D ELSE 0.0D END"
-                f" + CASE WHEN {swr} BETWEEN 0.01 AND 0.5 THEN 0.2D ELSE 0.0D END"
-            ),
-            6,
-        ).alias("quality_score"),
+        F.expr(QUALITY_SPARK).alias("quality_score"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from eventstreamer_spark.registry import query
-from eventstreamer_spark.sources.tables import load_events
+from eventstreamer_spark.sources.tables import load_events, load_table
 
 
 @F.pandas_udf(DoubleType())
@@ -83,3 +83,83 @@ def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", (1 + F.col("user_id") % 5).cast("double").alias("w")
     )
     return ev.groupBy("event_type").agg(_weighted_mean("value", "w").alias("wmean"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — the table-function extension tier
+# ---------------------------------------------------------------------------
+
+_UDTF_CHUNK = 25
+
+_UDTF_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), x AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {_UDTF_CHUNK}.0) AS INT) - 1)) AS k
+  FROM tk WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, k * {_UDTF_CHUNK} + 1, k * {_UDTF_CHUNK} + {_UDTF_CHUNK})) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(list_slice(toks, k * {_UDTF_CHUNK} + 1, k * {_UDTF_CHUNK} + {_UDTF_CHUNK}))) AS BIGINT) AS n_unique,
+       md5(array_to_string(list_slice(toks, k * {_UDTF_CHUNK} + 1, k * {_UDTF_CHUNK} + {_UDTF_CHUNK}), ' ')) AS chunk_md5
+FROM x
+"""
+
+
+@query("udtf_chunk_stats", oracle=_UDTF_ORACLE)
+def q_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — one input row → N output rows,
+    the LATERAL-join extension tier that completes the user-extension
+    surface (scalar pandas_udf, grouped-agg pandas_udf,
+    applyInPandas/mapInPandas, and now udtf; SURVEY.md §2.1
+    "UDF/UDAF/UDTF").
+
+    Splits each document into fixed 25-token chunks and emits (chunk
+    index, token count, distinct-token count, chunk md5) per chunk —
+    the context-window segmentation step, here expressed as a user
+    table function. Arrow-optimized (``useArrow=True``): rows cross
+    the Python boundary in Arrow batches, not pickled one-by-one —
+    still the slow tier vs built-in list_slice/explode (the repo's own
+    ``document_chunking`` does the same job in pure expressions for
+    exactly that reason; this query exists to pin the extension
+    point's semantics and plan shape). Applied via LATERAL join so
+    each executor task streams its partition through the UDTF — no
+    collect, scales with partition parallelism. The DuckDB twin
+    replays the chunking with generate_series + list_slice and hashes
+    the same chunk text, so the UDTF output is value-checked, not just
+    row-counted."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx int, n_tokens bigint, "
+            "n_unique bigint, chunk_md5 string"
+        ),
+        useArrow=True,
+    )
+    class ChunkStats:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for k in range(0, len(toks), _UDTF_CHUNK):
+                chunk = toks[k : k + _UDTF_CHUNK]
+                yield (
+                    doc_id,
+                    k // _UDTF_CHUNK,
+                    len(chunk),
+                    len(set(chunk)),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_stats", ChunkStats)
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql("SELECT s.* FROM _udtf_docs, LATERAL chunk_stats(doc_id, text) s")
