@@ -228,3 +228,50 @@ def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.md5("thumb").alias("thumb_md5"), "thumb_bytes"
     )
+
+
+# ---------------------------------------------------------------------------
+# Payload-level exact dedup (content-addressed storage reclaim)
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_DEDUP_ORACLE = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 1
+)
+SELECT md5(text) AS content_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST((count(*) - 1) * min(octet_length(CAST(text AS BLOB))) AS BIGINT)
+         AS reclaimed_bytes
+FROM doubled
+GROUP BY md5(text)
+"""
+
+
+@query("multimodal_payload_dedup", oracle=_PAYLOAD_DEDUP_ORACLE)
+def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over the BINARY media payload — the
+    storage-reclaim step of a multimodal ingest (dedup by bytes, keep
+    one copy, report bytes saved). Grouping is on md5(payload): the
+    32-byte digests shuffle, the payloads stay at rest — the only
+    payload touch is the map-side hash, so the plan survives payloads
+    of any size. A deterministic duplicate-bearing input (every
+    doc_id % 4 = 1 payload re-ingested under an offset id) keeps the
+    keep-one semantics non-vacuous, exactly like exact_dedup's text
+    twin. ASCII payloads make md5(bytes) == md5(text), which is what
+    lets the DuckDB oracle hash the same content."""
+    m = media_table(spark, sf_dir).select("doc_id", "media")
+    doubled = m.unionByName(
+        m.filter(F.col("doc_id") % 4 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "media"
+        )
+    )
+    return doubled.groupBy(F.md5("media").alias("content_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+        ((F.count(F.lit(1)) - 1) * F.min(F.length("media")))
+        .cast("long")
+        .alias("reclaimed_bytes"),
+    )

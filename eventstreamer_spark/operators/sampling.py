@@ -369,3 +369,68 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({sliced})").cast("long").alias("n_chunk_tokens"),
         F.md5(F.expr(f"concat_ws(' ', {sliced})").cast("binary")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed mixture weights (alpha sampling)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5: w_s ∝ n_s^0.5 — the standard temperature smoothing that
+# up-weights small sources relative to natural sampling (alpha = 1)
+# without going uniform (alpha = 0). sqrt(n) is integer-scaled to 1e6
+# units and summed as int64, so the normalizing total is exact and
+# order-free in both engines (IEEE sqrt is correctly rounded, so the
+# pre-scaling doubles are already identical).
+_TEMP_MIX_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS w6
+  FROM s
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         CAST(sum(w6) AS BIGINT) AS w_total
+  FROM t
+)
+SELECT source, n_docs,
+       floor(n_docs * 1000000.0 / n_total + 0.5) / 1000000.0 AS natural_share,
+       floor(w6 * 1000000.0 / w_total + 0.5) / 1000000.0 AS alpha_share,
+       floor(w6 * 1.0 / w_total * n_total * 1000000.0 / n_docs + 0.5) / 1000000.0
+         AS effective_epochs
+FROM t CROSS JOIN tot
+"""
+
+
+@query("mixture_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha = 0.5) source sampling weights —
+    the mixing-recipe step that balances small vs large sources:
+    alpha_share_s = n_s^alpha / Σ n_t^alpha, with effective_epochs =
+    alpha_share · N_total / n_s showing how many times each source
+    repeats under the smoothed recipe. One aggregation shuffle to the
+    per-source counts; the 1-row totals broadcast back. The oracle
+    mirrors the integer-scaled sqrt normalization exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = per.withColumn(
+        "w6", F.round(F.sqrt("n_docs") * F.lit(1000000.0), 0).cast("long")
+    )
+    tot = t.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("w6").cast("long").alias("w_total"),
+    )
+
+    def r6(col):
+        return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
+
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        r6(F.col("n_docs") * F.lit(1000000.0) / F.col("n_total")).alias("natural_share"),
+        r6(F.col("w6") * F.lit(1000000.0) / F.col("w_total")).alias("alpha_share"),
+        r6(
+            F.col("w6") * F.lit(1.0) / F.col("w_total") * F.col("n_total")
+            * F.lit(1000000.0) / F.col("n_docs")
+        ).alias("effective_epochs"),
+    )

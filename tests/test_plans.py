@@ -674,3 +674,62 @@ def test_centroid_distance_joins_tiny_table(spark):
     df = q_centroid_distance_matrix(spark, SF_DIR)
     assert_broadcast_join(df, min_count=1)
     assert_no_cartesian(df)
+
+
+def test_emb_prefiltered_no_cartesian_dedup_before_verify(spark):
+    """The SRP-band candidate join must be a bucket equi-join (never
+    all-pairs), and candidate pairs must dedup BEFORE the exact
+    integer-cosine verify (HashAggregate under the uq joins)."""
+    from eventstreamer_spark.operators.dedup import q_embedding_neardup_prefiltered
+
+    df = q_embedding_neardup_prefiltered(spark, SF_DIR)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # the distinct is the candidate-pair HashAggregate; the qcosine
+    # zip_with verify must appear strictly after (above) it
+    agg_pos = plan.find("HashAggregate")
+    verify_pos = plan.find("zip_with")
+    assert agg_pos != -1 and verify_pos != -1
+    assert verify_pos < agg_pos, "exact verify should consume the deduped pairs"
+
+
+def test_fixed_probes_broadcasts_probe_set(spark):
+    """Both the exact pass and the bucketed pass must broadcast the
+    constant 32-probe set — the corpus never shuffles for scoring.
+    (The checkpointed probe table hides its own sub-plan from the
+    final query, so the TakeOrdered shape is pinned on the selection
+    fragment directly.)"""
+    from eventstreamer_spark.operators.similarity import (
+        N_FIXED_PROBES,
+        q_ann_recall_fixed_probes,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+
+    df = q_ann_recall_fixed_probes(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=2)
+    probes = (
+        load_table(spark, SF_DIR, "embeddings")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(N_FIXED_PROBES)
+    )
+    assert_take_ordered(probes)
+
+
+def test_canonical_selection_two_windows_no_cartesian(spark):
+    from eventstreamer_spark.operators.dedup import q_dedup_canonical_selection
+
+    df = q_dedup_canonical_selection(spark, SF_DIR)
+    assert_no_cartesian(df)
+    # cluster_size count + canonical row_number: two window stages max
+    assert physical_plan(df).count("RunningWindowFunction") <= 2
+
+
+def test_udtf_is_lateral_generate_not_collect(spark):
+    """The UDTF must plan as a per-partition Python eval under the
+    scan (Arrow-batched), not anything driver-side."""
+    from eventstreamer_spark.operators.udfs import q_udtf_chunk_stats
+
+    df = q_udtf_chunk_stats(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "PythonUDTF" in plan or "ArrowEvalPythonUDTF" in plan, plan[:2000]
+    assert_no_cartesian(df)
