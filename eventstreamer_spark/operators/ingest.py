@@ -118,3 +118,63 @@ def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(m, F.lit("hi")), 4).alias("map_hi"),
         F.array_join(F.map_keys(m), ",").alias("map_key_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record AUDIT (the reference's log side of O4, as a table)
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT event_id,
+       md5('garbage#' || CAST(event_id AS VARCHAR)) AS payload_md5,
+       CAST(length('garbage#' || CAST(event_id AS VARCHAR)) AS BIGINT) AS n_chars,
+       'malformed' AS reason
+FROM events
+WHERE event_id % 97 = 0
+"""
+
+
+@query("json_ingest_corrupt_audit", oracle=_AUDIT_ORACLE)
+def q_json_ingest_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter table the reference only logs: the catch block
+    in SafelyConvertToDataPoint (DispatcherFunction.cs:184-190) writes
+    the failed message body to the logger; here the same poison
+    payloads are CAPTURED via ``columnNameOfCorruptRecord`` and
+    surfaced as an auditable table (id, payload digest, size, reason)
+    instead of vanishing into a log stream. PERMISSIVE parse with a
+    corrupt-record column keeps the good rows flowing through the same
+    single pass — the standard Spark dead-letter-queue recipe. The
+    oracle recomputes the digests from the deterministic corruption
+    rule, so capture fidelity is value-checked byte-for-byte."""
+    from pyspark.sql import types as T
+
+    ev = load_events(spark, sf_dir)
+    dp = events_as_datapoints(ev, extra_cols=("event_id",))
+    j = F.to_json(F.struct(*[c for c in dp.columns if c != "event_id"]))
+    wire = dp.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("garbage#"), F.col("event_id").cast("string")),
+        )
+        .otherwise(j)
+        .alias("raw"),
+    )
+    audit_schema = T.StructType(
+        list(DATAPOINT_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = wire.select(
+        "event_id",
+        F.from_json(
+            "raw",
+            audit_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    )
+    return parsed.filter(F.col("p._corrupt_record").isNotNull()).select(
+        "event_id",
+        F.md5(F.col("p._corrupt_record").cast("binary")).alias("payload_md5"),
+        F.length("p._corrupt_record").cast("long").alias("n_chars"),
+        F.lit("malformed").alias("reason"),
+    )

@@ -676,36 +676,39 @@ def late_policy_stream(stream: DataFrame) -> DataFrame:
 
 def write_late_chunks(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Write the four deterministic micro-batch chunk files (mtime
-    staggered so the file source replays them in order)."""
+    staggered so the file source replays them in order). One
+    partitioned write job produces all four files (a per-chunk
+    coalesce(1) loop costs four scans of the events table)."""
     import glob
     import shutil
 
+    straggler = (F.col("event_id") % LATE_SPAN_S < LATE_TICK_S) & (
+        F.col("event_id") % 7 == LATE_RESIDUE
+    )
+    sec = F.col("event_id") % LATE_SPAN_S
+    batch = (
+        F.when(straggler, F.lit(2))
+        .when(sec < LATE_TICK_S, F.lit(0))
+        .when(sec < LATE_TAIL_S, F.lit(1))
+        .otherwise(F.lit(3))
+    )
     events = load_events(spark, sf_dir).select(
         "event_id",
         "user_id",
         "value",
         F.expr(_TS_C_SPARK).alias("ts"),
-        (F.col("event_id") % LATE_SPAN_S).alias("sec"),
-        (
-            (F.col("event_id") % LATE_SPAN_S < LATE_TICK_S)
-            & (F.col("event_id") % 7 == LATE_RESIDUE)
-        ).alias("straggler"),
+        batch.alias("b"),
     )
-    chunks = [
-        events.filter((F.col("sec") < LATE_TICK_S) & ~F.col("straggler")),
-        events.filter((F.col("sec") >= LATE_TICK_S) & (F.col("sec") < LATE_TAIL_S)),
-        events.filter(F.col("straggler")),
-        events.filter(F.col("sec") >= LATE_TAIL_S),
-    ]
+    staging = f"{out_dir}/_stage"
+    events.repartition("b").write.mode("overwrite").partitionBy("b").parquet(staging)
     base = 1_600_000_000
-    for i, df in enumerate(chunks):
-        staging = f"{out_dir}/_stage_{i}"
-        df.drop("sec", "straggler").coalesce(1).write.mode("overwrite").parquet(staging)
-        part = glob.glob(f"{staging}/part-*.parquet")[0]
+    for i in range(4):
+        parts = glob.glob(f"{staging}/b={i}/part-*.parquet")
+        assert len(parts) == 1, parts
         dest = f"{out_dir}/chunk-{i:03d}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.move(parts[0], dest)
         os.utime(dest, (base + i * 60, base + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def run_late_policy(spark: SparkSession, sf_dir: str, sink: str) -> list[dict]:

@@ -70,7 +70,9 @@ QUERIES: tuple[str, ...] = (
     "q7_nation_trade_flow",
     # round-5 additions
     "embedding_neardup_prefiltered", "ann_recall_fixed_probes",
-    "stream_late_data_policy",
+    "stream_late_data_policy", "dedup_canonical_selection",
+    "udtf_chunk_stats", "mixture_temperature_weights",
+    "multimodal_payload_dedup", "json_ingest_corrupt_audit",
 )
 
 # name -> (max factor, reason)
