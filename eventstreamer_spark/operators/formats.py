@@ -123,3 +123,62 @@ def q_orc_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _roundtrip_dir(spark, sf_dir, "orc")
     df = spark.read.orc(path)
     return _format_agg(df)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema over drifted parquet generations
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+WITH unioned AS (
+  SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS extra
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, value, CAST(user_id AS BIGINT) AS extra
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(extra) AS BIGINT) AS n_with_extra,
+       CAST(coalesce(sum(extra), 0) AS BIGINT) AS sum_extra
+FROM unioned
+GROUP BY event_type
+"""
+
+
+@query("parquet_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift handled at the source, not in ETL glue: an old
+    file generation (no ``extra`` column) and a new generation (with
+    it) sit in one dataset directory; ``mergeSchema=true`` unions the
+    footers and null-fills the missing column — the standard posture
+    for a 100 TB lake where producers add fields over time. The
+    aggregate proves the null-fill is exact (count of non-null extras
+    and their sum match a SQL UNION replay). The write happens once
+    per session via the round-trip cache; the read path is the proven
+    surface."""
+    key = (spark.sparkContext.applicationId, sf_dir, "evolved")
+    path = _RT_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="es_evolved_rt_")
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "event_type", "value", "user_id"
+        )
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(f"{path}/gen=old")
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("user_id").cast("long").alias("extra"),
+        ).write.mode("overwrite").parquet(f"{path}/gen=new")
+        _RT_CACHE[key] = path
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=old", f"{path}/gen=new"
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("extra").alias("n_with_extra"),
+        F.coalesce(F.sum("extra"), F.lit(0)).cast("long").alias("sum_extra"),
+    )

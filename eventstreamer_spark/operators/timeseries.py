@@ -302,3 +302,56 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = part_names(spark, sf_dir)
     probes = names.filter(F.expr(PROBE_FILTER))
     return fuzzy_match_best(names, probes, broadcast_probes=True)
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup (the hypertable / continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+_TIME_ROLLUP_ORACLE = """
+SELECT CAST(coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS BIGINT) AS y,
+       CAST(coalesce(CAST(quarter(o_orderdate) AS BIGINT), -1) AS BIGINT) AS q,
+       CAST(coalesce(CAST(month(o_orderdate) AS BIGINT), -1) AS BIGINT) AS m,
+       CAST(GROUPING(year(o_orderdate)) * 4 + GROUPING(quarter(o_orderdate)) * 2
+            + GROUPING(month(o_orderdate)) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+"""
+
+
+@query("time_hierarchy_rollup", oracle=_TIME_ROLLUP_ORACLE)
+def q_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year → quarter → month revenue rollup in ONE pass — the batch
+    form of a hypertable's continuous aggregate: every level of the
+    time hierarchy materializes from a single Expand + aggregate (no
+    per-level scans, no extra shuffles), which is exactly the plan a
+    100 TB nightly rollup job wants before serving the per-level
+    tables. Revenue uses the int64-scaled sum convention so every
+    level's total is order-free identical across engines; NULL
+    hierarchy levels surface as -1 with a grouping_id discriminator."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yy"),
+        F.quarter("o_orderdate").cast("long").alias("qq"),
+        F.month("o_orderdate").cast("long").alias("mm"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("yy", "qq", "mm")
+        .agg(
+            (F.grouping("yy") * 4 + F.grouping("qq") * 2 + F.grouping("mm"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            N.sumk_spark(F.col("o_totalprice"), 10000).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yy"), F.lit(-1)).alias("y"),
+            F.coalesce(F.col("qq"), F.lit(-1)).alias("q"),
+            F.coalesce(F.col("mm"), F.lit(-1)).alias("m"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
