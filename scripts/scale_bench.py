@@ -73,6 +73,7 @@ QUERIES: tuple[str, ...] = (
     "stream_late_data_policy", "dedup_canonical_selection",
     "udtf_chunk_stats", "mixture_temperature_weights",
     "multimodal_payload_dedup", "json_ingest_corrupt_audit",
+    "time_hierarchy_rollup", "parquet_schema_evolution",
 )
 
 # name -> (max factor, reason)

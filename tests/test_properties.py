@@ -189,3 +189,61 @@ def test_push_time_vectorized_matches_model(rows):
         assert abs(got["avg_value"].iloc[i] - r["avg_value"]) <= 1e-9 * scale
         assert got["first_event_id"].iloc[i] == r["first_event_id"]
         assert got["first_event_type"].iloc[i] == r["first_event_type"]
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup cluster resolution)
+# ---------------------------------------------------------------------------
+
+_cc_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _union_find_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: min-label components via union-find."""
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n)}
+
+
+@given(_cc_edges)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """The pointer-jump connected_components operator (dedup cluster
+    resolution) must compute exactly the min-label components a
+    union-find produces, for arbitrary graphs — including self-loops,
+    parallel edges, chains longer than one pointer-jump round, and
+    isolated vertices."""
+    from pyspark.sql import functions as F
+
+    from eventstreamer_spark.operators.dedup import connected_components
+
+    n = 25
+    vertices = spark.range(n).select(F.col("id").alias("doc_id"))
+    if edges:
+        e = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+    else:
+        e = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, e).collect()
+    }
+    assert got == _union_find_components(n, edges)
