@@ -749,3 +749,147 @@ def q_stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     run_late_policy(spark, sf_dir, "stream_late_sink")
     return spark.table("stream_late_sink")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent upsert sink (the exactly-once write pattern)
+# ---------------------------------------------------------------------------
+
+# Latest-row-wins ordering key: zero-padded (epoch_us, event_id) as a
+# string, so lexicographic == numeric and both engines break ties the
+# same way without overflowing int64 arithmetic.
+_UPSERT_KEY_SPARK = (
+    "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'), "
+    "lpad(CAST(event_id AS STRING), 12, '0'))"
+)
+_UPSERT_KEY_DUCK = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+def _reduce_latest(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id").agg(
+        F.max_by(F.col("last_event_id"), F.col("k")).alias("last_event_id"),
+        F.max_by(F.col("last_ts_us"), F.col("k")).alias("last_ts_us"),
+        F.max_by(F.col("last_value"), F.col("k")).alias("last_value"),
+        F.max_by(F.col("last_type"), F.col("k")).alias("last_type"),
+        F.max(F.col("k")).alias("k"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def upsert_latest(cur: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """Merge one batch of raw events into the per-user latest table:
+    latest row wins by the (ts, event_id) key, event counts accumulate.
+    Idempotent on the LATEST columns (re-merging the same delta cannot
+    change the argmax) — the n_events counter is the part that relies
+    on the version-swap for replay safety, which is exactly why the
+    swap exists (tests/test_streaming.py pins both properties)."""
+    delta = batch_df.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_type"),
+        F.expr(_UPSERT_KEY_SPARK).alias("k"),
+        F.lit(1).cast("long").alias("n_events"),
+    )
+    merged = _reduce_latest(delta)
+    if cur is not None:
+        merged = _reduce_latest(cur.unionByName(merged))
+    return merged
+
+
+_UPSERT_ORACLE = f"""
+SELECT user_id,
+       CAST(arg_max(event_id, {_UPSERT_KEY_DUCK}) AS BIGINT) AS last_event_id,
+       CAST(arg_max(epoch_us(ts), {_UPSERT_KEY_DUCK}) AS BIGINT) AS last_ts_us,
+       arg_max(value, {_UPSERT_KEY_DUCK}) AS last_value,
+       arg_max(event_type, {_UPSERT_KEY_DUCK}) AS last_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_foreachbatch_upsert", oracle=_UPSERT_ORACLE)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once SINK pattern executed for real: a three-batch
+    stream drives ``foreachBatch``, and each batch MERGES its per-user
+    latest rows (and running event counts) into a parquet target via
+    the version-swap recipe — read current version, unionByName the
+    batch delta, re-reduce, write version N+1, retire version N. The
+    swap is what makes a replayed batch idempotent: re-running a batch
+    produces the same version content instead of double-counting —
+    Spark's documented route to exactly-once with non-transactional
+    stores. The final table must equal a single batch argmax over ALL
+    events (latest row per user by (ts, event_id), total event
+    counts): if any merge dropped, duplicated, or mis-ordered rows
+    across the three deltas, the hash check fails. Merge work per
+    batch is keys-only (user_id grain), never the event history — the
+    state a 100 TB deployment would keep in a keyed store."""
+    import glob
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    chunk_dir = tempfile.mkdtemp(prefix="es_upsert_chunks_")
+    target_root = tempfile.mkdtemp(prefix="es_upsert_target_")
+    try:
+        events = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        staging = f"{chunk_dir}/_stage"
+        events.withColumn("b", (F.col("event_id") % 3).cast("int")).repartition(
+            "b"
+        ).write.mode("overwrite").partitionBy("b").parquet(staging)
+        base = 1_600_000_000
+        for i in range(3):
+            parts = glob.glob(f"{staging}/b={i}/part-*.parquet")
+            assert len(parts) == 1, parts
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(parts[0], dest)
+            os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        version = {"n": -1}
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            cur = (
+                spark.read.parquet(f"{target_root}/v{version['n']}")
+                if version["n"] >= 0
+                else None
+            )
+            nxt = version["n"] + 1
+            upsert_latest(cur, batch_df).write.mode("overwrite").parquet(
+                f"{target_root}/v{nxt}"
+            )
+            if version["n"] >= 0:
+                shutil.rmtree(f"{target_root}/v{version['n']}", ignore_errors=True)
+            version["n"] = nxt
+
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        ckpt = tempfile.mkdtemp(prefix="es_upsert_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        final = spark.read.parquet(f"{target_root}/v{version['n']}").drop("k")
+        # materialize before the temp dirs disappear
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(target_root, ignore_errors=True)

@@ -74,6 +74,7 @@ QUERIES: tuple[str, ...] = (
     "udtf_chunk_stats", "mixture_temperature_weights",
     "multimodal_payload_dedup", "json_ingest_corrupt_audit",
     "time_hierarchy_rollup", "parquet_schema_evolution",
+    "stream_foreachbatch_upsert",
 )
 
 # name -> (max factor, reason)

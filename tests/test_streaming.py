@@ -405,3 +405,42 @@ def test_late_data_policy_drops_and_merges(spark):
     pd.testing.assert_frame_equal(
         s[sorted(s.columns)], x[sorted(x.columns)], check_dtype=False
     )
+
+
+def test_foreachbatch_upsert_merge_properties(spark):
+    """The version-swap upsert's merge must be (a) latest-wins by
+    (ts, event_id) with counts accumulating across batches, and
+    (b) idempotent on the latest columns when the same delta is merged
+    twice — the property that makes a replayed micro-batch safe once
+    the version swap discards the partially-applied write."""
+    from eventstreamer_spark.streaming.pipeline import upsert_latest
+
+    b1 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 1), 7, "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 2), 7, "view", 2.0),
+            (3, dt.datetime(2024, 1, 1, 0, 0, 1), 8, "click", 3.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [
+            # same ts as user 7's latest but LOWER event_id: must lose
+            (0, dt.datetime(2024, 1, 1, 0, 0, 2), 7, "stale", 9.0),
+            (4, dt.datetime(2024, 1, 1, 0, 0, 5), 8, "buy", 4.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    v1 = upsert_latest(None, b1)
+    v2 = upsert_latest(v1, b2).orderBy("user_id").collect()
+    assert [(r.user_id, r.last_event_id, r.last_type, r.n_events) for r in v2] == [
+        (7, 2, "view", 3),
+        (8, 4, "buy", 2),
+    ]
+    # idempotency of the latest columns: merging b2 again changes
+    # nothing except the counter — which the version swap protects
+    v2b = upsert_latest(upsert_latest(v1, b2), b2).orderBy("user_id").collect()
+    assert [(r.user_id, r.last_event_id, r.last_type) for r in v2b] == [
+        (7, 2, "view"),
+        (8, 4, "buy"),
+    ]
