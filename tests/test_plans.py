@@ -733,3 +733,14 @@ def test_udtf_is_lateral_generate_not_collect(spark):
     plan = physical_plan(df)
     assert "PythonUDTF" in plan or "ArrowEvalPythonUDTF" in plan, plan[:2000]
     assert_no_cartesian(df)
+
+
+def test_time_rollup_single_expand_single_shuffle(spark):
+    """The time-hierarchy rollup must expand grouping sets once and
+    aggregate in one shuffle — never one scan per hierarchy level."""
+    from eventstreamer_spark.operators.timeseries import q_time_hierarchy_rollup
+
+    df = q_time_hierarchy_rollup(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Expand") == 1, plan[:1500]
+    assert count_exchanges(df) == 1
