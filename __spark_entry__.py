@@ -150,6 +150,15 @@ for _round, _names in ((1, _GREEN_R12), (3, _GREEN_R3), (4, _GREEN_R4)):
 _RECORDED_GREEN = frozenset(_GREEN_ROUND)
 
 
+# The round-5 recording window = the 11 round-5 additions
+# (embedding_neardup_prefiltered, dedup_canonical_selection,
+# ann_recall_fixed_probes, multimodal_payload_dedup,
+# json_ingest_corrupt_audit, udtf_chunk_stats,
+# mixture_temperature_weights, stream_late_data_policy,
+# stream_foreachbatch_upsert, parquet_schema_evolution,
+# time_hierarchy_rollup) + the 39 stalest r1/r2 greens. Round 6: fold
+# whatever CORRECTNESS_r05 records into a _GREEN_R5 set here.
+
 # Queries added mid-round past a full 50-slot recording window: ordered
 # after every other never-recorded query so they cannot displace one from
 # this round's window.
