@@ -140,24 +140,47 @@ _GREEN_R4 = frozenset({
     "tumbling_window_stats", "datapoint_window_eav", "sliding_window_stats",
 })
 
+# r05 (all 50 rows hash-green, CORRECTNESS_r05.json): the 11 round-5
+# additions + the 39 stalest r1/r2 greens the window re-proved.
+_GREEN_R5 = frozenset({
+    "embedding_neardup_prefiltered", "dedup_canonical_selection",
+    "ann_recall_fixed_probes", "multimodal_payload_dedup",
+    "json_ingest_corrupt_audit", "udtf_chunk_stats",
+    "mixture_temperature_weights", "stream_late_data_policy",
+    "stream_foreachbatch_upsert", "parquet_schema_evolution",
+    "time_hierarchy_rollup", "pricing_summary", "topk_customers",
+    "distinct_pairs", "exact_percentiles", "set_operations", "rollup_orders",
+    "cube_lineitem", "grouping_sets_events", "window_functions_orders",
+    "ntile_customer_balance", "pivot_event_values", "scalar_functions",
+    "json_extraction", "window_analytics_extended", "topk_per_group",
+    "latest_event_per_user", "event_transition_matrix", "funnel_analysis",
+    "trimmed_mean_stats", "activity_histogram", "broadcast_dim_join",
+    "star_join_revenue", "semi_join_big_spenders", "anti_join_no_big_orders",
+    "left_outer_join_orders", "band_range_join", "asof_join_events_orders",
+    "salted_skew_join", "exact_dedup", "minhash_lsh_neardup",
+    "ngram_jaccard_neardup", "simhash_neardup", "embedding_neardup",
+    "dedup_clusters", "text_stats_quality", "lang_id_confusion",
+    "doc_fingerprints", "token_frequencies", "bpe_token_counts",
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
-for _round, _names in ((1, _GREEN_R12), (3, _GREEN_R3), (4, _GREEN_R4)):
+for _round, _names in (
+    (1, _GREEN_R12),
+    (3, _GREEN_R3),
+    (4, _GREEN_R4),
+    (5, _GREEN_R5),
+):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
 
 _RECORDED_GREEN = frozenset(_GREEN_ROUND)
 
-
-# The round-5 recording window = the 11 round-5 additions
-# (embedding_neardup_prefiltered, dedup_canonical_selection,
-# ann_recall_fixed_probes, multimodal_payload_dedup,
-# json_ingest_corrupt_audit, udtf_chunk_stats,
-# mixture_temperature_weights, stream_late_data_policy,
-# stream_foreachbatch_upsert, parquet_schema_evolution,
-# time_hierarchy_rollup) + the 39 stalest r1/r2 greens. Round 6: fold
-# whatever CORRECTNESS_r05 records into a _GREEN_R5 set here.
+# The round-6 recording window = this round's new queries (never-recorded,
+# ordered first) + the stalest greens: the remaining r1/r2 rows that r05's
+# window did not reach, then r03. Round 7: fold CORRECTNESS_r06 into a
+# _GREEN_R6 set here.
 
 # Queries added mid-round past a full 50-slot recording window: ordered
 # after every other never-recorded query so they cannot displace one from
