@@ -444,3 +444,49 @@ def test_foreachbatch_upsert_merge_properties(spark):
         (7, 2, "view"),
         (8, 4, "buy"),
     ]
+
+
+def test_foreachbatch_upsert_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not double-count n_events: the
+    version swap is keyed by batch_id (read v{batch_id-1}, overwrite
+    v{batch_id}), so re-delivering batch 1 — both the skip path
+    (committed version present) and the rewrite path (partial write,
+    no _SUCCESS) — leaves the target byte-identical."""
+    import shutil
+
+    from eventstreamer_spark.streaming.pipeline import upsert_version_step
+
+    root = str(tmp_path / "target")
+    (tmp_path / "target").mkdir()
+    b0 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 1), 7, "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 2), 8, "view", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 0, 0, 9), 7, "buy", 3.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    upsert_version_step(spark, root, b0, 0)
+    upsert_version_step(spark, root, b1, 1)
+
+    def snapshot():
+        rows = spark.read.parquet(f"{root}/v1").orderBy("user_id").collect()
+        return [(r.user_id, r.last_event_id, r.n_events) for r in rows]
+
+    want = [(7, 3, 2), (8, 2, 1)]
+    assert snapshot() == want
+    # replay path A: committed version exists → skipped, content unchanged
+    upsert_version_step(spark, root, b1, 1)
+    assert snapshot() == want
+    # replay path B: crashed mid-write (no _SUCCESS) → rewritten from
+    # v0, which the retirement policy must still have on disk
+    import os as _os
+
+    _os.remove(f"{root}/v1/_SUCCESS")
+    assert _os.path.isdir(f"{root}/v0")
+    upsert_version_step(spark, root, b1, 1)
+    assert snapshot() == want
+    # a counter-keyed sink would have read v1 here and produced (7,3,3)
