@@ -266,35 +266,46 @@ def band_hyperplanes() -> list[list[list[float]]]:
     ]
 
 
-def srp_band_buckets_expr(vec_col: str) -> Column:
-    """ARRAY of SRP_BANDS sign-bit strings (SRP_BAND_BITS chars each)."""
+def srp_band_buckets_expr(uq_col: str) -> Column:
+    """ARRAY of SRP_BANDS sign-bit strings (SRP_BAND_BITS chars each)
+    from a QUANTIZED unit vector column (``with_quantized_unit``).
+
+    Sign bits come from pure integer dot products — quantized vector
+    components (≤1e6) times integer-scaled plane weights (w·1e4) — so
+    the dot is an exact int64 sum in any order and the engines can
+    never disagree by an ulp at the 0 boundary (the tolerance the old
+    raw-float formulation relied on)."""
     bands = []
     for bank in band_hyperplanes():
         bits = []
         for p in bank:
-            arr = "array(" + ", ".join(f"{w}D" for w in p) + ")"
+            arr = (
+                "array("
+                + ", ".join(f"{int(round(w * 10000))}L" for w in p)
+                + ")"
+            )
             dot = (
-                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-                f"0D, (acc, v) -> acc + v)"
+                f"aggregate(zip_with({uq_col}, {arr}, (x, y) -> x * y), "
+                f"0L, (acc, v) -> acc + v)"
             )
             bits.append(f"IF({dot} >= 0, '1', '0')")
         bands.append("concat_ws('', array(" + ", ".join(bits) + "))")
     return F.expr("array(" + ", ".join(bands) + ")")
 
 
-def srp_band_buckets_duck(vec_col: str) -> str:
-    """72 sign bits per vector: the per-element lambda formulation is
-    ~100× too slow at this plane count, so the DuckDB twin uses native
-    ``list_dot_product``. Its float summation order may differ from
-    Spark's sequential fold by an ulp, but a sign bit only flips when
-    |dot| is within that ulp of 0 — the same tolerance the 8-plane
-    srp_bucket_duck already relies on with list_sum."""
-    vecd = f"CAST({vec_col} AS DOUBLE[])"
+def srp_band_buckets_duck(uq_col: str) -> str:
+    """DuckDB twin over the same quantized unit vector: 72 sign bits
+    via native ``list_dot_product`` — which is EXACT here, not
+    tolerance-matched: every term is an integer (|uq·w·1e4| ≤ 4e10)
+    and the 64-term sum stays below 2^53, so float summation returns
+    the exact integer in any association order, bit-identical to
+    Spark's sequential int64 fold."""
+    vecd = f"CAST({uq_col} AS DOUBLE[])"
     bands = []
     for bank in band_hyperplanes():
         bits = []
         for p in bank:
-            arr = "[" + ", ".join(str(w) for w in p) + "]"
+            arr = "[" + ", ".join(str(int(round(w * 10000))) for w in p) + "]"
             dot = f"list_dot_product({vecd}, {arr})"
             bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
         bands.append("concat_ws('', " + ", ".join(bits) + ")")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.memo import BoundedMemo
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -306,7 +307,7 @@ def ivf_centroids_iterated(
 # driver-sized by construction (the same k rows _score_centroids
 # collects anyway) — and the inputs are immutable parquet, so the
 # memo can never go stale within an application.
-_CENT_CACHE: dict[tuple[str, str, int, str], tuple[list, object]] = {}
+_CENT_CACHE: dict[tuple[str, str, int, str], tuple[list, object]] = BoundedMemo(maxsize=16)
 
 
 def ivf_centroids_for(

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts, round6
 from eventstreamer_spark.operators.windowed import tumbling_stats
+from eventstreamer_spark.memo import BoundedMemo
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events
 
@@ -847,7 +848,9 @@ def upsert_version_step(
 # _RT_CACHE pattern): the final per-user table stays ON DISK and is
 # returned as a plain parquet scan — no driver materialization, so the
 # query's measured scaling exponent reflects the merge, not a collect.
-_UPSERT_CACHE: dict[tuple[str, str], str] = {}
+_UPSERT_CACHE: dict[tuple[str, str], str] = BoundedMemo(
+    maxsize=8, on_evict=lambda _k, path: __import__("shutil").rmtree(path, ignore_errors=True)
+)
 
 
 @_atexit.register

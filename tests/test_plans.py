@@ -720,8 +720,10 @@ def test_canonical_selection_two_windows_no_cartesian(spark):
 
     df = q_dedup_canonical_selection(spark, SF_DIR)
     assert_no_cartesian(df)
-    # cluster_size count + canonical row_number: two window stages max
-    assert physical_plan(df).count("RunningWindowFunction") <= 2
+    # cluster_size count + canonical row_number: exactly two Window
+    # operators (Spark prints window exec nodes as "Window ", counted
+    # with the trailing space so WindowGroupLimit etc. can't inflate it)
+    assert physical_plan(df).count("Window ") == 2
 
 
 def test_udtf_is_lateral_generate_not_collect(spark):

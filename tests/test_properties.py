@@ -247,3 +247,29 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(vertices, e).collect()
     }
     assert got == _union_find_components(n, edges)
+
+
+def test_bounded_memo_evicts_oldest():
+    """The session memos (_PAIRS_CACHE, _CENT_CACHE, upsert dirs) are
+    FIFO-bounded: inserting past maxsize evicts the oldest key and
+    fires the eviction hook, so a long-lived service scanning many
+    sf dirs cannot leak driver memory or temp dirs."""
+    from eventstreamer_spark.memo import BoundedMemo
+
+    evicted = []
+    m = BoundedMemo(maxsize=3, on_evict=lambda k, v: evicted.append((k, v)))
+    for i in range(5):
+        m[f"k{i}"] = i
+    assert len(m) == 3
+    assert list(m) == ["k2", "k3", "k4"]
+    assert evicted == [("k0", 0), ("k1", 1)]
+    # re-setting an existing key must not evict
+    m["k3"] = 33
+    assert len(m) == 3 and m["k3"] == 33 and len(evicted) == 2
+    # the live caches are bounded instances
+    from eventstreamer_spark.operators.dedup import _PAIRS_CACHE, _SHINGLED_CACHE
+    from eventstreamer_spark.operators.similarity import _CENT_CACHE
+    from eventstreamer_spark.streaming.pipeline import _UPSERT_CACHE
+
+    for cache in (_PAIRS_CACHE, _SHINGLED_CACHE, _CENT_CACHE, _UPSERT_CACHE):
+        assert isinstance(cache, BoundedMemo)
