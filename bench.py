@@ -65,6 +65,20 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
     }
+    # The driver records only the tail of this (long) stdout line, which
+    # truncates the per-query map — persist the full detail to a file so
+    # every query can be diffed round-over-round (VERDICT r5 item 6).
+    # $SPARK_GRAFT_BENCH_DETAIL overrides the path.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
