@@ -100,3 +100,110 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         mean6_spark(F.col("quality_score")).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (CCNet-style URL/host-grain curation)
+# ---------------------------------------------------------------------------
+
+# Proportional cap: a domain keeps at most ceil(0.6·n_d) of its docs
+# (floor+1 below, identical in both engines for non-integral 0.6·n_d;
+# greatest(1, …) guards singleton domains). A proportional cap — not a
+# fixed K — keeps the query non-vacuous at every scale factor and is
+# what per-host down-sampling looks like when domain sizes are
+# heavy-tailed: the share removed is bounded regardless of how big the
+# biggest host is.
+DOMAIN_KEEP_FRAC = 0.6
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents
+), capped AS (
+  SELECT source, n_chars, n_docs,
+         GREATEST(1, CAST(floor(n_docs * {DOMAIN_KEEP_FRAC}) AS BIGINT)) AS cap,
+         rnk
+  FROM ranked
+)
+SELECT source,
+       CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(any_value(cap) AS BIGINT) AS cap,
+       CAST(count(*) FILTER (WHERE rnk <= cap) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rnk > cap) AS BIGINT) AS n_removed,
+       round(count(*) FILTER (WHERE rnk > cap) * 1.0 / any_value(n_docs), 6)
+         AS share_removed,
+       floor(sum(n_chars) FILTER (WHERE rnk <= cap) * 1000000.0
+             / nullif(count(*) FILTER (WHERE rnk <= cap), 0) + 0.5) / 1000000.0
+         AS avg_kept_chars,
+       floor(sum(n_chars) FILTER (WHERE rnk > cap) * 1000000.0
+             / nullif(count(*) FILTER (WHERE rnk > cap), 0) + 0.5) / 1000000.0
+         AS avg_removed_chars,
+       CAST(min(n_chars) FILTER (WHERE rnk <= cap) AS BIGINT) AS cutoff_chars
+FROM capped
+GROUP BY source
+"""
+
+
+@query("domain_cap_filter", oracle=_DOMAIN_CAP_ORACLE)
+def q_domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-domain cap with deterministic ranked keep: each
+    domain (the ``source`` host key) keeps its top ceil(0.6·n) docs by
+    (n_chars DESC, doc_id) and the report shows what the cap removed —
+    kept/removed counts, share, and the quality split (avg kept chars
+    must exceed avg removed chars by construction, which the hash
+    check pins).
+
+    Plan: one window over (source) for rank + domain size — a single
+    hash-partition shuffle on the domain key, NO global sort — then
+    one aggregation on the same key (AQE coalesces; the second
+    exchange is partial since the data is already source-clustered).
+    At 100 TB this is the standard per-host down-sampling pass: domain
+    count is millions (fits any shuffle), per-domain doc lists never
+    materialize anywhere, and the heavy text column is untouched (scan
+    reads source/n_chars/doc_id only — check ReadSchema)."""
+    from pyspark.sql import Window
+
+    from eventstreamer_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    w = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+    ).withColumn(
+        "cap",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("n_docs") * F.lit(DOMAIN_KEEP_FRAC)),
+        ),
+    )
+    kept = F.col("rnk") <= F.col("cap")
+
+    def favg(value, cond):
+        s = F.sum(F.when(cond, value))
+        c = F.nullif(F.sum(cond.cast("long")), F.lit(0).cast("long"))
+        return F.floor(s * F.lit(1000000.0) / c + F.lit(0.5)) / F.lit(1000000.0)
+
+    return ranked.groupBy("source").agg(
+        F.any_value(F.col("n_docs")).alias("n_docs"),
+        F.any_value(F.col("cap")).alias("cap"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_removed"),
+        F.round(
+            F.sum((~kept).cast("long")) * F.lit(1.0) / F.any_value(F.col("n_docs")),
+            6,
+        ).alias("share_removed"),
+        favg(F.col("n_chars"), kept).alias("avg_kept_chars"),
+        favg(F.col("n_chars"), ~kept).alias("avg_removed_chars"),
+        F.min(F.when(kept, F.col("n_chars"))).alias("cutoff_chars"),
+    )

@@ -746,3 +746,19 @@ def test_time_rollup_single_expand_single_shuffle(spark):
     plan = physical_plan(df)
     assert plan.count("Expand") == 1, plan[:1500]
     assert count_exchanges(df) == 1
+
+
+def test_domain_cap_no_global_sort_prunes_text(spark):
+    """The per-domain cap must shuffle once on the domain key (window
+    + same-key agg), never range-partition (a global sort would be a
+    scale killer), and the scan must not read the text column."""
+    from eventstreamer_spark.operators.curation import q_domain_cap_filter
+
+    df = q_domain_cap_filter(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert_read_schema_only(df, "documents", {"source", "n_chars", "doc_id"})
+    # rank + partition-count Windows and the final agg all ride ONE
+    # hash shuffle on the domain key
+    assert plan.count("Window ") == 2
+    assert count_exchanges(df) == 1
