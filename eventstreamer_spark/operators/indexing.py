@@ -333,3 +333,132 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) * F.lit(1.0) / (n * sxx - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span remediation (the removal half of the span audit)
+# ---------------------------------------------------------------------------
+
+# A span is cut when it occurs in >= CUT_MIN_DOCS distinct documents
+# (the Lee et al. exact-substring dedup rule, at this corpus's token
+# granularity); the lowest-doc_id occurrence is the canonical copy and
+# keeps its text.
+CUT_MIN_DOCS = 2
+
+
+def _span_hash_duck(toks: str, i: str) -> str:
+    parts = " || ' ' || ".join(f"({toks})[{i} + {j}]" for j in range(SPAN_N))
+    return f"substr(md5({parts}), 1, 16)"
+
+
+_CUT_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos, {_span_hash_duck("toks", "i")} AS span
+  FROM tk, unnest(CASE WHEN len(toks) >= {SPAN_N}
+                       THEN range(1, len(toks) - {SPAN_N - 2})
+                       ELSE [] END) AS u(i)
+), freq AS (
+  SELECT span, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, span FROM occ)
+  GROUP BY span HAVING count(*) >= {CUT_MIN_DOCS}
+), cut AS (
+  SELECT o.doc_id, o.pos, o.span
+  FROM occ o JOIN freq f ON o.span = f.span AND o.doc_id <> f.keeper
+), cover AS (
+  SELECT doc_id,
+         list_sort(list_distinct(flatten(list(
+           list_transform(generate_series(0, {SPAN_N - 1}), j -> pos + j)
+         )))) AS covered,
+         count(DISTINCT span) AS n_spans_cut
+  FROM cut GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(c.covered) AS BIGINT) AS n_removed,
+       CAST(c.n_spans_cut AS BIGINT) AS n_spans_cut,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(t.toks)),
+                       i -> NOT list_contains(c.covered, i)),
+           i -> t.toks[i]),
+         ' '), '') AS cleaned_text
+FROM tk t JOIN cover c ON t.doc_id = c.doc_id
+"""
+
+
+@query("substring_dedup_rewrite", oracle=_CUT_ORACLE)
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span REMEDIATION — the removal half of
+    ``duplicate_span_histogram``: every verbatim {SPAN_N}-token span
+    that occurs in ≥ {CUT_MIN_DOCS} distinct documents is cut from all
+    but its lowest-doc_id (canonical) occurrence, and each affected
+    document is emitted with its cleaned text plus an audit count —
+    the Lee-et-al-style exact-substring dedup step a production corpus
+    pipeline runs after profiling shows residual verbatim overlap.
+
+    Scale shape — shingle-chain grouping, never all-pairs:
+    1. positional span occurrences (one explode; spans travel as
+       16-hex md5 prefixes, never text);
+    2. span → (distinct-doc count, keeper=min doc_id) — one hash
+       aggregate on the span key;
+    3. occurrences ⋈ frequent spans — a plain equi-join on the span
+       hash (both sides shuffle on a 16-byte key; no broadcast needed
+       because the frequent-span table can be corpus-scale);
+    4. per-doc position cover union + one join back to the token
+       arrays for the rewrite (row-local array surgery).
+    No cartesian anywhere; per-doc work is O(len·cover) array ops.
+    The output contains ONLY rewritten docs, so the result (and the
+    hash gate) is exactly the set of documents the cut changed."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(SPAN_N)
+    ) + ")), 1, 16)"
+    occ = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
+                f"i -> struct(i AS pos, {span_hash} AS span)) "
+                f"ELSE array() END"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.pos", "o.span")
+    freq = (
+        occ.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= CUT_MIN_DOCS)
+        .select("span", "keeper")
+    )
+    cut = occ.join(freq, "span").filter(F.col("doc_id") != F.col("keeper"))
+    cover = cut.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.expr(f"sequence(pos, pos + {SPAN_N - 1})")
+                    )
+                )
+            )
+        ).alias("covered"),
+        F.countDistinct("span").alias("n_spans_cut"),
+    )
+    return (
+        tk.join(cover, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("covered").cast("long").alias("n_removed"),
+            "n_spans_cut",
+            F.expr(
+                "concat_ws(' ', transform("
+                "filter(sequence(1, size(toks)), i -> NOT array_contains(covered, i)), "
+                "i -> element_at(toks, i)))"
+            ).alias("cleaned_text"),
+        )
+    )

@@ -119,3 +119,30 @@ def test_datapoint_schema_matches_wire_format(spark):
     with the wire names."""
     names = [f.name for f in DATAPOINT_SCHEMA.fields]
     assert names == ["timestamp", "device_id", "session_id", "sensor_type", "names", "values"]
+
+
+def test_substring_rewrite_keeps_canonical_copy(spark, tmp_path):
+    """Exact-substring remediation semantics on a crafted corpus: a
+    span shared by docs 1 and 2 is cut from doc 2 only (doc 1 is the
+    lowest-id canonical copy), unique text survives untouched, and a
+    doc fully made of shared spans rewrites to the empty string."""
+    from eventstreamer_spark.operators.indexing import q_substring_dedup_rewrite
+
+    span = "a b c d e f g h"  # exactly SPAN_N=8 tokens
+    docs = [
+        (1, f"{span} unique one tail", "en", "s", 1),
+        (2, f"lead text {span} and more words here", "en", "s", 1),
+        (3, "completely different text with no overlap at all", "en", "s", 1),
+        (4, span, "en", "s", 1),  # nothing but the shared span
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in q_substring_dedup_rewrite(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 4}  # doc 1 keeps the canonical copy, 3 untouched
+    assert out[2].cleaned_text == "lead text and more words here"
+    assert out[2].n_removed == 8 and out[2].n_spans_cut == 1
+    assert out[4].cleaned_text == "" and out[4].n_removed == 8

@@ -762,3 +762,12 @@ def test_domain_cap_no_global_sort_prunes_text(spark):
     # hash shuffle on the domain key
     assert plan.count("Window ") == 2
     assert count_exchanges(df) == 1
+
+
+def test_substring_rewrite_no_cartesian(spark):
+    """Span remediation must meet candidates through the span-hash
+    equi-join (shingle-chain grouping), never an all-pairs product."""
+    from eventstreamer_spark.operators.indexing import q_substring_dedup_rewrite
+
+    df = q_substring_dedup_rewrite(spark, SF_DIR)
+    assert_no_cartesian(df)
