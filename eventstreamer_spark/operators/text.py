@@ -510,3 +510,147 @@ def q_char_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.meank_spark(F.col("top_share"), 1000000).alias("avg_top_share"),
         F.max("n_top").alias("max_top_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned BPE merges (distributed merge-table learning)
+# ---------------------------------------------------------------------------
+
+BPE_VOCAB_TOP = 500  # word types entering the learner (freq-ranked)
+BPE_MERGES = 10
+
+# Segmentations are stored as ' sym1  sym2  ...  symk ' — symbols
+# joined by DOUBLE spaces, single space at each end. A merge of
+# (lhs, rhs) is then ONE string replace of ' lhs  rhs ' with
+# ' lhsrhs ': the single-space padding blocks intra-symbol substring
+# matches, and because a match consumes only ONE of the two separator
+# spaces on each side, the next non-overlapping occurrence keeps its
+# leading space — leftmost non-overlapping replace therefore applies
+# the merge EXACTLY like greedy left-to-right BPE (including odd
+# same-symbol runs: 'a a a a a' → 'aa aa a'), identically in Spark
+# and DuckDB.
+
+
+def _bpe_merges_oracle() -> str:
+    toks = _TOKS_D
+    parts = [
+        f"""freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY word ORDER BY freq DESC, word LIMIT {BPE_VOCAB_TOP})""",
+        """seg0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)), i -> word[i]),
+           '  ') || ' ' AS seg
+  FROM freq)""",
+    ]
+    finals = []
+    for t in range(1, BPE_MERGES + 1):
+        prev = f"seg{t - 1}"
+        parts.append(
+            f"""pc{t} AS MATERIALIZED (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, list_filter(string_split(seg, ' '), x -> x != '') AS s
+        FROM {prev}),
+       unnest(CASE WHEN len(s) >= 2 THEN range(1, len(s)) ELSE [] END) AS u(i)
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"best{t} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM pc{t}"
+            f" ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        pat = (
+            f"' ' || (SELECT lhs FROM best{t}) || '  ' || (SELECT rhs FROM best{t}) || ' '"
+        )
+        rep = f"' ' || (SELECT lhs FROM best{t}) || (SELECT rhs FROM best{t}) || ' '"
+        parts.append(
+            f"seg{t} AS MATERIALIZED (SELECT word, freq, replace(seg, {pat}, {rep}) AS seg FROM {prev})"
+        )
+        finals.append(
+            f"SELECT {t} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+            f" pair_count FROM best{t}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query("bpe_learned_merges", oracle=_bpe_merges_oracle())
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table LEARNING (upgrading
+    ``bpe_token_counts``'s fixed pre-tokenizer): iterate count adjacent
+    symbol pairs over the frequency-weighted vocabulary → broadcast
+    the best merge → re-segment, for {BPE_MERGES} merges; the output
+    IS the learned merge sequence (rank, pair, merged symbol, count)
+    with the deterministic (count DESC, lhs, rhs) tie-break.
+
+    This is the standard scalable formulation: pair statistics come
+    from the WORD-TYPE table (vocab rows × freq weights), never a
+    corpus rescan, so each iteration is one small hash aggregate over
+    ≤ {BPE_VOCAB_TOP} rows here — and over the few-million-type vocab
+    of a 100 TB corpus, same plan. The per-iteration driver collect is
+    ONE row (the argmax pair — the 'broadcast best merge' step);
+    segmentations live in the vocab DataFrame, re-checkpointed per
+    iteration so the replace chain never deepens.
+
+    Merge application is exact greedy BPE via single-pass string
+    replace over double-space-joined symbols (see module comment);
+    tests/test_properties.py pins it against an independent
+    reference implementation, runs and all."""
+    from eventstreamer_spark.sources.tables import load_table_parallel as _ltp
+
+    d = _ltp(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(H.tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(BPE_VOCAB_TOP)
+    )
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat(' ', concat_ws('  ', "
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ')"
+        ).alias("seg"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for t in range(1, BPE_MERGES + 1):
+        pairs = (
+            seg.select(
+                "freq",
+                F.expr("filter(split(seg, ' '), x -> x != '')").alias("s"),
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(s) >= 2 THEN "
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_count").desc(), "lhs", "rhs").limit(1).collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((t, b.lhs, b.rhs, b.lhs + b.rhs, b.pair_count))
+        seg = seg.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {b.lhs}  {b.rhs} "),
+                F.lit(f" {b.lhs}{b.rhs} "),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )

@@ -273,3 +273,67 @@ def test_bounded_memo_evicts_oldest():
 
     for cache in (_PAIRS_CACHE, _SHINGLED_CACHE, _CENT_CACHE, _UPSERT_CACHE):
         assert isinstance(cache, BoundedMemo)
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Textbook BPE learner: weighted adjacent-pair counts over the
+    vocab, (count DESC, lhs, rhs) tie-break, greedy left-to-right
+    merge application."""
+    segs = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def test_bpe_merges_match_reference_implementation(spark, tmp_path):
+    """The replace-based distributed BPE must equal textbook BPE —
+    including greedy application on odd same-symbol runs ('aaaaa' →
+    aa aa a, NOT aa a aa) and merged-symbol reuse — on a corpus
+    crafted to hit those edges."""
+    from eventstreamer_spark.operators.text import (
+        BPE_MERGES,
+        q_bpe_learned_merges,
+    )
+
+    words = (
+        ["aaaaa"] * 9        # odd same-symbol run
+        + ["ababab"] * 7     # alternating overlap
+        + ["banana"] * 6
+        + ["bandana"] * 5
+        + ["aaaa"] * 4       # even run
+        + ["abc"] * 3
+    )
+    docs = [(i, " ".join(words), "en", "s", 1) for i in range(2)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in q_bpe_learned_merges(spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 2  # two identical docs
+    assert got == _reference_bpe(freqs, BPE_MERGES)
