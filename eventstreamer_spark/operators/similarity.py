@@ -930,3 +930,121 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "query_label", "pair_type", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside IVF clusters (composition query)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.35  # corpus-calibrated; real embedding corpora run ~0.9+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_ivf_centroids_duck()},
+centq AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
+), scored AS (
+  SELECT e.vec_id, e.uq, c.c_label,
+         round({H.qcosine_duck("e.uq", "c.cq")}, 5) AS ccos
+  FROM embq e CROSS JOIN centq c
+), assign AS (
+  SELECT vec_id, uq, c_label FROM (
+    SELECT vec_id, uq, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_label) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.c_label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         floor({H.qcosine_duck("a.uq", "b.uq")} * 100000 + 0.5) / 100000.0 AS cosine
+  FROM assign a JOIN assign b
+    ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+  WHERE floor({H.qcosine_duck("a.uq", "b.uq")} * 100000 + 0.5) / 100000.0
+        >= {SEMDEDUP_T}
+), ranked AS (
+  SELECT c_label, vec_b AS vec_id, vec_a, cosine,
+         row_number() OVER (PARTITION BY vec_b ORDER BY cosine DESC, vec_a) AS rn,
+         CAST(count(*) OVER (PARTITION BY vec_b) AS BIGINT) AS n_lower_partners
+  FROM pairs
+)
+SELECT CAST(c_label AS INTEGER) AS c_label, vec_id,
+       vec_a AS keeper_id, cosine, n_lower_partners
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.): cluster the corpus with k-means, then
+    deduplicate SEMANTICALLY inside each cluster — a vector is dropped
+    when its cluster holds a lower-id vector with cosine ≥
+    {SEMDEDUP_T}; the output lists each dropped vector with its
+    best keeper (max cosine, then lowest id) and how many lower-id
+    partners it had.
+
+    Pure composition of verified pieces: the converged centroid table
+    comes from the session memo (ivf_centroids_for — built once,
+    shared with ivf_centroid_assign/ivf_topk_search), assignment is
+    the same mapInPandas int64 matmul (_score_centroids), and the
+    within-cluster pair scoring is the exact quantized-cosine kernel
+    grouped BY CLUSTER — the whole point of SemDeDup's design: the
+    O(n²) pair work shrinks to Σ|cluster|², and with the adaptive
+    k = ⌈√n⌉ seeding (ivf_adaptive variant) each cluster stays ~√n so
+    the total is ~n^1.5 — the plan a 100 TB run uses (clusters are
+    independent applyInPandas groups; nothing global materializes).
+    Drop decisions ride one window over the pair table keyed by the
+    dropped vector."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_for(spark, sf_dir, e=e, embq=embq)
+    assign = _score_centroids(embq, cent).select("vec_id", "uq", "c_label")
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "c_label": pd.Series(dtype="int32"),
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
+        dots = mat @ mat.T  # exact int64
+        cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
+        ai, bi = np.nonzero(np.triu(cos >= SEMDEDUP_T, k=1))
+        return pd.DataFrame(
+            {
+                "c_label": np.full(len(ai), pdf["c_label"].iloc[0], dtype="int32"),
+                "vec_a": ids[ai],  # sorted ids → a < b by construction
+                "vec_b": ids[bi],
+                "cosine": cos[ai, bi],
+            }
+        )
+
+    pairs = assign.groupBy("c_label").applyInPandas(
+        cluster_pairs, "c_label int, vec_a long, vec_b long, cosine double"
+    )
+    w = Window.partitionBy("vec_b")
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.col("cosine").desc(), F.col("vec_a"))),
+        )
+        .withColumn("n_lower_partners", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_label",
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("keeper_id"),
+            "cosine",
+            "n_lower_partners",
+        )
+    )

@@ -771,3 +771,15 @@ def test_substring_rewrite_no_cartesian(spark):
 
     df = q_substring_dedup_rewrite(spark, SF_DIR)
     assert_no_cartesian(df)
+
+
+def test_semantic_dedup_clustered_pairs_no_cartesian(spark):
+    """SemDeDup's pair work must stay inside per-cluster
+    FlatMapGroupsInPandas groups — no corpus-level cartesian and no
+    corpus broadcast."""
+    from eventstreamer_spark.operators.similarity import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert_no_cartesian(df)
