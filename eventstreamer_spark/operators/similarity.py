@@ -938,8 +938,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_T = 0.35  # corpus-calibrated; real embedding corpora run ~0.9+
 
+# Adaptive ⌈√n⌉ clustering (not the fixed label seeds): cluster sizes
+# stay ~√n so the within-cluster pair work totals ~n^1.5 — the scale
+# property SemDeDup exists for. Fixed-k seeding would make clusters
+# grow as n/k and the pair stage quadratic again.
 _SEMDEDUP_ORACLE = f"""
-WITH {_ivf_centroids_duck()},
+WITH {_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)},
 centq AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
 ), scored AS (
@@ -980,28 +984,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     best keeper (max cosine, then lowest id) and how many lower-id
     partners it had.
 
-    Pure composition of verified pieces: the converged centroid table
-    comes from the session memo (ivf_centroids_for — built once,
-    shared with ivf_centroid_assign/ivf_topk_search), assignment is
-    the same mapInPandas int64 matmul (_score_centroids), and the
-    within-cluster pair scoring is the exact quantized-cosine kernel
-    grouped BY CLUSTER — the whole point of SemDeDup's design: the
-    O(n²) pair work shrinks to Σ|cluster|², and with the adaptive
-    k = ⌈√n⌉ seeding (ivf_adaptive variant) each cluster stays ~√n so
-    the total is ~n^1.5 — the plan a 100 TB run uses (clusters are
-    independent applyInPandas groups; nothing global materializes).
-    Drop decisions ride one window over the pair table keyed by the
-    dropped vector."""
+    Pure composition of verified pieces: the converged adaptive-k
+    centroid table comes from the session memo (ivf_centroids_for,
+    sqrt-k variant — built once, shared with ivf_adaptive_topk),
+    assignment is the same mapInPandas int64 matmul
+    (_score_centroids), and the within-cluster pair scoring is the
+    exact quantized-cosine kernel grouped BY CLUSTER — the whole point
+    of SemDeDup's design: the O(n²) pair work shrinks to Σ|cluster|²,
+    and with k = ⌈√n⌉ each cluster stays ~√n so the total is ~n^1.5 —
+    the plan a 100 TB run uses (clusters are independent applyInPandas
+    groups; nothing global materializes). Drop decisions ride one
+    window over the pair table keyed by the dropped vector."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
+    k = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
     embq = (
         H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
-    cent = ivf_centroids_for(spark, sf_dir, e=e, embq=embq)
+    cent = ivf_centroids_for(
+        spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}"
+    )
     assign = _score_centroids(embq, cent).select("vec_id", "uq", "c_label")
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
