@@ -75,6 +75,9 @@ QUERIES: tuple[str, ...] = (
     "multimodal_payload_dedup", "json_ingest_corrupt_audit",
     "time_hierarchy_rollup", "parquet_schema_evolution",
     "stream_foreachbatch_upsert",
+    # round-6 additions
+    "substring_dedup_rewrite", "bpe_learned_merges", "domain_cap_filter",
+    "semantic_dedup", "neardup_prefilter_recall",
 )
 
 # name -> (max factor, reason)
@@ -82,6 +85,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "embedding_neardup": (10, "exact all-pairs verify kernel: O(n^2) by contract; the LSH/IVF prefilter is the scale route (dedup.py)"),
     "stream_tumbling_stats": (10, "one-batch gate run holds all window state in the in-memory test provider; production uses RocksDB"),
     "push_time_stream_parity": (10, "same in-memory gate state provider bound"),
+    "neardup_prefilter_recall": (10, "runs the exact all-pairs calibration kernel alongside the prefilter: O(n^2) by contract"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and
