@@ -462,3 +462,133 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (the CCNet quality dimension)
+# ---------------------------------------------------------------------------
+
+# Add-1-smoothed bigram LM trained on the corpus itself:
+# P(b|a) = (c(ab)+1) / (c(a·)+V). Per-token negative log-likelihoods
+# are ln() of INTEGER arguments quantized to micro-nats BEFORE any
+# sum (the zipf_slope determinism pattern: a libm 1-ulp difference on
+# identical integer inputs would have to land within 1e-9 of a
+# rounding boundary to flip a quantized value), so document totals are
+# exact int64 sums in both engines.
+
+# Band cut points in exact integer micro-nats (avg_nll_e6 is an int64
+# in both engines, so banding can never sit on a float boundary);
+# calibrated to the corpus's observed 3.31-3.52 nat range so the bands
+# actually partition it (~30/45/25).
+PPL_BANDS = (("low", 0), ("mid", 3_370_000), ("high", 3_410_000))
+
+
+def _ppl_band_sql(avg_col: str) -> str:
+    # identical CASE text for both engines (integer thresholds)
+    return (
+        f"CASE WHEN {avg_col} < {PPL_BANDS[1][1]} THEN 'low'"
+        f" WHEN {avg_col} < {PPL_BANDS[2][1]} THEN 'mid'"
+        f" ELSE 'high' END"
+    )
+
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS prefix, t[i + 1] AS next_token
+  FROM toks, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+), doc_bg AS (
+  SELECT doc_id, prefix, next_token, CAST(count(*) AS BIGINT) AS n_occ
+  FROM bg GROUP BY 1, 2, 3
+), c_ab AS (
+  SELECT prefix, next_token, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2
+), c_a AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT unnest({_TOKS_D}) AS word FROM documents)
+), scored AS (
+  SELECT d.doc_id, d.n_occ,
+         CAST(round(ln(c.ca + v.vsz) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(a.cab + 1) * 1000000, 0) AS BIGINT) AS nll_e6
+  FROM doc_bg d
+  JOIN c_ab a ON d.prefix = a.prefix AND d.next_token = a.next_token
+  JOIN c_a c ON d.prefix = c.prefix
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+         CAST(floor(sum(n_occ * nll_e6) * 1.0 / sum(n_occ) + 0.5) AS BIGINT)
+           AS avg_nll_e6
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       avg_nll_e6 / 1000000.0 AS avg_neg_log_likelihood,
+       {_ppl_band_sql("avg_nll_e6")} AS ppl_band
+FROM agg WHERE doc_id % 5 = 0
+"""
+
+
+@query("bigram_perplexity", oracle=_PPL_ORACLE)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality scoring — the CCNet recipe's perplexity
+    dimension: train an add-1-smoothed bigram LM on the corpus (the
+    ``bigram_conditional_probs`` estimation step), then score every
+    document's average per-token negative log-likelihood under it and
+    band the result (low = fluent/templated, high = atypical) —
+    exactly the signal used to partition a crawl into quality tiers.
+
+    Plan: bigram counts aggregate per (doc, pair) FIRST so the model
+    join touches one row per distinct pair per doc, not per
+    occurrence; the model tables join back on the pair/prefix keys
+    (corpus-scale equi-joins); the vocab size is a broadcast one-row
+    aggregate. Per-doc totals are one aggregate keyed by doc_id.
+    Output sampled to doc_id % 5 = 0 to keep the gate row count
+    bounded; the plan is identical unsampled."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_TOKS_S}) >= 2 THEN "
+                f"transform(sequence(0, size({_TOKS_S}) - 2), "
+                f"i -> struct(element_at({_TOKS_S}, i + 1) AS prefix, "
+                f"element_at({_TOKS_S}, i + 2) AS next_token)) "
+                f"ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prefix", "p.next_token")
+    doc_bg = bg.groupBy("doc_id", "prefix", "next_token").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    c_ab = bg.groupBy("prefix", "next_token").agg(F.count(F.lit(1)).alias("cab"))
+    c_a = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("ca"))
+    v = d.select(F.explode(F.expr(_TOKS_S)).alias("word")).agg(
+        F.countDistinct("word").alias("vsz")
+    )
+    nll = (
+        F.round(F.log(F.col("ca") + F.col("vsz")) * 1000000, 0).cast("long")
+        - F.round(F.log(F.col("cab") + 1) * 1000000, 0).cast("long")
+    )
+    scored = (
+        doc_bg.join(c_ab, ["prefix", "next_token"])
+        .join(c_a, "prefix")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "n_occ", nll.alias("nll_e6"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        F.floor(
+            F.sum(F.col("n_occ") * F.col("nll_e6")) * F.lit(1.0) / F.sum("n_occ")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_nll_e6"),
+    )
+    return agg.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("avg_nll_e6") / F.lit(1000000.0)).alias("avg_neg_log_likelihood"),
+        F.expr(_ppl_band_sql("avg_nll_e6")).alias("ppl_band"),
+    )
