@@ -77,7 +77,8 @@ QUERIES: tuple[str, ...] = (
     "stream_foreachbatch_upsert",
     # round-6 additions
     "substring_dedup_rewrite", "bpe_learned_merges", "domain_cap_filter",
-    "semantic_dedup", "neardup_prefilter_recall",
+    "semantic_dedup", "neardup_prefilter_recall", "bpe_apply_segmentation",
+    "bigram_perplexity",
 )
 
 # name -> (max factor, reason)
