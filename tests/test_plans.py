@@ -783,3 +783,27 @@ def test_semantic_dedup_clustered_pairs_no_cartesian(spark):
     plan = physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert_no_cartesian(df)
+
+
+def test_bigram_perplexity_preaggregates_before_model_join(spark):
+    """The LM scoring join must run at (doc, pair) grain — the
+    pre-aggregate keeps the equi-joins at distinct-pair volume — with
+    the vocab size joining as a broadcast one-row aggregate."""
+    from eventstreamer_spark.operators.indexing import q_bigram_perplexity
+
+    df = q_bigram_perplexity(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_bpe_apply_row_local_segmentation(spark):
+    """Applying the learned merges is a projection over the vocab: one
+    aggregation for the word counts, one for the report — no joins, no
+    Python in the row path."""
+    from eventstreamer_spark.operators.text import q_bpe_apply_segmentation
+
+    df = q_bpe_apply_segmentation(spark, SF_DIR)
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "EvalPython"):
+        assert node not in plan, f"unexpected {node}"
+    assert count_exchanges(df) <= 3  # parallel-read fan-out + two aggs
