@@ -405,3 +405,87 @@ def q_priority_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_in_year"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup method agreement (textual vs semantic duplicate confusion)
+# ---------------------------------------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    from eventstreamer_spark.operators.dedup import (
+        _MINHASH_ORACLE,
+        _SIMHASH_ORACLE,
+        _emb_pref_oracle,
+    )
+
+    return f"""
+WITH mh AS MATERIALIZED ({_MINHASH_ORACLE}),
+sh AS MATERIALIZED ({_SIMHASH_ORACLE}),
+em AS MATERIALIZED ({_emb_pref_oracle(0.45)}),
+all_pairs AS (
+  SELECT doc_a, doc_b, 'minhash' AS method FROM mh
+  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sh
+  UNION ALL SELECT vec_a AS doc_a, vec_b AS doc_b, 'embedding' FROM em
+)
+SELECT doc_a, doc_b,
+       CAST(max(CASE WHEN method = 'minhash' THEN 1 ELSE 0 END) AS INTEGER)
+         AS by_minhash,
+       CAST(max(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) AS INTEGER)
+         AS by_simhash,
+       CAST(max(CASE WHEN method = 'embedding' THEN 1 ELSE 0 END) AS INTEGER)
+         AS by_embedding,
+       CAST(count(DISTINCT method) AS BIGINT) AS n_methods
+FROM all_pairs
+GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_method_agreement", oracle=_method_agreement_oracle())
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method duplicate-detection confusion: every candidate
+    pair found by ANY of MinHash-LSH (est_jaccard ≥ 0.5), SimHash
+    (hamming ≤ 3), or SRP-prefiltered embedding cosine (≥ 0.45), with
+    per-method hit flags — the audit a data team reads to decide
+    whether textual and semantic dedup are finding the SAME
+    duplicates (n_methods ≥ 2) or complementary ones (n_methods = 1),
+    i.e. whether running both stages pays for itself.
+
+    The fixtures give documents and embeddings one shared id space
+    (FIXTURES.md: 500 rows each, ids 0-499; embeddings[i] embeds
+    documents[i]), which is what lets the embedding pairs union with
+    the text pairs. Pure composition: the MinHash pair table comes
+    from the session memo (minhash_pairs_for), the other two pipelines
+    are the verified operators re-declared in this plan; the union is
+    pair-table-sized (LSH/blocking-bounded), so the final groupBy
+    shuffles only candidate ids + method tags."""
+    from eventstreamer_spark.operators.dedup import (
+        embedding_prefiltered_pairs,
+        minhash_pairs_for,
+        q_simhash_neardup,
+    )
+
+    mh = minhash_pairs_for(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("method")
+    )
+    sh = q_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("method")
+    )
+    em = embedding_prefiltered_pairs(spark, sf_dir, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit("embedding").alias("method"),
+    )
+    return (
+        mh.unionByName(sh)
+        .unionByName(em)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max((F.col("method") == "minhash").cast("int")).alias("by_minhash"),
+            F.max((F.col("method") == "simhash").cast("int")).alias("by_simhash"),
+            F.max((F.col("method") == "embedding").cast("int")).alias(
+                "by_embedding"
+            ),
+            F.countDistinct("method").alias("n_methods"),
+        )
+    )

@@ -396,3 +396,124 @@ def q_push_time_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("push_stream_parity_sink").withColumn(
         "avg_value", F.round(F.col("avg_value"), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped-duration sessionization (gap + max-length sessions)
+# ---------------------------------------------------------------------------
+
+# Spark's session_window expresses inactivity-gap sessions only; real
+# sessionization also CAPS session length (billing periods, abuse
+# cutoffs, training-sequence limits). The break rule is a per-key
+# left-to-right recurrence — same family as the push-time anchor walk
+# above, so it reuses the single-shuffle mapInPandas plan and the
+# recursive-CTE oracle pattern.
+
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # inactivity break: 12 h
+SESSION_CAP_US = 48 * 3600 * 1_000_000  # duration break: 48 h
+
+
+def _capped_sessions_per_key(g: "pd.DataFrame") -> "pd.DataFrame":
+    import numpy as np
+
+    g = g.sort_values(["ts_us", "event_id"])
+    ts = g["ts_us"].to_numpy(dtype="int64")
+    vals = g["value"].to_numpy(dtype="float64")
+    key = g["key"].iloc[0]
+    rows = []
+    sess_start = prev = None
+    n = 0
+    vsum = 0  # micro-scaled int sum (order-free exactness)
+    first_ts = last_ts = None
+    for i in range(len(ts)):
+        t = int(ts[i])
+        if sess_start is None:
+            sess_start = t
+        elif t - prev > SESSION_GAP_US or t - sess_start >= SESSION_CAP_US:
+            rows.append((key, sess_start, n, last_ts - first_ts, vsum))
+            sess_start = t
+            n = 0
+            vsum = 0
+            first_ts = None
+        if first_ts is None:
+            first_ts = t
+        last_ts = prev = t
+        n += 1
+        vsum += int(np.floor(vals[i] * 1_000_000 + 0.5))
+    if n:
+        rows.append((key, sess_start, n, last_ts - first_ts, vsum))
+    out = pd.DataFrame(
+        rows, columns=["key", "session_start_us", "n_events", "duration_us", "vsum"]
+    )
+    out["sum_value"] = out.pop("vsum") / 1_000_000.0
+    return out
+
+
+CAPPED_SCHEMA = (
+    "key string, session_start_us long, n_events long, duration_us long, "
+    "sum_value double"
+)
+
+
+def _capped_whole_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    chunks = list(pdfs)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    for _, g in pdf.groupby("key", sort=False):
+        yield _capped_sessions_per_key(g)
+
+
+_CAPPED_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_us(ts) AS ts_us, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT key, rn, ts_us, value, ts_us AS sess_start
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.rn, e.ts_us, e.value,
+         CASE WHEN e.ts_us - w.ts_us > {SESSION_GAP_US}
+                OR e.ts_us - w.sess_start >= {SESSION_CAP_US}
+              THEN e.ts_us ELSE w.sess_start END
+  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1
+)
+SELECT key,
+       sess_start AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+       sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value
+FROM walk
+GROUP BY key, sess_start
+"""
+
+
+@query("capped_session_windows", oracle=_CAPPED_ORACLE)
+def q_capped_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH break rules real systems need: a new
+    session starts when the inactivity gap exceeds 12 h OR the running
+    session would reach the 48 h duration cap — the second rule is
+    what `session_window` cannot express (session start depends on
+    previous break decisions, a left-to-right recurrence).
+
+    Same plan as the push-time walk: ONE hash shuffle co-locates each
+    key, then a linear per-key scan inside `mapInPandas` (Arrow
+    per-partition, not per-group). Value sums accumulate as
+    micro-scaled int64 so the result is bit-identical to the
+    recursive-CTE oracle in any execution order. At 100 TB the
+    repartition width is the memory knob and per-key state is one
+    cursor — the streaming twin of this rule is an
+    applyInPandasWithState carry of (sess_start, prev_ts), exactly
+    like push_time_stream's (anchor, buffer)."""
+    prepared = load_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return prepared.repartition(32, "key").mapInPandas(
+        _capped_whole_partition, CAPPED_SCHEMA
+    )

@@ -490,3 +490,36 @@ def test_foreachbatch_upsert_replay_idempotent(spark, tmp_path):
     upsert_version_step(spark, root, b1, 1)
     assert snapshot() == want
     # a counter-keyed sink would have read v1 here and produced (7,3,3)
+
+
+def test_capped_sessions_both_break_rules(spark, tmp_path):
+    """The capped sessionizer must break on BOTH rules: inactivity
+    gap > 12 h, and running duration reaching 48 h even with no gap —
+    crafted so each rule fires alone."""
+    from eventstreamer_spark.streaming.stateful import q_capped_session_windows
+
+    H = 3_600
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: steady 11 h cadence → only the duration cap can break it
+    for i, h in enumerate((0, 11, 22, 33, 44, 55, 66)):
+        rows.append((i, base + dt.timedelta(hours=h), 1, "t", 1.0, None))
+    # user 2: 19 h gap → only the gap rule fires
+    for j, h in enumerate((0, 1, 20)):
+        rows.append((100 + j, base + dt.timedelta(hours=h), 2, "t", 1.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = sorted(
+        (r.key, r.session_start_us, r.n_events, r.duration_us)
+        for r in q_capped_session_windows(spark, str(tmp_path)).collect()
+    )
+    us = lambda h: int((base + dt.timedelta(hours=h)).timestamp() * 1_000_000)
+    assert out == [
+        ("1", us(0), 5, (44 - 0) * H * 1_000_000),   # capped at 55h-start
+        ("1", us(55), 2, 11 * H * 1_000_000),
+        ("2", us(0), 2, 1 * H * 1_000_000),           # gap break at 20h
+        ("2", us(20), 1, 0),
+    ]
