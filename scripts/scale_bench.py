@@ -78,7 +78,7 @@ QUERIES: tuple[str, ...] = (
     # round-6 additions
     "substring_dedup_rewrite", "bpe_learned_merges", "domain_cap_filter",
     "semantic_dedup", "neardup_prefilter_recall", "bpe_apply_segmentation",
-    "bigram_perplexity",
+    "bigram_perplexity", "dedup_method_agreement", "capped_session_windows",
 )
 
 # name -> (max factor, reason)
