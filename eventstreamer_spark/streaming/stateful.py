@@ -517,3 +517,138 @@ def q_capped_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.repartition(32, "key").mapInPandas(
         _capped_whole_partition, CAPPED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming form of the capped sessionizer (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def advance_capped_chain(
+    state: tuple | None,
+    rows: list[tuple[int, float]],
+) -> tuple[list[dict], tuple | None]:
+    """One micro-batch step of the capped-session recurrence: fold
+    (ts_us, value) rows — sorted by event time — into carried state
+    ``(sess_start, prev_ts, first_ts, last_ts, n, vsum_e6)``,
+    returning (closed-session records, new state). Pure, so chunking
+    invariance is property-testable exactly like the anchor chain."""
+    import math
+
+    out: list[dict] = []
+    if state is None:
+        sess = prev = first = last = None
+        n = vsum = 0
+    else:
+        sess, prev, first, last, n, vsum = state
+    for ts, val in rows:
+        ts = int(ts)
+        if sess is None:
+            sess = ts
+        elif ts - prev > SESSION_GAP_US or ts - sess >= SESSION_CAP_US:
+            out.append(
+                {
+                    "session_start_us": int(sess),
+                    "n_events": int(n),
+                    "duration_us": int(last - first),
+                    "sum_value": vsum / 1_000_000.0,
+                }
+            )
+            sess, first, n, vsum = ts, None, 0, 0
+        if first is None:
+            first = ts
+        last = prev = ts
+        n += 1
+        vsum += int(math.floor(val * 1_000_000 + 0.5))
+    new_state = None if sess is None else (sess, prev, first, last, n, vsum)
+    return out, new_state
+
+
+def capped_session_stream(events: DataFrame) -> DataFrame:
+    """Live capped-duration sessionization: per-key state carries the
+    open session across micro-batches; sessions emit when the gap or
+    cap rule closes them, the open tail stays in state — the streaming
+    twin the batch query's docstring promises."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["key", "session_start_us", "n_events", "duration_us", "sum_value"]
+        st = tuple(state.get) if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"].astype("int64"), pdf["value"].astype("float64"))
+            )
+        rows.sort(key=lambda r: r[0])
+        closed, st = advance_capped_chain(st, rows)
+        if st is not None:
+            state.update(st)
+        out = [{"key": key[0], **rec} for rec in closed]
+        yield pd.DataFrame(out, columns=cols)
+
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    state_schema = (
+        "sess long, prev long, first long, last long, n long, vsum long"
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, CAPPED_SCHEMA, state_schema, "append", "NoTimeout"
+    )
+
+
+_CAPPED_STREAM_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_us(ts) AS ts_us, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT key, rn, ts_us, value, ts_us AS sess_start
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.rn, e.ts_us, e.value,
+         CASE WHEN e.ts_us - w.ts_us > {SESSION_GAP_US}
+                OR e.ts_us - w.sess_start >= {SESSION_CAP_US}
+              THEN e.ts_us ELSE w.sess_start END
+  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1
+),
+sess AS (
+  SELECT key,
+         sess_start AS session_start_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value,
+         max(sess_start) OVER (PARTITION BY key) AS tail_start
+  FROM walk
+  GROUP BY key, sess_start
+)
+SELECT key, session_start_us, n_events, duration_us, sum_value
+FROM sess WHERE session_start_us < tail_start
+"""
+
+
+@query("stream_capped_sessions", oracle=_CAPPED_STREAM_ORACLE)
+def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-duration sessionization as a REAL stateful streaming
+    execution (applyInPandasWithState, append mode): per-key state
+    carries (sess_start, prev, first, last, n, Σvalue·1e6) across
+    micro-batches; the gap (12 h) and cap (48 h) rules close sessions
+    live, each key's open tail stays in state. The oracle replays the
+    same recurrence and drops every key's final session, so the live
+    streaming output hash-checks against an independent engine — the
+    push_time_stream_parity pattern applied to the one session rule
+    `session_window` cannot express."""
+    from eventstreamer_spark.session import configure
+    from eventstreamer_spark.streaming.pipeline import run_to_memory, stream_events_sf
+
+    configure(spark)
+    stream = stream_events_sf(spark, sf_dir).select("ts", "user_id", "value")
+    out = capped_session_stream(stream)
+    run_to_memory(out, "capped_sessions_sink", mode="append")
+    return spark.table("capped_sessions_sink")

@@ -337,3 +337,84 @@ def test_bpe_merges_match_reference_implementation(spark, tmp_path):
     for w in words:
         freqs[w] = freqs.get(w, 0) + 2  # two identical docs
     assert got == _reference_bpe(freqs, BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# capped-session streaming fold == batch model under ANY chunking
+# ---------------------------------------------------------------------------
+
+# ts spans must straddle the 12h gap / 48h cap constants to exercise
+# both break rules: hours-scale integer timestamps.
+_capped_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200 * 3_600_000_000),  # ts_us, ~200h
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+def _capped_sessions_model(rows):
+    """Independent reference model of the gap+cap rule."""
+    import math
+
+    from eventstreamer_spark.streaming.stateful import (
+        SESSION_CAP_US,
+        SESSION_GAP_US,
+    )
+
+    rows = sorted(rows)
+    out, cur = [], []
+    for ts, val in rows:
+        if cur and (ts - cur[-1][0] > SESSION_GAP_US or ts - cur[0][0] >= SESSION_CAP_US):
+            out.append(cur)
+            cur = []
+        cur.append((ts, val))
+    if cur:
+        out.append(cur)
+    recs = []
+    for sess in out:
+        vsum = sum(int(math.floor(v * 1_000_000 + 0.5)) for _, v in sess)
+        recs.append(
+            {
+                "session_start_us": sess[0][0],
+                "n_events": len(sess),
+                "duration_us": sess[-1][0] - sess[0][0],
+                "sum_value": vsum / 1_000_000.0,
+            }
+        )
+    return recs
+
+
+@given(_capped_rows, st.lists(st.integers(min_value=0, max_value=120), max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_capped_session_chunking_invariant(rows, cut_points):
+    """Folding events through the streaming capped-session core
+    (advance_capped_chain) in ANY micro-batch chunking equals the
+    independent batch model — closed sessions stream out, flushing the
+    open-tail state yields the model's last session."""
+    from eventstreamer_spark.streaming.stateful import advance_capped_chain
+
+    rows = sorted({(t, round(v, 3)) for t, v in rows})
+    cuts = sorted({c for c in cut_points if c < len(rows)})
+    chunks, prev = [], 0
+    for c in cuts + [len(rows)]:
+        chunks.append(rows[prev:c])
+        prev = c
+
+    state, streamed = None, []
+    for chunk in chunks:
+        closed, state = advance_capped_chain(state, chunk)
+        streamed.extend(closed)
+    if state is not None:  # flush the open tail
+        sess, prev_ts, first, last, n, vsum = state
+        streamed.append(
+            {
+                "session_start_us": sess,
+                "n_events": n,
+                "duration_us": last - first,
+                "sum_value": vsum / 1_000_000.0,
+            }
+        )
+    assert streamed == _capped_sessions_model(rows)
