@@ -43,3 +43,14 @@ class BoundedMemo(dict):
                 if self._on_evict is not None:
                     self._on_evict(oldest, evicted)
         super().__setitem__(key, value)
+
+    # dict.update()/setdefault() bypass __setitem__ at the C level —
+    # route them through it so no insertion path can skip the bound.
+    def update(self, *args: Any, **kwargs: Any) -> None:
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, key: Any, default: Any = None) -> Any:
+        if key not in self:
+            self[key] = default
+        return self[key]

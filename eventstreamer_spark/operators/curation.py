@@ -106,8 +106,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-domain cap (CCNet-style URL/host-grain curation)
 # ---------------------------------------------------------------------------
 
-# Proportional cap: a domain keeps at most ceil(0.6·n_d) of its docs
-# (floor+1 below, identical in both engines for non-integral 0.6·n_d;
+# Proportional cap: a domain keeps at most max(1, floor(0.6·n_d)) of
+# its docs (floor of an identical IEEE product in both engines;
 # greatest(1, …) guards singleton domains). A proportional cap — not a
 # fixed K — keeps the query non-vacuous at every scale factor and is
 # what per-host down-sampling looks like when domain sizes are
@@ -151,7 +151,7 @@ GROUP BY source
 @query("domain_cap_filter", oracle=_DOMAIN_CAP_ORACLE)
 def q_domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-domain cap with deterministic ranked keep: each
-    domain (the ``source`` host key) keeps its top ceil(0.6·n) docs by
+    domain (the ``source`` host key) keeps its top floor(0.6·n) docs by
     (n_chars DESC, doc_id) and the report shows what the cap removed —
     kept/removed counts, share, and the quality split (avg kept chars
     must exceed avg removed chars by construction, which the hash

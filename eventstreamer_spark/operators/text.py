@@ -711,9 +711,15 @@ def _bpe_apply_oracle() -> str:
             f"' ' || (SELECT lhs FROM best{t}) || '  ' || (SELECT rhs FROM best{t}) || ' '"
         )
         rep = f"' ' || (SELECT lhs FROM best{t}) || (SELECT rhs FROM best{t}) || ' '"
+        # merge-exhaustion guard: when best{t} is empty (corpus supports
+        # fewer than BPE_MERGES merges) the scalar subqueries are NULL and
+        # replace(seg, NULL, NULL) would NULL-cascade every segmentation —
+        # pass seg through unchanged instead, matching the Spark side's
+        # early break in learn_bpe_merges.
         parts.append(
             f"segall{t} AS MATERIALIZED (SELECT word, freq,"
-            f" replace(seg, {pat}, {rep}) AS seg FROM segall{t - 1})"
+            f" CASE WHEN (SELECT lhs FROM best{t}) IS NULL THEN seg"
+            f" ELSE replace(seg, {pat}, {rep}) END AS seg FROM segall{t - 1})"
         )
     return (
         "WITH "

@@ -848,11 +848,13 @@ def upsert_version_step(
 # per-user table stays ON DISK and is returned as a plain parquet scan
 # — no driver materialization. Deliberately NOT a read-through memo:
 # every invocation re-runs the stream (bench/scale timings must
-# measure the merge, not a cache hit); the bound only caps how many
-# finished dirs can exist before the oldest is reclaimed.
-_UPSERT_CACHE: dict[tuple[str, str, int], str] = BoundedMemo(
-    maxsize=8, on_evict=lambda _k, path: __import__("shutil").rmtree(path, ignore_errors=True)
-)
+# measure the merge, not a cache hit). Eviction only drops the memo
+# REFERENCE — deleting the dir would break a still-held DataFrame from
+# an earlier invocation; every created dir is tracked in _UPSERT_DIRS
+# and reclaimed at process exit, so disk growth is bounded by the
+# session, like formats._RT_CACHE.
+_UPSERT_CACHE: dict[tuple[str, str, int], str] = BoundedMemo(maxsize=8)
+_UPSERT_DIRS: list[str] = []
 _UPSERT_SEQ = {"n": 0}
 
 
@@ -860,8 +862,9 @@ _UPSERT_SEQ = {"n": 0}
 def _cleanup_upsert_dirs() -> None:
     import shutil
 
-    for path in _UPSERT_CACHE.values():
+    for path in _UPSERT_DIRS:
         shutil.rmtree(path, ignore_errors=True)
+    _UPSERT_DIRS.clear()
     _UPSERT_CACHE.clear()
 
 
@@ -935,6 +938,7 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(v[1:]) for v in os.listdir(target_root) if v.startswith("v")
         )
         final_dir = tempfile.mkdtemp(prefix="es_upsert_final_")
+        _UPSERT_DIRS.append(final_dir)
         spark.read.parquet(f"{target_root}/v{last}").drop("k").write.mode(
             "overwrite"
         ).parquet(final_dir)

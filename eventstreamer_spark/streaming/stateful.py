@@ -421,27 +421,25 @@ def _capped_sessions_per_key(g: "pd.DataFrame") -> "pd.DataFrame":
     vals = g["value"].to_numpy(dtype="float64")
     key = g["key"].iloc[0]
     rows = []
-    sess_start = prev = None
+    sess_start = prev = last_ts = None
     n = 0
     vsum = 0  # micro-scaled int sum (order-free exactness)
-    first_ts = last_ts = None
     for i in range(len(ts)):
         t = int(ts[i])
         if sess_start is None:
             sess_start = t
         elif t - prev > SESSION_GAP_US or t - sess_start >= SESSION_CAP_US:
-            rows.append((key, sess_start, n, last_ts - first_ts, vsum))
+            # a session's first event IS its start, so duration is
+            # last - sess_start (no separate first_ts to carry)
+            rows.append((key, sess_start, n, last_ts - sess_start, vsum))
             sess_start = t
             n = 0
             vsum = 0
-            first_ts = None
-        if first_ts is None:
-            first_ts = t
         last_ts = prev = t
         n += 1
         vsum += int(np.floor(vals[i] * 1_000_000 + 0.5))
     if n:
-        rows.append((key, sess_start, n, last_ts - first_ts, vsum))
+        rows.append((key, sess_start, n, last_ts - sess_start, vsum))
     out = pd.DataFrame(
         rows, columns=["key", "session_start_us", "n_events", "duration_us", "vsum"]
     )
@@ -530,17 +528,18 @@ def advance_capped_chain(
 ) -> tuple[list[dict], tuple | None]:
     """One micro-batch step of the capped-session recurrence: fold
     (ts_us, value) rows — sorted by event time — into carried state
-    ``(sess_start, prev_ts, first_ts, last_ts, n, vsum_e6)``,
-    returning (closed-session records, new state). Pure, so chunking
-    invariance is property-testable exactly like the anchor chain."""
+    ``(sess_start, prev_ts, last_ts, n, vsum_e6)`` — a session's first
+    event IS its start, so no separate first_ts — returning
+    (closed-session records, new state). Pure, so chunking invariance
+    is property-testable exactly like the anchor chain."""
     import math
 
     out: list[dict] = []
     if state is None:
-        sess = prev = first = last = None
+        sess = prev = last = None
         n = vsum = 0
     else:
-        sess, prev, first, last, n, vsum = state
+        sess, prev, last, n, vsum = state
     for ts, val in rows:
         ts = int(ts)
         if sess is None:
@@ -550,17 +549,15 @@ def advance_capped_chain(
                 {
                     "session_start_us": int(sess),
                     "n_events": int(n),
-                    "duration_us": int(last - first),
+                    "duration_us": int(last - sess),
                     "sum_value": vsum / 1_000_000.0,
                 }
             )
-            sess, first, n, vsum = ts, None, 0, 0
-        if first is None:
-            first = ts
+            sess, n, vsum = ts, 0, 0
         last = prev = ts
         n += 1
         vsum += int(math.floor(val * 1_000_000 + 0.5))
-    new_state = None if sess is None else (sess, prev, first, last, n, vsum)
+    new_state = None if sess is None else (sess, prev, last, n, vsum)
     return out, new_state
 
 
@@ -593,9 +590,7 @@ def capped_session_stream(events: DataFrame) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "value",
     )
-    state_schema = (
-        "sess long, prev long, first long, last long, n long, vsum long"
-    )
+    state_schema = "sess long, prev long, last long, n long, vsum long"
     return prepared.groupBy("key").applyInPandasWithState(
         fn, CAPPED_SCHEMA, state_schema, "append", "NoTimeout"
     )
@@ -637,7 +632,7 @@ FROM sess WHERE session_start_us < tail_start
 def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped-duration sessionization as a REAL stateful streaming
     execution (applyInPandasWithState, append mode): per-key state
-    carries (sess_start, prev, first, last, n, Σvalue·1e6) across
+    carries (sess_start, prev, last, n, Σvalue·1e6) across
     micro-batches; the gap (12 h) and cap (48 h) rules close sessions
     live, each key's open tail stays in state. The oracle replays the
     same recurrence and drops every key's final session, so the live

@@ -408,13 +408,68 @@ def test_capped_session_chunking_invariant(rows, cut_points):
         closed, state = advance_capped_chain(state, chunk)
         streamed.extend(closed)
     if state is not None:  # flush the open tail
-        sess, prev_ts, first, last, n, vsum = state
+        sess, prev_ts, last, n, vsum = state
         streamed.append(
             {
                 "session_start_us": sess,
                 "n_events": n,
-                "duration_us": last - first,
+                "duration_us": last - sess,
                 "sum_value": vsum / 1_000_000.0,
             }
         )
     assert streamed == _capped_sessions_model(rows)
+
+
+def test_bounded_memo_update_setdefault_respect_bound():
+    """update()/setdefault() must route through the bound — a future
+    caller using them cannot reintroduce unbounded growth."""
+    from eventstreamer_spark.memo import BoundedMemo
+
+    evicted = []
+    m = BoundedMemo(maxsize=2, on_evict=lambda k, v: evicted.append(k))
+    m.update({"a": 1, "b": 2, "c": 3})
+    assert len(m) == 2 and "a" not in m and evicted == ["a"]
+    m.setdefault("d", 4)
+    assert len(m) == 2 and list(m) == ["c", "d"] and evicted == ["a", "b"]
+    assert m.setdefault("d", 99) == 4  # existing key: no insert, no evict
+
+
+def test_bpe_merge_exhaustion_oracle_parity(spark, tmp_path):
+    """A corpus that supports fewer than BPE_MERGES merges must not
+    NULL-cascade the apply oracle: both engines stop merging when no
+    pair remains and report identical corpus compression."""
+    import duckdb
+
+    from eventstreamer_spark.operators.text import (
+        q_bpe_apply_segmentation,
+        q_bpe_learned_merges,
+    )
+    from eventstreamer_spark.registry import REGISTRY
+
+    # vocabulary of one two-char word: exactly ONE learnable merge
+    docs = [(i, "ab ab ab", "en", "s", 1) for i in range(3)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    merges = q_bpe_learned_merges(spark, str(tmp_path)).collect()
+    assert [(r.merge_rank, r.merged) for r in merges] == [(1, "ab")]
+
+    got = q_bpe_apply_segmentation(spark, str(tmp_path)).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(REGISTRY["bpe_apply_segmentation"].oracle).df().iloc[0]
+    con.close()
+    assert got.n_word_types == want.n_word_types == 1
+    # 'ab' fully merged: 9 occurrences × 1 symbol each
+    assert got.total_symbols == want.total_symbols == 9
+    assert got.n_types_fully_merged == want.n_types_fully_merged == 1
+    for col in (
+        "n_word_occurrences",
+        "total_chars",
+        "avg_symbols_per_occurrence",
+        "chars_per_symbol",
+    ):
+        assert got[col] == want[col], col
