@@ -79,7 +79,7 @@ QUERIES: tuple[str, ...] = (
     "substring_dedup_rewrite", "bpe_learned_merges", "domain_cap_filter",
     "semantic_dedup", "neardup_prefilter_recall", "bpe_apply_segmentation",
     "bigram_perplexity", "dedup_method_agreement", "capped_session_windows",
-    "stream_capped_sessions",
+    "stream_capped_sessions", "incremental_neardup_ingest",
 )
 
 # name -> (max factor, reason)

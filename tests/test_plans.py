@@ -807,3 +807,14 @@ def test_bpe_apply_row_local_segmentation(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "EvalPython"):
         assert node not in plan, f"unexpected {node}"
     assert count_exchanges(df) <= 3  # parallel-read fan-out + two aggs
+
+
+def test_incremental_ingest_broadcasts_batch_side(spark):
+    """Incremental ingestion dedup must broadcast the (small) incoming
+    batch's band keys — the corpus-side signatures never shuffle for
+    the candidate join — and never form a cartesian."""
+    from eventstreamer_spark.operators.dedup import q_incremental_neardup_ingest
+
+    df = q_incremental_neardup_ingest(spark, SF_DIR)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
