@@ -523,3 +523,48 @@ def test_capped_sessions_both_break_rules(spark, tmp_path):
         ("2", us(0), 2, 1 * H * 1_000_000),           # gap break at 20h
         ("2", us(20), 1, 0),
     ]
+
+
+def test_rocksdb_state_store_provider_works(spark, tmp_path):
+    """The session default (production path) is the RocksDB state
+    store; the gate queries override it with the in-memory provider
+    for speed, so THIS test is what proves the RocksDB provider
+    actually loads and produces identical results on this build."""
+    from pyspark.sql import functions as F
+
+    chunks = [
+        [_ev(1, "2024-01-01 00:00:00.100"), _ev(2, "2024-01-01 00:00:00.600")],
+        [_ev(3, "2024-01-01 00:00:02.100", uid=2)],
+    ]
+    path = _write_chunks(spark, str(tmp_path), chunks)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            windowed_stream(stream_events(spark, path))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rocksdb_sink")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+    got = (
+        spark.table("rocksdb_sink")
+        .groupBy("key", "window_start")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("key", "window_start")
+        .collect()
+    )
+    assert [(r.key, r.n_events) for r in got] == [("1", 2), ("2", 1)]
