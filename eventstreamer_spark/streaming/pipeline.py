@@ -947,3 +947,138 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(target_root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: live ingestion dedup against the corpus index
+# ---------------------------------------------------------------------------
+
+def _ingest_oracle() -> str:
+    from eventstreamer_spark.operators.dedup import _INCR_ORACLE
+
+    return _INCR_ORACLE
+
+
+@query("stream_static_ingest_dedup", oracle=_ingest_oracle())
+def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup as a LIVE STREAM-STATIC JOIN — the
+    Spark join mode no other query exercises: incoming documents
+    arrive as three micro-batches (readStream over chunk files), each
+    batch's MinHash band keys join against the STATIC corpus band
+    index (a batch DataFrame inside the streaming query), and every
+    incoming doc gets its ingest/drop decision live. Decisions are
+    per-doc and each doc's rows live in one chunk, so micro-batch
+    boundaries cannot change results — the oracle is the batch
+    incremental-ingest query's oracle, verbatim.
+
+    This is the deployment shape of `incremental_neardup_ingest`: the
+    corpus index is the fixed side Spark re-reads (or caches) per
+    micro-batch; at 100 TB it is a materialized band-index table and
+    the stream side stays one crawl batch wide."""
+    import glob
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.functions import hashing as H
+    from eventstreamer_spark.operators.dedup import _minhash_docs
+    from eventstreamer_spark.session import configure
+
+    configure(spark)
+    bands_all = _minhash_docs(spark, sf_dir).select(
+        "doc_id",
+        "sig",
+        F.explode_outer(H.band_keys_expr("sig")).alias("band_key"),
+    ).filter(F.col("band_key").isNotNull())
+    corpus = (
+        bands_all.filter(F.expr("doc_id % 10 <> 0"))
+        .select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("sig").alias("sig_c"),
+            "band_key",
+        )
+        .localCheckpoint(eager=True)  # the static, pre-built index side
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_ssingest_")
+    try:
+        from eventstreamer_spark.sources.tables import load_table
+
+        batch_docs = load_table(spark, sf_dir, "documents").filter(
+            F.expr("doc_id % 10 = 0")
+        )
+        staging = f"{chunk_dir}/_stage"
+        batch_docs.withColumn("b", (F.col("doc_id") % 3).cast("int")).repartition(
+            "b"
+        ).write.mode("overwrite").partitionBy("b").parquet(staging)
+        base = 1_600_000_000
+        for i in range(3):
+            parts = glob.glob(f"{staging}/b={i}/part-*.parquet")
+            assert len(parts) == 1, parts
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(parts[0], dest)
+            os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        # build sig on the stream side exactly as the batch twin does
+        stream_sig = stream.select(
+            F.col("doc_id").alias("new_doc"), H.tokens_expr("text").alias("toks")
+        ).select(
+            "new_doc", H.shingles_from_tokens_expr("toks").alias("sh")
+        ).select(
+            "new_doc", H.minhash_sig_expr("sh").alias("sig_b")
+        )
+        stream_bands = stream_sig.select(
+            "new_doc",
+            "sig_b",
+            F.explode_outer(H.band_keys_expr("sig_b")).alias("band_key"),
+        ).filter(F.col("band_key").isNotNull())
+
+        est = F.round(
+            F.expr(
+                f"size(filter(sequence(1, {H.MINHASH_K}), "
+                f"i -> element_at(sig_b, i) = element_at(sig_c, i)))"
+                f" / CAST({H.MINHASH_K} AS DOUBLE)"
+            ),
+            6,
+        )
+        hit = F.col("est_jaccard") >= 0.5
+        # stream-static inner join + per-doc aggregation (update mode)
+        decided = (
+            stream_bands.join(F.broadcast(corpus), "band_key")
+            .select("new_doc", "corpus_doc", "sig_b", "sig_c")
+            .dropDuplicates(["new_doc", "corpus_doc"])
+            .withColumn("est_jaccard", est)
+            .groupBy("new_doc")
+            .agg(
+                F.sum(hit.cast("long")).alias("n_matches"),
+                F.min(F.when(hit, F.col("corpus_doc"))).alias("first_match"),
+                F.max("est_jaccard").alias("best_jaccard"),
+                F.when(F.sum(hit.cast("long")) > 0, F.lit("drop"))
+                .otherwise(F.lit("ingest"))
+                .alias("decision"),
+            )
+        )
+        run_to_memory(decided, "ss_ingest_sink", mode="update")
+        # one emission per doc (a doc's rows never split across chunks);
+        # last-wins dedup keeps the harness robust anyway
+        from pyspark.sql import Window as W
+
+        t = spark.table("ss_ingest_sink")
+        return (
+            t.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("new_doc").orderBy(F.col("n_matches").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -80,6 +80,7 @@ QUERIES: tuple[str, ...] = (
     "semantic_dedup", "neardup_prefilter_recall", "bpe_apply_segmentation",
     "bigram_perplexity", "dedup_method_agreement", "capped_session_windows",
     "stream_capped_sessions", "incremental_neardup_ingest",
+    "stream_static_ingest_dedup",
 )
 
 # name -> (max factor, reason)
