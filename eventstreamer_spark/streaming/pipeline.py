@@ -953,13 +953,14 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stream-static join: live ingestion dedup against the corpus index
 # ---------------------------------------------------------------------------
 
-def _ingest_oracle() -> str:
+def _ss_ingest_oracle() -> str:
+    # same decisions as the batch twin: per-doc, chunking-invariant
     from eventstreamer_spark.operators.dedup import _INCR_ORACLE
 
     return _INCR_ORACLE
 
 
-@query("stream_static_ingest_dedup", oracle=_ingest_oracle())
+@query("stream_static_ingest_dedup", oracle=_ss_ingest_oracle())
 def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup as a LIVE STREAM-STATIC JOIN — the
     Spark join mode no other query exercises: incoming documents
@@ -969,18 +970,30 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming doc gets its ingest/drop decision live. Decisions are
     per-doc and each doc's rows live in one chunk, so micro-batch
     boundaries cannot change results — the oracle is the batch
-    incremental-ingest query's oracle, verbatim.
+    incremental-ingest query's oracle, verbatim; the signature chain
+    and the scoring/decision aggregate are the batch twin's own
+    helpers (with_minhash_sig / ingest_decisions), not copies.
 
-    This is the deployment shape of `incremental_neardup_ingest`: the
-    corpus index is the fixed side Spark re-reads (or caches) per
-    micro-batch; at 100 TB it is a materialized band-index table and
-    the stream side stays one crawl batch wide."""
+    Join shape: unlike the batch twin (whose small side IS the batch,
+    so it broadcasts), a stream-static join's broadcastable side is
+    the STATIC one — and the corpus index is the big side, so no
+    broadcast hint here: each micro-batch joins shuffled on the band
+    key, with the tiny stream side moving and the corpus read through
+    the checkpointed index. At 100 TB the static side is a
+    band-key-bucketed index table, making that per-batch join
+    co-located; the stream side stays one crawl batch wide."""
     import glob
     import shutil
     import tempfile
 
     from eventstreamer_spark.functions import hashing as H
-    from eventstreamer_spark.operators.dedup import _minhash_docs
+    from eventstreamer_spark.operators.dedup import (
+        _INGEST_BATCH_PRED,
+        _INGEST_CORPUS_PRED,
+        _minhash_docs,
+        ingest_decisions,
+        with_minhash_sig,
+    )
     from eventstreamer_spark.session import configure
 
     configure(spark)
@@ -990,7 +1003,7 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(H.band_keys_expr("sig")).alias("band_key"),
     ).filter(F.col("band_key").isNotNull())
     corpus = (
-        bands_all.filter(F.expr("doc_id % 10 <> 0"))
+        bands_all.filter(F.expr(_INGEST_CORPUS_PRED))
         .select(
             F.col("doc_id").alias("corpus_doc"),
             F.col("sig").alias("sig_c"),
@@ -1004,7 +1017,7 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from eventstreamer_spark.sources.tables import load_table
 
         batch_docs = load_table(spark, sf_dir, "documents").filter(
-            F.expr("doc_id % 10 = 0")
+            F.expr(_INGEST_BATCH_PRED)
         )
         staging = f"{chunk_dir}/_stage"
         batch_docs.withColumn("b", (F.col("doc_id") % 3).cast("int")).repartition(
@@ -1025,48 +1038,31 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(chunk_dir)
         )
-        # build sig on the stream side exactly as the batch twin does
-        stream_sig = stream.select(
-            F.col("doc_id").alias("new_doc"), H.tokens_expr("text").alias("toks")
-        ).select(
-            "new_doc", H.shingles_from_tokens_expr("toks").alias("sh")
-        ).select(
-            "new_doc", H.minhash_sig_expr("sh").alias("sig_b")
+        # the batch twin's own signature chain on the stream side
+        stream_bands = (
+            with_minhash_sig(stream.select("doc_id", "text"))
+            .select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("sig").alias("sig_b"),
+            )
+            .select(
+                "new_doc",
+                "sig_b",
+                F.explode_outer(H.band_keys_expr("sig_b")).alias("band_key"),
+            )
+            .filter(F.col("band_key").isNotNull())
         )
-        stream_bands = stream_sig.select(
-            "new_doc",
-            "sig_b",
-            F.explode_outer(H.band_keys_expr("sig_b")).alias("band_key"),
-        ).filter(F.col("band_key").isNotNull())
-
-        est = F.round(
-            F.expr(
-                f"size(filter(sequence(1, {H.MINHASH_K}), "
-                f"i -> element_at(sig_b, i) = element_at(sig_c, i)))"
-                f" / CAST({H.MINHASH_K} AS DOUBLE)"
-            ),
-            6,
-        )
-        hit = F.col("est_jaccard") >= 0.5
-        # stream-static inner join + per-doc aggregation (update mode)
-        decided = (
-            stream_bands.join(F.broadcast(corpus), "band_key")
+        # stream-static inner join + the shared decision aggregate
+        cand = (
+            stream_bands.join(corpus, "band_key")
             .select("new_doc", "corpus_doc", "sig_b", "sig_c")
             .dropDuplicates(["new_doc", "corpus_doc"])
-            .withColumn("est_jaccard", est)
-            .groupBy("new_doc")
-            .agg(
-                F.sum(hit.cast("long")).alias("n_matches"),
-                F.min(F.when(hit, F.col("corpus_doc"))).alias("first_match"),
-                F.max("est_jaccard").alias("best_jaccard"),
-                F.when(F.sum(hit.cast("long")) > 0, F.lit("drop"))
-                .otherwise(F.lit("ingest"))
-                .alias("decision"),
-            )
         )
+        decided = ingest_decisions(cand)
         run_to_memory(decided, "ss_ingest_sink", mode="update")
         # one emission per doc (a doc's rows never split across chunks);
-        # last-wins dedup keeps the harness robust anyway
+        # if that invariant ever broke, keep the most-complete emission
+        # under a fully deterministic order (no arbitrary ties)
         from pyspark.sql import Window as W
 
         t = spark.table("ss_ingest_sink")
@@ -1074,7 +1070,13 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.withColumn(
                 "rn",
                 F.row_number().over(
-                    W.partitionBy("new_doc").orderBy(F.col("n_matches").desc())
+                    W.partitionBy("new_doc").orderBy(
+                        F.col("n_matches").desc(),
+                        F.col("best_jaccard").desc(),
+                        F.coalesce(
+                            F.col("first_match"), F.lit(2**62).cast("long")
+                        ).asc(),
+                    )
                 ),
             )
             .filter(F.col("rn") == 1)

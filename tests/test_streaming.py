@@ -560,6 +560,8 @@ def test_rocksdb_state_store_provider_works(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
     got = (
         spark.table("rocksdb_sink")
         .groupBy("key", "window_start")
