@@ -163,6 +163,30 @@ _GREEN_R5 = frozenset({
     "doc_fingerprints", "token_frequencies", "bpe_token_counts",
 })
 
+# r06 (all 50 rows hash-green, CORRECTNESS_r06.json): the 12 round-6
+# additions + the stalest greens that window re-proved.
+_GREEN_R6 = frozenset({
+    'ann_bruteforce_topk', 'ann_lsh_topk', 'ann_recall_at_k',
+    'approx_aggregates', 'array_map_functions', 'assembly_pipeline',
+    'bag_set_operations', 'benchmark_decontamination', 'bigram_perplexity',
+    'boilerplate_detection', 'bpe_apply_segmentation', 'bpe_learned_merges',
+    'capped_session_windows', 'conditional_aggregates',
+    'cross_lingual_contamination', 'curation_pipeline', 'dataset_hash_split',
+    'datetime_functions', 'dedup_method_agreement', 'document_chunking',
+    'domain_cap_filter', 'full_outer_join_nations', 'hard_negative_mining',
+    'incremental_neardup_ingest', 'ivf_centroid_assign', 'ivf_topk_search',
+    'json_ingest_corrupt_drop', 'mixture_resample',
+    'multimodal_decode_features', 'multimodal_frame_sample',
+    'neardup_prefilter_recall', 'pandas_udf_grouped_agg', 'pandas_udf_scalar',
+    'pii_redaction', 'regex_functions', 'repetition_detection',
+    'scd2_merge_customers', 'semantic_dedup', 'sequence_packing',
+    'source_mixture_weights', 'sql_entrypoint', 'statistical_aggregates',
+    'stratified_exemplar_sample', 'stream_capped_sessions',
+    'stream_static_ingest_dedup', 'string_functions',
+    'substring_dedup_rewrite', 'tfidf_top_terms', 'unpivot_measures',
+    'windowed_emit_json',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -171,16 +195,17 @@ for _round, _names in (
     (3, _GREEN_R3),
     (4, _GREEN_R4),
     (5, _GREEN_R5),
+    (6, _GREEN_R6),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
 
 _RECORDED_GREEN = frozenset(_GREEN_ROUND)
 
-# The round-6 recording window = this round's new queries (never-recorded,
-# ordered first) + the stalest greens: the remaining r1/r2 rows that r05's
-# window did not reach, then r03. Round 7: fold CORRECTNESS_r06 into a
-# _GREEN_R6 set here.
+# The round-7 recording window = this round's new queries (never-recorded,
+# ordered first) + the stalest greens: the remaining r1/r2 rows no later
+# window has re-proven, then r03. Round 8: fold CORRECTNESS_r07 into a
+# _GREEN_R7 set here.
 
 # Queries added mid-round past a full 50-slot recording window: ordered
 # after every other never-recorded query so they cannot displace one from
