@@ -532,7 +532,11 @@ BPE_MERGES = 10
 # and DuckDB.
 
 
-def _bpe_merges_oracle() -> str:
+def _bpe_learner_ctes() -> tuple[list[str], list[str]]:
+    """The learner's CTE chain as (with_parts, final_selects) so both
+    oracles assemble SQL from the same pieces — no string surgery on
+    rendered SQL (a rename of the final projection can't silently
+    produce malformed downstream SQL)."""
     toks = _TOKS_D
     parts = [
         f"""freq AS (
@@ -572,6 +576,11 @@ def _bpe_merges_oracle() -> str:
             f"SELECT {t} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
             f" pair_count FROM best{t}"
         )
+    return parts, finals
+
+
+def _bpe_merges_oracle() -> str:
+    parts, finals = _bpe_learner_ctes()
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
@@ -687,11 +696,11 @@ def _bpe_apply_oracle() -> str:
     """Extends the learner's CTE chain: apply the 10 learned merges to
     EVERY word type (not just the top-{BPE_VOCAB_TOP} training vocab)
     and aggregate corpus-level compression stats."""
-    learner = _bpe_merges_oracle()
     toks = _TOKS_D
     # the learner's WITH body (freq/seg/pc/best/seg chain), sans its
     # final UNION ALL projection
-    parts = [learner.split("WITH ", 1)[1].rsplit("\nSELECT 1 AS merge_rank", 1)[0]]
+    parts, _ = _bpe_learner_ctes()
+    parts = list(parts)
     parts.append(
         f"""vocab_all AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq

@@ -844,18 +844,15 @@ def upsert_version_step(
                 shutil.rmtree(f"{target_root}/{stale}", ignore_errors=True)
 
 
-# Finished upsert targets (the formats.py _RT_CACHE shape): the final
-# per-user table stays ON DISK and is returned as a plain parquet scan
-# — no driver materialization. Deliberately NOT a read-through memo:
-# every invocation re-runs the stream (bench/scale timings must
-# measure the merge, not a cache hit). Eviction only drops the memo
-# REFERENCE — deleting the dir would break a still-held DataFrame from
-# an earlier invocation; every created dir is tracked in _UPSERT_DIRS
-# and reclaimed at process exit, so disk growth is bounded by the
+# Finished upsert targets: the final per-user table stays ON DISK and
+# is returned as a plain parquet scan — no driver materialization.
+# Deliberately NOT memoized: every invocation re-runs the stream
+# (bench/scale timings must measure the merge, not a cache hit).
+# Deleting a dir early would break a still-held DataFrame from an
+# earlier invocation, so every created dir is tracked in _UPSERT_DIRS
+# and reclaimed only at process exit — disk growth is bounded by the
 # session, like formats._RT_CACHE.
-_UPSERT_CACHE: dict[tuple[str, str, int], str] = BoundedMemo(maxsize=8)
 _UPSERT_DIRS: list[str] = []
-_UPSERT_SEQ = {"n": 0}
 
 
 @_atexit.register
@@ -865,7 +862,6 @@ def _cleanup_upsert_dirs() -> None:
     for path in _UPSERT_DIRS:
         shutil.rmtree(path, ignore_errors=True)
     _UPSERT_DIRS.clear()
-    _UPSERT_CACHE.clear()
 
 
 @query("stream_foreachbatch_upsert", oracle=_UPSERT_ORACLE)
@@ -893,8 +889,6 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.session import configure
 
     configure(spark)
-    _UPSERT_SEQ["n"] += 1
-    cache_key = (spark.sparkContext.applicationId, sf_dir, _UPSERT_SEQ["n"])
     chunk_dir = tempfile.mkdtemp(prefix="es_upsert_chunks_")
     target_root = tempfile.mkdtemp(prefix="es_upsert_target_")
     try:
@@ -942,7 +936,6 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{target_root}/v{last}").drop("k").write.mode(
             "overwrite"
         ).parquet(final_dir)
-        _UPSERT_CACHE[cache_key] = final_dir
         return spark.read.parquet(final_dir)
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -531,7 +531,16 @@ def advance_capped_chain(
     ``(sess_start, prev_ts, last_ts, n, vsum_e6)`` — a session's first
     event IS its start, so no separate first_ts — returning
     (closed-session records, new state). Pure, so chunking invariance
-    is property-testable exactly like the anchor chain."""
+    is property-testable exactly like the anchor chain.
+
+    Cross-micro-batch ordering: a row whose ts precedes the carried
+    prev_ts arrived LATE (its position in the walk is already folded
+    into closed sessions) — it is DROPPED rather than allowed to
+    silently corrupt session boundaries; production would route it to
+    a dead-letter audit like json_ingest_corrupt_audit. Within a
+    batch the caller sorts, so drops only occur on genuine
+    cross-batch disorder (the file-replay harness is in-order, so the
+    oracle sees none)."""
     import math
 
     out: list[dict] = []
@@ -542,6 +551,8 @@ def advance_capped_chain(
         sess, prev, last, n, vsum = state
     for ts, val in rows:
         ts = int(ts)
+        if prev is not None and ts < prev:
+            continue  # late arrival from an already-walked position
         if sess is None:
             sess = ts
         elif ts - prev > SESSION_GAP_US or ts - sess >= SESSION_CAP_US:
