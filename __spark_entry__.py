@@ -41,6 +41,7 @@ import eventstreamer_spark.operators.timeseries  # noqa: F401
 import eventstreamer_spark.operators.subqueries  # noqa: F401
 import eventstreamer_spark.operators.embeddings  # noqa: F401
 import eventstreamer_spark.operators.trends  # noqa: F401
+import eventstreamer_spark.operators.quality  # noqa: F401
 
 from eventstreamer_spark import registry
 from eventstreamer_spark.session import configure

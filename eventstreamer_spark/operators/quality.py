@@ -1,0 +1,289 @@
+"""Trained model-based quality classifier (the fineweb-edu / DCLM
+filter shape): closed-form ridge regression on hashed n-gram features,
+solved from exact-integer normal equations, scoring every document
+with broadcast weights.
+
+This is the one curation dimension the heuristic scorers
+(``text_stats_quality``, ``bigram_perplexity``) do not cover: a
+*trained* linear model. The production shape at 100 TB:
+
+- **Features**: hashed token-unigram counts (63 md5 buckets) plus an
+  intercept — the fastText/DCLM hashing-trick feature space, d = 64.
+  Feature extraction is row-local (no shuffle).
+- **Labels**: deterministic, derived from existing integer-exact
+  signals (length band × top-token repetition share), standing in for
+  the LLM/human labels a real deployment plugs in. Integer
+  comparisons only, so both engines label identically.
+- **Normal equations**: X'X and X'y accumulate as map-side partial
+  sums of integer products (per-doc outer products of the sparse
+  feature vector, ≤ d² rows per partition after combine); the ONLY
+  driver materialization is the d×d Gram matrix + d-vector
+  (≤ 4 160 longs) — scale-free, because d is fixed while n grows.
+- **Solve**: Gauss–Seidel sweeps on (X'X + λI) w = X'y in PURE
+  INTEGER arithmetic (weights in 1e-6 units, exact floor division):
+  GS converges for any symmetric positive-definite system, and the
+  all-integer recurrence makes the learned weights bit-identical in
+  any engine — the DuckDB oracle replays the same sweeps in a
+  recursive CTE over HUGEINTs and must land on the same weights.
+- **Scoring**: weights embedded as a 64-literal array in the plan
+  (broadcast-by-literal); each doc's score is a row-local dot
+  product — the full-corpus scoring pass shuffles nothing.
+
+The reference (avodovnik/eventstreamer, Function1.cs:1-236) has no
+model-based scoring; this extends SURVEY.md §2.1's beyond-reference
+curation surface per VERDICT r6 item 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.registry import query
+from eventstreamer_spark.sources.tables import load_table_parallel
+
+N_BUCKETS = 63  # hashed unigram buckets; feature 63 is the intercept
+D_FEAT = N_BUCKETS + 1
+RIDGE_LAMBDA = 100  # in count² units, added to every Gram diagonal
+GS_SWEEPS = 48
+W_SCALE = 1_000_000  # weights live in exact 1e-6 units
+
+# Label rule (integer-exact in both engines): a doc is "quality" when
+# its token count sits in the 40..300 band AND no single token exceeds
+# a 10% share (max_cnt * 10 <= n_toks). ~53% positive on the fixture.
+_LABEL_CASE = (
+    "CASE WHEN n_toks BETWEEN 40 AND 300 AND max_cnt * 10 <= n_toks "
+    "THEN 1 ELSE 0 END"
+)
+
+_BUCKET_SPARK = (
+    f"CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % {N_BUCKETS}"
+)
+_BUCKET_DUCK = f"CAST('0x' || substring(md5(tok), 1, 6) AS BIGINT) % {N_BUCKETS}"
+
+
+def _fdiv(a: int, b: int) -> int:
+    """Exact floor division shared with the oracle: subtracting the
+    non-negative remainder first makes the quotient exact, so DuckDB's
+    truncating ``//`` and Python's flooring ``//`` agree bit-for-bit."""
+    return (a - ((a % b) + b) % b) // b
+
+
+def solve_ridge_gs(
+    gram: dict[tuple[int, int], int], bvec: dict[int, int]
+) -> list[int]:
+    """Gauss–Seidel on (X'X + λI) w = X'y in pure integer arithmetic
+    (arbitrary-precision Python ints ↔ the oracle's HUGEINTs). Returns
+    the weight vector in W_SCALE units after GS_SWEEPS full sweeps —
+    deterministic regardless of convergence, and convergent because
+    the ridge-regularized Gram is symmetric positive definite."""
+    w = [0] * D_FEAT
+    for _ in range(GS_SWEEPS):
+        for i in range(D_FEAT):
+            s = sum(
+                gram[(i, j)] * w[j]
+                for j in range(D_FEAT)
+                if j != i and (i, j) in gram
+            )
+            den = gram.get((i, i), 0) + RIDGE_LAMBDA
+            w[i] = _fdiv(W_SCALE * bvec.get(i, 0) - s, den)
+    return w
+
+
+def _gs_oracle_cte() -> str:
+    """The recursive-CTE twin of solve_ridge_gs: one coordinate update
+    per step, GS_SWEEPS*D_FEAT steps, state = the length-d HUGEINT
+    weight list. All arithmetic integer; the floor-division identity
+    matches _fdiv exactly.
+
+    The Gram matrix enters the recursion as a DENSE row-major HUGEINT
+    list (λ already on the diagonal) cross-joined from 1-row
+    materialized CTEs — deliberately NOT as correlated subqueries over
+    the sparse gram CTE: DuckDB 1.x mis-evaluates correlated
+    aggregates over inline-computed CTEs inside a recursive term
+    (temp-table-backed runs of the identical SQL were correct; the
+    dense-list form avoids the bug class entirely)."""
+    steps = GS_SWEEPS * D_FEAT
+    d = D_FEAT
+    return f"""cells AS (
+  SELECT p.p AS pos,
+         COALESCE(g.a, CAST(0 AS HUGEINT))
+           + CASE WHEN ((p.p - 1) // {d}) = ((p.p - 1) % {d})
+                  THEN {RIDGE_LAMBDA} ELSE 0 END AS a
+  FROM (SELECT unnest(generate_series(1, {d * d})) AS p) p
+  LEFT JOIN gram g ON g.i = (p.p - 1) // {d} AND g.j = (p.p - 1) % {d}
+),
+gmat AS MATERIALIZED (SELECT list(a ORDER BY pos) AS am FROM cells),
+bcells AS (
+  SELECT p.p AS pos, COALESCE(b.bv, CAST(0 AS HUGEINT)) AS bv
+  FROM (SELECT unnest(generate_series(1, {d})) AS p) p
+  LEFT JOIN bvec b ON b.i = p.p - 1
+),
+bmat AS MATERIALIZED (SELECT list(bv ORDER BY pos) AS bm FROM bcells),
+gs AS (
+  SELECT 0 AS step,
+         list_transform(generate_series(1, {d}), k -> CAST(0 AS HUGEINT)) AS w
+  UNION ALL
+  SELECT step + 1,
+         list_transform(generate_series(1, {d}), k ->
+           CASE WHEN k = ci + 1
+                THEN (num - ((num % den) + den) % den) // den
+                ELSE w[k] END)
+  FROM (
+    SELECT step, w, ci,
+           {W_SCALE} * bm[ci + 1]
+             - list_sum(list_transform(generate_series(1, {d}), j ->
+                 CASE WHEN j = ci + 1 THEN CAST(0 AS HUGEINT)
+                      ELSE am[ci * {d} + j] * w[j] END)) AS num,
+           am[ci * {d} + ci + 1] AS den
+    FROM (SELECT step, w, step % {d} AS ci, am, bm FROM gs, gmat, bmat) sub
+  ) s
+  WHERE step < {steps}
+)"""
+
+
+_TOKS_D = H.TOKENS_DUCK.format(col="text")
+
+_QC_ORACLE = f"""
+WITH RECURSIVE tokcnt AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+stats AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM tokcnt GROUP BY doc_id
+),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, {_LABEL_CASE} AS y
+  FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+),
+feat AS MATERIALIZED (
+  SELECT doc_id, {_BUCKET_DUCK} AS b, CAST(sum(cnt) AS BIGINT) AS x
+  FROM tokcnt GROUP BY doc_id, {_BUCKET_DUCK}
+  UNION ALL
+  SELECT doc_id, {N_BUCKETS}, 1 FROM documents
+),
+gram AS MATERIALIZED (
+  SELECT fa.b AS i, fb.b AS j, CAST(sum(fa.x * fb.x) AS HUGEINT) AS a
+  FROM feat fa JOIN feat fb ON fa.doc_id = fb.doc_id
+  GROUP BY fa.b, fb.b
+),
+bvec AS MATERIALIZED (
+  SELECT f.b AS i, CAST(sum(f.x) AS HUGEINT) AS bv
+  FROM feat f JOIN lab l ON f.doc_id = l.doc_id AND l.y = 1
+  GROUP BY f.b
+),
+{_gs_oracle_cte()},
+wfinal AS MATERIALIZED (SELECT w FROM gs WHERE step = {GS_SWEEPS * D_FEAT}),
+scores AS (
+  SELECT f.doc_id,
+         CAST(sum(f.x * (SELECT w FROM wfinal)[f.b + 1]) AS BIGINT) AS score_e6
+  FROM feat f GROUP BY f.doc_id
+)
+SELECT l.doc_id, l.y AS label,
+       s.score_e6 / 1000000.0 AS score,
+       CASE WHEN s.score_e6 * 2 >= 1000000 THEN 1 ELSE 0 END AS predicted
+FROM lab l JOIN scores s ON l.doc_id = s.doc_id
+"""
+
+
+def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(per-doc sparse feature list, per-doc label): the shared front
+    half of training and scoring. feats: (doc_id, fs: array<struct<b,x>>)
+    including the intercept; lab: (doc_id, y)."""
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    tokcnt = (
+        docs.select("doc_id", F.explode(H.tokens_expr("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = tokcnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_toks"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select("doc_id", F.expr(_LABEL_CASE).cast("int").alias("y"))
+    )
+    feat = (
+        tokcnt.groupBy("doc_id", F.expr(_BUCKET_SPARK).alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("x"))
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(N_BUCKETS).cast("bigint").alias("b"),
+                F.lit(1).cast("long").alias("x"),
+            )
+        )
+    )
+    feats = feat.groupBy("doc_id").agg(
+        F.collect_list(F.struct("b", "x")).alias("fs")
+    )
+    return feats, lab
+
+
+@query("quality_classifier_scores", oracle=_QC_ORACLE)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier end-to-end: hashed-unigram ridge
+    regression fit via exact-integer normal equations, then a
+    full-corpus scoring pass with the learned weights embedded as plan
+    literals. Output: (doc_id, label, score, predicted) for every doc.
+
+    Scale shape: X'X/X'y accumulate through ONE aggregation whose key
+    space is ≤ d² = 4096 (map-side combine collapses each partition's
+    partials first — the classic distributed normal-equations trick);
+    the d×d solve is driver-side and scale-free; scoring is a
+    row-local dot product against a literal weight array — no join,
+    no shuffle beyond the per-doc feature fold. The exponent is the
+    feature-extraction scan's: linear.
+
+    Cross-engine exactness: every training number is an integer (count
+    products, integer GS in 1e-6 weight units with exact floor
+    division), so the learned weights — and therefore every score —
+    are bit-identical between this plan and the DuckDB oracle's
+    recursive-CTE replay of the same sweeps."""
+    feats, lab = _doc_features(spark, sf_dir)
+    # per-doc outer products, exploded row-locally, collapsed to ≤ d² keys
+    pairs = feats.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(fs, p1 -> transform(fs, "
+                "p2 -> struct(p1.b AS i, p2.b AS j, p1.x * p2.x AS v))))"
+            )
+        ).alias("p")
+    )
+    gram_rows = (
+        pairs.groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.v").cast("long").alias("a"))
+        .collect()
+    )
+    bvec_rows = (
+        feats.join(lab.filter(F.col("y") == 1), "doc_id")
+        .select(F.explode("fs").alias("p"))
+        .groupBy(F.col("p.b").alias("i"))
+        .agg(F.sum("p.x").cast("long").alias("bv"))
+        .collect()
+    )
+    gram = {(int(r.i), int(r.j)): int(r.a) for r in gram_rows}
+    bvec = {int(r.i): int(r.bv) for r in bvec_rows}
+    w = solve_ridge_gs(gram, bvec)
+
+    w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    scored = feats.select(
+        "doc_id",
+        F.aggregate(
+            "fs",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p["x"] * F.element_at(w_arr, p["b"].cast("int") + 1),
+        ).alias("score_e6"),
+    )
+    return lab.join(scored, "doc_id").select(
+        "doc_id",
+        F.col("y").alias("label"),
+        (F.col("score_e6") / F.lit(1000000.0)).alias("score"),
+        (F.col("score_e6") * 2 >= F.lit(1000000)).cast("int").alias("predicted"),
+    )
