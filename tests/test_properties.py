@@ -519,3 +519,34 @@ def test_ridge_gs_matches_float_solve():
     w = Q.solve_ridge_gs(gram, bvec)
     w_true = np.linalg.solve(A + Q.RIDGE_LAMBDA * np.eye(d), b)
     assert float(np.max(np.abs(np.array(w) / 1e6 - w_true))) < 2e-2
+
+
+def test_index_maintenance_blocks_across_batches(spark, tmp_path):
+    """A doc ACCEPTED in batch 1 must block its near-dup arriving in
+    batch 2 through the materialized index; an identical same-batch
+    pair resolves to the smaller doc_id via the peer rule."""
+    from eventstreamer_spark.operators.dedup import q_ingest_index_maintenance
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    c = "red orange yellow green blue indigo violet pink brown black"
+    d = "north south east west up down left right front back middle"
+    docs = [
+        (0, b, "en", "s", 1),  # batch 0 — accepted
+        (3, b, "en", "s", 1),  # batch 0 — identical, peer-dropped
+        (1, a, "en", "s", 1),  # batch 1 — accepted
+        (2, a, "en", "s", 1),  # batch 2 — blocked by doc 1 via the index
+        (4, c, "en", "s", 1),  # batch 1 — unique, accepted
+        (5, d, "en", "s", 1),  # batch 2 — unique, accepted
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in q_ingest_index_maintenance(spark, str(tmp_path)).collect()}
+    assert rows[0].decision == "ingest"
+    assert rows[3].decision == "drop" and rows[3].n_peer_blockers >= 1
+    assert rows[1].decision == "ingest"
+    assert rows[2].decision == "drop" and rows[2].n_index_matches >= 1
+    assert rows[2].batch_id == 2 and rows[1].batch_id == 1
+    assert rows[4].decision == "ingest" and rows[5].decision == "ingest"
