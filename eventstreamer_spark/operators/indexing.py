@@ -592,3 +592,149 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("avg_nll_e6") / F.lit(1000000.0)).alias("avg_neg_log_likelihood"),
         F.expr(_ppl_band_sql("avg_nll_e6")).alias("ppl_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (minimizer) fingerprints — robust span selection
+# ---------------------------------------------------------------------------
+
+# substring_dedup_rewrite matches spans only when full SPAN_N-token
+# chains collide; winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# selects the window-MINIMUM span hash from every WINNOW_W consecutive
+# positions, guaranteeing any shared run of WINNOW_W + SPAN_N - 1
+# tokens yields a shared fingerprint while storing only ~2/(W+1) of
+# the span hashes — robust to edits/offsets that break fixed chains.
+WINNOW_W = 4
+
+# Positional span-hash chain shared with _CUT_ORACLE (same SPAN_N, same
+# 16-hex md5 prefix), so winnowing fingerprints feed the same span-join
+# machinery.
+_WINNOW_OCC_D = f"""occ AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {_span_hash_duck("toks", "i")} AS span
+  FROM tk, unnest(CASE WHEN len(toks) >= {SPAN_N}
+                       THEN range(1, len(toks) - {SPAN_N - 2})
+                       ELSE [] END) AS u(i)
+)"""
+
+# The oracle selects via a TRUE WINDOW-MIN (ROWS BETWEEN CURRENT ROW
+# AND W-1 FOLLOWING) over unnested positions — deliberately a different
+# computation shape than the Spark side's row-local array slices, so
+# the hash gate cross-checks the selection rule itself. Docs with
+# fewer than W spans keep one fingerprint (the global min): the
+# pos <= greatest(1, m - W + 1) filter with a truncating frame.
+_WINNOW_SEL_D = f"""wm AS (
+  SELECT doc_id, pos,
+         min(span) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM occ
+), sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM wm
+  WHERE pos <= greatest(1, m - {WINNOW_W} + 1)
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+), {_WINNOW_OCC_D},
+{_WINNOW_SEL_D},
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+         min(fp) AS min_fp, max(fp) AS max_fp
+  FROM sel GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(max(o.pos) AS BIGINT) AS n_spans,
+       p.n_selected, p.min_fp, p.max_fp
+FROM per p JOIN occ o ON p.doc_id = o.doc_id
+GROUP BY p.doc_id, p.n_selected, p.min_fp, p.max_fp
+"""
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+), {_WINNOW_OCC_D},
+{_WINNOW_SEL_D}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, sel: array<string>) — positional span hashes
+    winnowed to window-min fingerprints, all ROW-LOCAL array exprs (no
+    shuffle, no UDF): spans = positional {SPAN_N}-gram md5 prefixes;
+    sel[p] = min(spans[p .. p+W-1]) for p in 1..max(1, m-W+1),
+    de-duplicated. Docs with no spans (< {SPAN_N} tokens) drop out,
+    exactly like the oracle's empty unnest."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(SPAN_N)
+    ) + ")), 1, 16)"
+    spans = tk.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+            f"transform(sequence(1, size(toks) - {SPAN_N - 1}), i -> {span_hash}) "
+            f"ELSE array() END"
+        ).alias("spans"),
+    ).filter(F.size("spans") > 0)
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(1, size(spans) - {WINNOW_W - 1})), "
+            f"p -> array_min(slice(spans, p, {WINNOW_W}))))"
+        ).alias("sel"),
+    )
+
+
+@query("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint SELECTION, per doc: from m positional
+    {SPAN_N}-token span hashes keep the window-min of every
+    {WINNOW_W}-wide window (~2/(W+1) kept), the robust-fingerprinting
+    upgrade over substring_dedup_rewrite's fixed chains. Entirely
+    row-local array math on the Spark side — the scan's exponent, no
+    shuffle — while the oracle recomputes the same selection with a
+    genuine SQL window-min over unnested positions, so the hash gate
+    proves the two selection formulations equivalent."""
+    sel = _winnow_sel(spark, sf_dir)
+    return sel.select(
+        "doc_id",
+        "n_spans",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.array_min("sel").alias("min_fp"),
+        F.array_max("sel").alias("max_fp"),
+    )
+
+
+@query("winnowing_candidates", oracle=_WINNOW_PAIRS_ORACLE)
+def q_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation over winnowed fingerprints: explode each
+    doc's selected minimizers and equi-join on the fingerprint — the
+    same inverted-index shape as the span machinery, but over the
+    ~2/(W+1)-compressed fingerprint set, with winnowing's guarantee
+    that any {WINNOW_W + SPAN_N - 1}-token verbatim overlap still
+    collides. At 100 TB this is the storage/robustness trade
+    production fingerprint indexes make (MOSS, dataset contamination
+    scanners); the join stays an equi-join on a 16-hex key."""
+    sel = _winnow_sel(spark, sf_dir)
+    fp = sel.select("doc_id", F.explode("sel").alias("fp"))
+    return (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )
