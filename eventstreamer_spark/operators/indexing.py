@@ -616,10 +616,13 @@ _WINNOW_OCC_D = f"""occ AS MATERIALIZED (
                        ELSE [] END) AS u(i)
 )"""
 
-# The oracle selects via a TRUE WINDOW-MIN (ROWS BETWEEN CURRENT ROW
-# AND W-1 FOLLOWING) over unnested positions — deliberately a different
-# computation shape than the Spark side's row-local array slices, so
-# the hash gate cross-checks the selection rule itself. Docs with
+# Selection is a WINDOW-MIN (ROWS BETWEEN CURRENT ROW AND W-1
+# FOLLOWING) over unnested positions in BOTH engines. A row-local
+# array formulation (array_min over slices of a per-doc span array)
+# was tried first and produced the right rows 70× slower: Catalyst's
+# project-collapse re-inlines the md5 span-array expression into every
+# window slice lambda, turning O(m·W) into O(m²·SPAN_N) md5 calls per
+# doc — the same trap hashing.py documents for token hashes. Docs with
 # fewer than W spans keep one fingerprint (the global min): the
 # pos <= greatest(1, m - W + 1) filter with a truncating frame.
 _WINNOW_SEL_D = f"""wm AS (
@@ -664,33 +667,45 @@ GROUP BY a.doc_id, b.doc_id
 
 
 def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_spans, sel: array<string>) — positional span hashes
-    winnowed to window-min fingerprints, all ROW-LOCAL array exprs (no
-    shuffle, no UDF): spans = positional {SPAN_N}-gram md5 prefixes;
-    sel[p] = min(spans[p .. p+W-1]) for p in 1..max(1, m-W+1),
-    de-duplicated. Docs with no spans (< {SPAN_N} tokens) drop out,
-    exactly like the oracle's empty unnest."""
+    """(doc_id, n_spans, fp) — distinct winnowed fingerprints per doc:
+    explode positional {SPAN_N}-gram md5-prefix span hashes (the
+    substring_dedup_rewrite occ shape), take the {WINNOW_W}-wide
+    window-min per position, keep positions 1..max(1, m-W+1),
+    distinct. One hash shuffle on doc_id for the window; the md5 span
+    hashes are computed exactly once per position (see the module
+    comment for why the row-local array variant is a Catalyst trap).
+    Docs with no spans (< {SPAN_N} tokens) drop out, exactly like the
+    oracle's empty unnest."""
+    from pyspark.sql import Window
+
     d = load_table_parallel(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
     span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
         f"element_at(toks, i + {j})" for j in range(SPAN_N)
     ) + ")), 1, 16)"
-    spans = tk.select(
+    occ = tk.select(
         "doc_id",
-        F.expr(
-            f"CASE WHEN size(toks) >= {SPAN_N} THEN "
-            f"transform(sequence(1, size(toks) - {SPAN_N - 1}), i -> {span_hash}) "
-            f"ELSE array() END"
-        ).alias("spans"),
-    ).filter(F.size("spans") > 0)
-    return spans.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
+                f"i -> struct(i AS pos, {span_hash} AS span)) "
+                f"ELSE array() END"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.pos", "o.span")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    per = Window.partitionBy("doc_id")
+    wm = occ.select(
         "doc_id",
-        F.size("spans").cast("long").alias("n_spans"),
-        F.expr(
-            f"array_distinct(transform("
-            f"sequence(1, greatest(1, size(spans) - {WINNOW_W - 1})), "
-            f"p -> array_min(slice(spans, p, {WINNOW_W}))))"
-        ).alias("sel"),
+        "pos",
+        F.min("span").over(win).alias("fp"),
+        F.count(F.lit(1)).over(per).alias("m"),
+    )
+    return (
+        wm.filter(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - F.lit(WINNOW_W - 1)))
+        .select("doc_id", F.col("m").cast("long").alias("n_spans"), "fp")
+        .distinct()
     )
 
 
@@ -699,19 +714,15 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint SELECTION, per doc: from m positional
     {SPAN_N}-token span hashes keep the window-min of every
     {WINNOW_W}-wide window (~2/(W+1) kept), the robust-fingerprinting
-    upgrade over substring_dedup_rewrite's fixed chains. Entirely
-    row-local array math on the Spark side — the scan's exponent, no
-    shuffle — while the oracle recomputes the same selection with a
-    genuine SQL window-min over unnested positions, so the hash gate
-    proves the two selection formulations equivalent."""
+    upgrade over substring_dedup_rewrite's fixed chains. One shuffle
+    on doc_id (the window partition) plus the tiny per-doc aggregate;
+    span hashes computed once per position, never re-derived."""
     sel = _winnow_sel(spark, sf_dir)
-    return sel.select(
-        "doc_id",
-        "n_spans",
-        F.size("sel").cast("long").alias("n_selected"),
-        F.array_min("sel").alias("min_fp"),
-        F.array_max("sel").alias("max_fp"),
-    )
+    return sel.groupBy("doc_id", "n_spans").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    ).select("doc_id", "n_spans", "n_selected", "min_fp", "max_fp")
 
 
 @query("winnowing_candidates", oracle=_WINNOW_PAIRS_ORACLE)
@@ -725,7 +736,7 @@ def q_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     production fingerprint indexes make (MOSS, dataset contamination
     scanners); the join stays an equi-join on a 16-hex key."""
     sel = _winnow_sel(spark, sf_dir)
-    fp = sel.select("doc_id", F.explode("sel").alias("fp"))
+    fp = sel.select("doc_id", "fp")
     return (
         fp.alias("a")
         .join(
