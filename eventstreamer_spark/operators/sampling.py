@@ -434,3 +434,140 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
             * F.lit(1000000.0) / F.col("n_docs")
         ).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture (token-grain data-mixing recipe)
+# ---------------------------------------------------------------------------
+
+# mixture_temperature_weights mixes at DOC grain; real pretraining
+# recipes allocate a global TOKEN budget across sources. Token counts
+# come from the learned BPE segmentation (bpe_apply_segmentation's
+# per-word-type symbol counts, applied per source), so the budget is
+# denominated in the tokenizer's own units.
+TOKEN_BUDGET = 1_000_000  # global training-token budget
+MIX_ALPHA_SCALE = 1_000_000  # sqrt weights in 1e-6 units (exact int sums)
+
+
+def _token_budget_oracle() -> str:
+    from eventstreamer_spark.operators.text import _bpe_segall_ctes
+
+    parts = _bpe_segall_ctes()
+    from eventstreamer_spark.operators.text import BPE_MERGES, _TOKS_D
+
+    parts = list(parts)
+    parts.append(
+        f"""syms AS MATERIALIZED (
+  SELECT word, len(list_filter(string_split(seg, ' '), x -> x != '')) AS n_syms
+  FROM segall{BPE_MERGES})"""
+    )
+    parts.append(
+        f"""wordsrc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest({_TOKS_D}) AS word FROM documents)
+  GROUP BY source, word)"""
+    )
+    parts.append(
+        """pertok AS (
+  SELECT w.source, CAST(sum(w.freq * s.n_syms) AS BIGINT) AS n_tokens
+  FROM wordsrc w JOIN syms s ON w.word = s.word
+  GROUP BY w.source)"""
+    )
+    parts.append(
+        """ndocs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)"""
+    )
+    parts.append(
+        f"""tmix AS (
+  SELECT p.source, d.n_docs, p.n_tokens,
+         CAST(round(sqrt(p.n_tokens) * {MIX_ALPHA_SCALE}, 0) AS BIGINT) AS w6
+  FROM pertok p JOIN ndocs d ON p.source = d.source)"""
+    )
+    parts.append(
+        """tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         CAST(sum(w6) AS BIGINT) AS w_total
+  FROM tmix)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT source, n_docs, n_tokens,
+       floor(n_tokens * 1000000.0 / tok_total + 0.5) / 1000000.0 AS token_share,
+       floor(w6 * 1000000.0 / w_total + 0.5) / 1000000.0 AS alpha_share,
+       CAST(({TOKEN_BUDGET} * w6) // w_total AS BIGINT) AS target_tokens,
+       floor((({TOKEN_BUDGET} * w6) // w_total) * 1000000.0 / n_tokens + 0.5)
+         / 1000000.0 AS effective_epochs
+FROM tmix CROSS JOIN tot
+"""
+    )
+
+
+@query("token_budget_mixture", oracle=_token_budget_oracle())
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual pretraining data-mixing computation at TOKEN grain:
+    given a global token budget and temperature alpha = 0.5, emit each
+    source's token count (under the LEARNED BPE segmentation), its
+    natural token share, temperature-smoothed share, integer-exact
+    target token allocation, and effective epochs (how many passes
+    over the source the allocation implies — > 1 means upsampling).
+
+    Composition: per-(source, word) counts join the per-word-type BPE
+    symbol table (bpe_seg_col over the learned merges — row-local
+    replace chain, no UDF); one aggregation to per-source token
+    totals; the 1-row totals broadcast back. No global sort anywhere.
+
+    Exactness: token counts are integer sums; sqrt(n_tokens) is
+    correctly rounded IEEE on identical integers, scaled to 1e-6
+    units and summed as int64 (the mixture_temperature_weights
+    discipline); target_tokens uses INTEGER division (budget·w6 //
+    w_total — exact in both engines, no float rounding at the
+    boundary); shares/epochs are half-up-quantized ratios of
+    identical integers."""
+    from eventstreamer_spark.operators.text import bpe_seg_col, learn_bpe_merges
+
+    merges = learn_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    from eventstreamer_spark.functions import hashing as _H
+
+    wordsrc = (
+        d.select("source", F.explode(_H.tokens_expr("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = wordsrc.groupBy("word").agg(F.sum("freq").alias("tot_freq"))
+    syms = vocab.withColumn("seg", bpe_seg_col(merges)).select(
+        "word",
+        F.size(F.expr("filter(split(seg, ' '), x -> x != '')")).alias("n_syms"),
+    )
+    pertok = (
+        wordsrc.join(syms, "word")
+        .groupBy("source")
+        .agg(F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("n_tokens"))
+    )
+    ndocs = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tmix = pertok.join(ndocs, "source").withColumn(
+        "w6",
+        F.round(F.sqrt("n_tokens") * F.lit(float(MIX_ALPHA_SCALE)), 0).cast("long"),
+    )
+    tot = tmix.agg(
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+        F.sum("w6").cast("long").alias("w_total"),
+    )
+
+    def r6(col):
+        return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
+
+    target = F.expr(f"CAST(({TOKEN_BUDGET} * w6) div w_total AS BIGINT)")
+    return tmix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("n_tokens") * F.lit(1000000.0) / F.col("tok_total")).alias(
+            "token_share"
+        ),
+        r6(F.col("w6") * F.lit(1000000.0) / F.col("w_total")).alias("alpha_share"),
+        target.alias("target_tokens"),
+        r6(target * F.lit(1000000.0) / F.col("n_tokens")).alias("effective_epochs"),
+    )

@@ -692,10 +692,26 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_apply_oracle() -> str:
-    """Extends the learner's CTE chain: apply the 10 learned merges to
-    EVERY word type (not just the top-{BPE_VOCAB_TOP} training vocab)
-    and aggregate corpus-level compression stats."""
+def bpe_seg_col(merges: list[tuple[int, str, str, str, int]], word: str = "word"):
+    """Segmentation column for a word column under a learned merge
+    list: char-split into the double-space-joined form, then the merge
+    chain as nested single-pass replaces (each exact greedy BPE — see
+    module comment). Row-local, whole-stage-codegen; shared by
+    bpe_apply_segmentation and token_budget_mixture (sampling.py)."""
+    seg_col = F.expr(
+        "concat(' ', concat_ws('  ', "
+        f"transform(sequence(1, length({word})), i -> substring({word}, i, 1))), ' ')"
+    )
+    for _rank, lhs, rhs, _merged, _cnt in merges:
+        seg_col = F.replace(seg_col, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return seg_col
+
+
+def _bpe_segall_ctes() -> list[str]:
+    """The learner's CTE chain extended with the full-vocabulary
+    segmentation (vocab_all → segall0..segall{BPE_MERGES}): the shared
+    front half of every oracle that needs per-word-type BPE symbol
+    counts (bpe_apply_segmentation, token_budget_mixture)."""
     toks = _TOKS_D
     # the learner's WITH body (freq/seg/pc/best/seg chain), sans its
     # final UNION ALL projection
@@ -730,9 +746,16 @@ def _bpe_apply_oracle() -> str:
             f" CASE WHEN (SELECT lhs FROM best{t}) IS NULL THEN seg"
             f" ELSE replace(seg, {pat}, {rep}) END AS seg FROM segall{t - 1})"
         )
+    return parts
+
+
+def _bpe_apply_oracle() -> str:
+    """Extends the learner's CTE chain: apply the 10 learned merges to
+    EVERY word type (not just the top-{BPE_VOCAB_TOP} training vocab)
+    and aggregate corpus-level compression stats."""
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_segall_ctes())
         + f""",
 counted AS (
   SELECT word, freq, length(word) AS n_chars,
@@ -778,13 +801,7 @@ def q_bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    seg_col = F.expr(
-        "concat(' ', concat_ws('  ', "
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ')"
-    )
-    for _rank, lhs, rhs, _merged, _cnt in merges:
-        seg_col = F.replace(seg_col, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
-    counted = vocab.withColumn("seg", seg_col).select(
+    counted = vocab.withColumn("seg", bpe_seg_col(merges)).select(
         "freq",
         F.length("word").alias("n_chars"),
         F.size(F.expr("filter(split(seg, ' '), x -> x != '')")).alias("n_syms"),
