@@ -351,41 +351,107 @@ def _span_hash_duck(toks: str, i: str) -> str:
     return f"substr(md5({parts}), 1, 16)"
 
 
-_CUT_ORACLE = f"""
-WITH tk AS (
-  SELECT doc_id, {_TOKS_D} AS toks FROM documents
-), occ AS (
+def _cut_chain_parts(src: str = "documents") -> list[str]:
+    """The cut-cover CTE chain (tk → occ → freq → cut → cover) as
+    WITH-parts, parameterized on the doc table — the one definition
+    shared by _CUT_ORACLE and the composed corpus_build_pipeline
+    oracle (curation.py)."""
+    return [
+        f"tk AS (SELECT doc_id, {_TOKS_D} AS toks FROM {src})",
+        f"""occ AS (
   SELECT doc_id, i AS pos, {_span_hash_duck("toks", "i")} AS span
   FROM tk, unnest(CASE WHEN len(toks) >= {SPAN_N}
                        THEN range(1, len(toks) - {SPAN_N - 2})
-                       ELSE [] END) AS u(i)
-), freq AS (
+                       ELSE [] END) AS u(i))""",
+        f"""freq AS (
   SELECT span, min(doc_id) AS keeper
   FROM (SELECT DISTINCT doc_id, span FROM occ)
-  GROUP BY span HAVING count(*) >= {CUT_MIN_DOCS}
-), cut AS (
+  GROUP BY span HAVING count(*) >= {CUT_MIN_DOCS})""",
+        """cut AS (
   SELECT o.doc_id, o.pos, o.span
-  FROM occ o JOIN freq f ON o.span = f.span AND o.doc_id <> f.keeper
-), cover AS (
+  FROM occ o JOIN freq f ON o.span = f.span AND o.doc_id <> f.keeper)""",
+        f"""cover AS (
   SELECT doc_id,
          list_sort(list_distinct(flatten(list(
            list_transform(generate_series(0, {SPAN_N - 1}), j -> pos + j)
          )))) AS covered,
          count(DISTINCT span) AS n_spans_cut
-  FROM cut GROUP BY doc_id
-)
-SELECT t.doc_id,
-       CAST(len(t.toks) AS BIGINT) AS n_tokens,
-       CAST(len(c.covered) AS BIGINT) AS n_removed,
-       CAST(c.n_spans_cut AS BIGINT) AS n_spans_cut,
-       coalesce(array_to_string(
+  FROM cut GROUP BY doc_id)""",
+    ]
+
+
+# DuckDB expression rebuilding a doc's text from its token array minus
+# the covered positions (NULL-safe empty join) — shared with the
+# pipeline oracle.
+_CLEANED_DUCK = """coalesce(array_to_string(
          list_transform(
            list_filter(generate_series(1, len(t.toks)),
                        i -> NOT list_contains(c.covered, i)),
            i -> t.toks[i]),
-         ' '), '') AS cleaned_text
+         ' '), '')"""
+
+_CUT_CHAIN_SQL = ",\n".join(_cut_chain_parts())
+
+_CUT_ORACLE = f"""
+WITH {_CUT_CHAIN_SQL}
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(c.covered) AS BIGINT) AS n_removed,
+       CAST(c.n_spans_cut AS BIGINT) AS n_spans_cut,
+       {_CLEANED_DUCK} AS cleaned_text
 FROM tk t JOIN cover c ON t.doc_id = c.doc_id
 """
+
+
+def substring_cover(tk: DataFrame) -> DataFrame:
+    """(doc_id, covered, n_spans_cut) for every AFFECTED doc — the
+    cut-cover chain over a (doc_id, toks) table, shared by
+    substring_dedup_rewrite and corpus_build_pipeline (curation.py):
+    positional span hashes → frequent-span keeper table → non-keeper
+    occurrences → per-doc covered-position union."""
+    span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j})" for j in range(SPAN_N)
+    ) + ")), 1, 16)"
+    occ = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
+                f"i -> struct(i AS pos, {span_hash} AS span)) "
+                f"ELSE array() END"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.pos", "o.span")
+    freq = (
+        occ.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= CUT_MIN_DOCS)
+        .select("span", "keeper")
+    )
+    cut = occ.join(freq, "span").filter(F.col("doc_id") != F.col("keeper"))
+    return cut.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.expr(f"sequence(pos, pos + {SPAN_N - 1})")
+                    )
+                )
+            )
+        ).alias("covered"),
+        F.countDistinct("span").alias("n_spans_cut"),
+    )
+
+
+# Spark twin of _CLEANED_DUCK: rebuild text from toks minus covered.
+_CLEANED_SPARK = (
+    "concat_ws(' ', transform("
+    "filter(sequence(1, size(toks)), i -> NOT array_contains(covered, i)), "
+    "i -> element_at(toks, i)))"
+)
 
 
 @query("substring_dedup_rewrite", oracle=_CUT_ORACLE)
@@ -413,41 +479,7 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate) is exactly the set of documents the cut changed."""
     d = load_table_parallel(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
-    span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
-        f"element_at(toks, i + {j})" for j in range(SPAN_N)
-    ) + ")), 1, 16)"
-    occ = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
-                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
-                f"i -> struct(i AS pos, {span_hash} AS span)) "
-                f"ELSE array() END"
-            )
-        ).alias("o"),
-    ).select("doc_id", "o.pos", "o.span")
-    freq = (
-        occ.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("n_docs") >= CUT_MIN_DOCS)
-        .select("span", "keeper")
-    )
-    cut = occ.join(freq, "span").filter(F.col("doc_id") != F.col("keeper"))
-    cover = cut.groupBy("doc_id").agg(
-        F.array_sort(
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.expr(f"sequence(pos, pos + {SPAN_N - 1})")
-                    )
-                )
-            )
-        ).alias("covered"),
-        F.countDistinct("span").alias("n_spans_cut"),
-    )
+    cover = substring_cover(tk)
     return (
         tk.join(cover, "doc_id")
         .select(
@@ -455,11 +487,7 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("long").alias("n_tokens"),
             F.size("covered").cast("long").alias("n_removed"),
             "n_spans_cut",
-            F.expr(
-                "concat_ws(' ', transform("
-                "filter(sequence(1, size(toks)), i -> NOT array_contains(covered, i)), "
-                "i -> element_at(toks, i)))"
-            ).alias("cleaned_text"),
+            F.expr(_CLEANED_SPARK).alias("cleaned_text"),
         )
     )
 
@@ -492,37 +520,49 @@ def _ppl_band_sql(avg_col: str) -> str:
     )
 
 
-_PPL_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_D} AS t FROM documents
-), bg AS (
+def _ppl_parts(src: str = "documents", p: str = "") -> list[str]:
+    """The bigram-LM scoring chain as WITH-parts, parameterized on the
+    doc table and a CTE-name prefix (so the composed pipeline oracle
+    can train the SAME model shape on its survivor set without name
+    collisions). Final CTE ``{p}pplagg`` = (doc_id, n_bigrams,
+    avg_nll_e6)."""
+    return [
+        f"{p}ptoks AS (SELECT doc_id, {_TOKS_D} AS t FROM {src})",
+        f"""{p}pbg AS (
   SELECT doc_id, t[i] AS prefix, t[i + 1] AS next_token
-  FROM toks, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
-), doc_bg AS (
+  FROM {p}ptoks, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i))""",
+        f"""{p}pdoc_bg AS (
   SELECT doc_id, prefix, next_token, CAST(count(*) AS BIGINT) AS n_occ
-  FROM bg GROUP BY 1, 2, 3
-), c_ab AS (
-  SELECT prefix, next_token, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2
-), c_a AS (
-  SELECT prefix, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY 1
-), v AS (
+  FROM {p}pbg GROUP BY 1, 2, 3)""",
+        f"""{p}pc_ab AS (
+  SELECT prefix, next_token, CAST(count(*) AS BIGINT) AS cab FROM {p}pbg GROUP BY 1, 2)""",
+        f"""{p}pc_a AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS ca FROM {p}pbg GROUP BY 1)""",
+        f"""{p}pv AS (
   SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz
-  FROM (SELECT unnest({_TOKS_D}) AS word FROM documents)
-), scored AS (
+  FROM (SELECT unnest({_TOKS_D}) AS word FROM {src}))""",
+        f"""{p}pscored AS (
   SELECT d.doc_id, d.n_occ,
          CAST(round(ln(c.ca + v.vsz) * 1000000, 0) AS BIGINT)
          - CAST(round(ln(a.cab + 1) * 1000000, 0) AS BIGINT) AS nll_e6
-  FROM doc_bg d
-  JOIN c_ab a ON d.prefix = a.prefix AND d.next_token = a.next_token
-  JOIN c_a c ON d.prefix = c.prefix
-  CROSS JOIN v
-), agg AS (
+  FROM {p}pdoc_bg d
+  JOIN {p}pc_ab a ON d.prefix = a.prefix AND d.next_token = a.next_token
+  JOIN {p}pc_a c ON d.prefix = c.prefix
+  CROSS JOIN {p}pv v)""",
+        f"""{p}pplagg AS (
   SELECT doc_id,
          CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
          CAST(floor(sum(n_occ * nll_e6) * 1.0 / sum(n_occ) + 0.5) AS BIGINT)
            AS avg_nll_e6
-  FROM scored GROUP BY doc_id
-)
+  FROM {p}pscored GROUP BY doc_id)""",
+    ]
+
+
+_PPL_CHAIN_SQL = ",\n".join(_ppl_parts())
+
+_PPL_ORACLE = f"""
+WITH {_PPL_CHAIN_SQL},
+agg AS (SELECT * FROM pplagg)
 SELECT doc_id, n_bigrams,
        avg_nll_e6 / 1000000.0 AS avg_neg_log_likelihood,
        {_ppl_band_sql("avg_nll_e6")} AS ppl_band
@@ -547,6 +587,21 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output sampled to doc_id % 5 = 0 to keep the gate row count
     bounded; the plan is identical unsampled."""
     d = load_table_parallel(spark, sf_dir, "documents")
+    agg = bigram_avg_nll(d)
+    return agg.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("avg_nll_e6") / F.lit(1000000.0)).alias("avg_neg_log_likelihood"),
+        F.expr(_ppl_band_sql("avg_nll_e6")).alias("ppl_band"),
+    )
+
+
+def bigram_avg_nll(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll_e6) under an add-1-smoothed bigram
+    LM trained on the SAME (doc_id, text) table — the scoring core of
+    bigram_perplexity, parameterized on its input so the composed
+    pipeline can retrain the model on its survivor set. Docs with < 2
+    tokens have no bigrams and drop out (unscorable)."""
     bg = d.select(
         "doc_id",
         F.explode(
@@ -577,7 +632,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("doc_id", "n_occ", nll.alias("nll_e6"))
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("n_occ").alias("n_bigrams"),
         F.floor(
             F.sum(F.col("n_occ") * F.col("nll_e6")) * F.lit(1.0) / F.sum("n_occ")
@@ -585,12 +640,6 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("avg_nll_e6"),
-    )
-    return agg.filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id",
-        "n_bigrams",
-        (F.col("avg_nll_e6") / F.lit(1000000.0)).alias("avg_neg_log_likelihood"),
-        F.expr(_ppl_band_sql("avg_nll_e6")).alias("ppl_band"),
     )
 
 

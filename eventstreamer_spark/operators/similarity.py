@@ -942,8 +942,65 @@ SEMDEDUP_T = 0.35  # corpus-calibrated; real embedding corpora run ~0.9+
 # stay ~√n so the within-cluster pair work totals ~n^1.5 — the scale
 # property SemDeDup exists for. Fixed-k seeding would make clusters
 # grow as n/k and the pair stage quadratic again.
-_SEMDEDUP_ORACLE = f"""
-WITH {_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)},
+def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, uq, c_label): every embedding assigned to its nearest
+    adaptive-⌈√n⌉ centroid (session-memoized centroid table shared
+    with ivf_adaptive_topk) — the clustering front half of SemDeDup,
+    reused by corpus_build_pipeline."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_for(
+        spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}"
+    )
+    return _score_centroids(embq, cent).select("vec_id", "uq", "c_label")
+
+
+def semdedup_cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Within-cluster exact pair scoring (applyInPandas kernel): int64
+    matmul of quantized unit vectors, half-up 1e-5 cosine, pairs with
+    cosine >= SEMDEDUP_T and vec_a < vec_b."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {
+                "c_label": pd.Series(dtype="int32"),
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
+    dots = mat @ mat.T  # exact int64
+    cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
+    ai, bi = np.nonzero(np.triu(cos >= SEMDEDUP_T, k=1))
+    return pd.DataFrame(
+        {
+            "c_label": np.full(len(ai), pdf["c_label"].iloc[0], dtype="int32"),
+            "vec_a": ids[ai],  # sorted ids → a < b by construction
+            "vec_b": ids[bi],
+            "cosine": cos[ai, bi],
+        }
+    )
+
+
+def _semdedup_assign_duck() -> str:
+    """Adaptive-⌈√n⌉ centroid chain + quantized nearest-centroid
+    assignment as a WITH-clause body; final CTE ``assign`` =
+    (vec_id, uq, c_label). Shared by _SEMDEDUP_ORACLE and the composed
+    corpus_build_pipeline oracle (curation.py)."""
+    return f"""{_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)},
 centq AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
 ), scored AS (
@@ -956,7 +1013,11 @@ centq AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_label) AS rn
     FROM scored
   ) WHERE rn = 1
-), pairs AS (
+)"""
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_semdedup_assign_duck()}, pairs AS (
   SELECT a.c_label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          floor({H.qcosine_duck("a.uq", "b.uq")} * 100000 + 0.5) / 100000.0 AS cosine
   FROM assign a JOIN assign b
@@ -995,51 +1056,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan a 100 TB run uses (clusters are independent applyInPandas
     groups; nothing global materializes). Drop decisions ride one
     window over the pair table keyed by the dropped vector."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings")
-    k = int(math.ceil(math.sqrt(e.count())))
-    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
-    embq = (
-        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
-        .select("vec_id", "uq")
-        .localCheckpoint(eager=False)
-    )
-    cent = ivf_centroids_for(
-        spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}"
-    )
-    assign = _score_centroids(embq, cent).select("vec_id", "uq", "c_label")
-
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy(dtype="int64")
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "c_label": pd.Series(dtype="int32"),
-                    "vec_a": pd.Series(dtype="int64"),
-                    "vec_b": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
-        dots = mat @ mat.T  # exact int64
-        cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
-        ai, bi = np.nonzero(np.triu(cos >= SEMDEDUP_T, k=1))
-        return pd.DataFrame(
-            {
-                "c_label": np.full(len(ai), pdf["c_label"].iloc[0], dtype="int32"),
-                "vec_a": ids[ai],  # sorted ids → a < b by construction
-                "vec_b": ids[bi],
-                "cosine": cos[ai, bi],
-            }
-        )
-
+    assign = semdedup_assign(spark, sf_dir)
     pairs = assign.groupBy("c_label").applyInPandas(
-        cluster_pairs, "c_label int, vec_a long, vec_b long, cosine double"
+        semdedup_cluster_pairs, "c_label int, vec_a long, vec_b long, cosine double"
     )
     w = Window.partitionBy("vec_b")
     return (
