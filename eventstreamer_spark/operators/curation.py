@@ -207,3 +207,262 @@ def q_domain_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         favg(F.col("n_chars"), ~kept).alias("avg_removed_chars"),
         F.min(F.when(kept, F.col("n_chars"))).alias("cutoff_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-build pipeline (round-6 operators chained end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_build_oracle() -> str:
+    """The full five-stage pipeline as ONE chained-CTE plan, assembled
+    from each stage's shared oracle generator (never re-derived SQL):
+    cut-cover rewrite → per-domain cap on REWRITTEN length → SemDeDup
+    among survivors (full-corpus adaptive clustering, pair scoring
+    restricted to survivors) → bigram-LM perplexity filter RETRAINED
+    on the survivor text → per-source funnel + temperature mixture."""
+    from eventstreamer_spark.operators.indexing import (
+        _CLEANED_DUCK,
+        _cut_chain_parts,
+        _ppl_band_sql,
+        _ppl_parts,
+    )
+    from eventstreamer_spark.operators.similarity import (
+        SEMDEDUP_T,
+        _semdedup_assign_duck,
+    )
+
+    parts = list(_cut_chain_parts())
+    parts.append(
+        f"""rew AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+         CASE WHEN c.doc_id IS NULL THEN d.text ELSE {_CLEANED_DUCK} END AS text
+  FROM documents d JOIN tk t ON d.doc_id = t.doc_id
+  LEFT JOIN cover c ON d.doc_id = c.doc_id)"""
+    )
+    parts.append(
+        """rankedc AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM rew)"""
+    )
+    parts.append(
+        f"""capped AS MATERIALIZED (
+  SELECT doc_id, source, text FROM rankedc
+  WHERE rnk <= GREATEST(1, CAST(floor(n_docs * {DOMAIN_KEEP_FRAC}) AS BIGINT)))"""
+    )
+    parts.append(_semdedup_assign_duck())
+    parts.append(
+        """surv_assign AS MATERIALIZED (
+  SELECT a.vec_id, a.uq, a.c_label
+  FROM assign a JOIN capped s ON a.vec_id = s.doc_id)"""
+    )
+    parts.append(
+        f"""sdrop AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM surv_assign a JOIN surv_assign b
+    ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+  WHERE floor({H.qcosine_duck("a.uq", "b.uq")} * 100000 + 0.5) / 100000.0
+        >= {SEMDEDUP_T})"""
+    )
+    parts.append(
+        """semkept AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.text
+  FROM capped s LEFT JOIN sdrop x ON s.doc_id = x.vec_id
+  WHERE x.vec_id IS NULL)"""
+    )
+    parts.extend(_ppl_parts(src="semkept", p="z"))
+    parts.append(
+        f"""pplkept AS MATERIALIZED (
+  SELECT s.doc_id, s.source
+  FROM semkept s JOIN zpplagg p ON s.doc_id = p.doc_id
+  WHERE ({_ppl_band_sql("p.avg_nll_e6")}) <> 'high')"""
+    )
+    parts.append(
+        "f0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM rew GROUP BY source)"
+    )
+    parts.append(
+        "f1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_capped"
+        " FROM capped GROUP BY source)"
+    )
+    parts.append(
+        "f2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_semdedup"
+        " FROM semkept GROUP BY source)"
+    )
+    parts.append(
+        "f3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final"
+        " FROM pplkept GROUP BY source)"
+    )
+    parts.append(
+        """tmix AS (
+  SELECT f0.source, f0.n_docs,
+         COALESCE(f1.n_capped, 0) AS n_capped,
+         COALESCE(f2.n_semdedup, 0) AS n_semdedup,
+         COALESCE(f3.n_final, 0) AS n_final,
+         CAST(round(sqrt(COALESCE(f3.n_final, 0)) * 1000000, 0) AS BIGINT) AS w6
+  FROM f0 LEFT JOIN f1 USING (source) LEFT JOIN f2 USING (source)
+  LEFT JOIN f3 USING (source))"""
+    )
+    parts.append(
+        """tot AS (
+  SELECT CAST(sum(n_final) AS BIGINT) AS n_total,
+         CAST(sum(w6) AS BIGINT) AS w_total
+  FROM tmix)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT source, n_docs, n_capped, n_semdedup, n_final,
+       floor(w6 * 1000000.0 / w_total + 0.5) / 1000000.0 AS alpha_share,
+       CASE WHEN n_final > 0
+            THEN floor(w6 * 1.0 / w_total * n_total * 1000000.0 / n_final + 0.5)
+                 / 1000000.0
+            END AS effective_epochs
+FROM tmix CROSS JOIN tot
+"""
+    )
+
+
+@query("corpus_build_pipeline", oracle=_corpus_build_oracle())
+def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operators COMPOSED into one corpus-build plan — the
+    proof they chain without driver round-trips:
+
+    1. **Exact-substring rewrite** (substring_cover): every doc's text
+       with frequent non-keeper spans cut — rewritten text flows on.
+    2. **Per-domain cap** on the REWRITTEN length (rank by
+       length DESC, doc_id; keep max(1, floor(0.6·n)) per source).
+    3. **SemDeDup among survivors**: full-corpus adaptive-⌈√n⌉
+       clustering (memoized centroid table, shared with
+       semantic_dedup/ivf_adaptive_topk); within-cluster int64-matmul
+       pair scoring restricted to cap survivors; a doc drops when a
+       lower-id surviving doc in its cluster has cosine ≥ threshold.
+       Docs without a scorable embedding are never droppable.
+    4. **Perplexity-band filter, RETRAINED**: the add-1 bigram LM is
+       re-estimated on stage-3 survivors' REWRITTEN text
+       (bigram_avg_nll is input-parameterized), and 'high'-band docs
+       drop; docs with < 2 tokens are unscorable and drop.
+    5. **Mixture**: per-source funnel counts (n_docs → n_capped →
+       n_semdedup → n_final) + temperature-smoothed (alpha = 0.5)
+       shares and effective epochs over the FINAL survivors.
+
+    One DataFrame plan end-to-end: the only driver materializations
+    are the session centroid memo (k ≈ √n rows, shared) and its n
+    count — every per-doc decision stays distributed. Shuffles:
+    span-hash aggregate + span join (stage 1), one window on source
+    (stage 2), cluster-key groupBy (stage 3), bigram model joins
+    (stage 4), per-source aggregate (stage 5) — all key-bucketed
+    equi-joins/aggregates, no cartesian (the only CROSS JOINs are
+    1-row totals). The oracle replays all five stages as one chained
+    CTE plan assembled from each stage's shared SQL generator."""
+    from pyspark.sql import Window
+
+    from eventstreamer_spark.operators.indexing import (
+        _CLEANED_SPARK,
+        _TOKS_S,
+        _ppl_band_sql,
+        bigram_avg_nll,
+        substring_cover,
+    )
+    from eventstreamer_spark.operators.similarity import (
+        semdedup_assign,
+        semdedup_cluster_pairs,
+    )
+    from eventstreamer_spark.sources.tables import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    cover = substring_cover(tk)
+    rew = (
+        d.join(tk, "doc_id")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("covered").isNull(), F.col("text"))
+            .otherwise(F.expr(_CLEANED_SPARK))
+            .alias("text"),
+        )
+    )
+    w = Window.partitionBy("source")
+    ranked = rew.withColumn(
+        "rnk",
+        F.row_number().over(w.orderBy(F.length("text").desc(), "doc_id")),
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    capped = ranked.filter(
+        F.col("rnk")
+        <= F.greatest(
+            F.lit(1).cast("long"), F.floor(F.col("n_docs") * F.lit(DOMAIN_KEEP_FRAC))
+        )
+    ).select("doc_id", "source", "text")
+
+    assign = semdedup_assign(spark, sf_dir)
+    surv_assign = assign.join(
+        capped.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    pairs = surv_assign.groupBy("c_label").applyInPandas(
+        semdedup_cluster_pairs, "c_label int, vec_a long, vec_b long, cosine double"
+    )
+    sdrop = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    semkept = capped.join(sdrop, "doc_id", "left_anti")
+
+    nll = bigram_avg_nll(semkept.select("doc_id", "text"))
+    pplkept = (
+        semkept.join(nll, "doc_id")
+        .filter(F.expr(_ppl_band_sql("avg_nll_e6")) != F.lit("high"))
+        .select("doc_id", "source")
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    tmix = (
+        cnt(rew, "n_docs")
+        .join(cnt(capped, "n_capped"), "source", "left")
+        .join(cnt(semkept, "n_semdedup"), "source", "left")
+        .join(cnt(pplkept, "n_final"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_capped", F.lit(0)).cast("long").alias("n_capped"),
+            F.coalesce("n_semdedup", F.lit(0)).cast("long").alias("n_semdedup"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        )
+        .withColumn(
+            "w6",
+            F.round(F.sqrt("n_final") * F.lit(1000000.0), 0).cast("long"),
+        )
+    )
+    tot = tmix.agg(
+        F.sum("n_final").cast("long").alias("n_total"),
+        F.sum("w6").cast("long").alias("w_total"),
+    )
+
+    def r6(col):
+        return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
+
+    return tmix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_capped",
+        "n_semdedup",
+        "n_final",
+        r6(F.col("w6") * F.lit(1000000.0) / F.col("w_total")).alias("alpha_share"),
+        F.when(
+            F.col("n_final") > 0,
+            r6(
+                F.col("w6")
+                * F.lit(1.0)
+                / F.col("w_total")
+                * F.col("n_total")
+                * F.lit(1000000.0)
+                / F.col("n_final")
+            ),
+        ).alias("effective_epochs"),
+    )
