@@ -454,24 +454,25 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixtures give documents and embeddings one shared id space
     (FIXTURES.md: 500 rows each, ids 0-499; embeddings[i] embeds
     documents[i]), which is what lets the embedding pairs union with
-    the text pairs. Pure composition: the MinHash pair table comes
-    from the session memo (minhash_pairs_for), the other two pipelines
-    are the verified operators re-declared in this plan; the union is
+    the text pairs. Pure composition: all THREE pair
+    tables come from session memos (minhash/simhash/embedding
+    *_pairs_for — consumers of the verified operators, which
+    themselves always re-run their own pipelines); the union is
     pair-table-sized (LSH/blocking-bounded), so the final groupBy
     shuffles only candidate ids + method tags."""
     from eventstreamer_spark.operators.dedup import (
-        embedding_prefiltered_pairs,
+        embedding_prefiltered_pairs_for,
         minhash_pairs_for,
-        q_simhash_neardup,
+        simhash_pairs_for,
     )
 
     mh = minhash_pairs_for(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit("minhash").alias("method")
     )
-    sh = q_simhash_neardup(spark, sf_dir).select(
+    sh = simhash_pairs_for(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit("simhash").alias("method")
     )
-    em = embedding_prefiltered_pairs(spark, sf_dir, threshold=0.45).select(
+    em = embedding_prefiltered_pairs_for(spark, sf_dir, threshold=0.45).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         F.lit("embedding").alias("method"),

@@ -818,3 +818,41 @@ def test_incremental_ingest_broadcasts_batch_side(spark):
     df = q_incremental_neardup_ingest(spark, SF_DIR)
     assert_broadcast_join(df, min_count=1)
     assert_no_cartesian(df)
+
+
+def test_capped_sessions_single_shuffle(spark):
+    """The capped-duration sessionizer must co-locate each key with
+    ONE hash repartition and walk per-key inside mapInPandas — no
+    global sort, no second exchange before the recurrence (the
+    session_window-vs-capped-walk plan contract, VERDICT r6 item 9)."""
+    from eventstreamer_spark.streaming.stateful import q_capped_session_windows
+
+    df = q_capped_session_windows(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan[:1500]
+    assert "Sort [" not in plan or "SortMergeJoin" not in plan  # no global sort
+    assert "MapInPandas" in plan
+
+
+def test_quality_classifier_scoring_is_row_local(spark):
+    """The classifier's scoring pass must dot against LITERAL weights
+    (no join for the weight table) and never broadcast-join the model:
+    after the per-doc feature fold, scoring is a projection."""
+    from eventstreamer_spark.operators.quality import (
+        q_quality_classifier_scores,
+    )
+
+    df = q_quality_classifier_scores(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_build_pipeline_no_cartesian(spark):
+    """Five chained stages must stay equi-join/aggregate shaped: the
+    only nested-loop joins allowed are the 1-row totals broadcasts."""
+    from eventstreamer_spark.operators.curation import q_corpus_build_pipeline
+
+    df = q_corpus_build_pipeline(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
