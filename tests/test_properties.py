@@ -269,9 +269,10 @@ def test_bounded_memo_evicts_oldest():
     # the live caches are bounded instances
     from eventstreamer_spark.operators.dedup import _PAIRS_CACHE, _SHINGLED_CACHE
     from eventstreamer_spark.operators.similarity import _CENT_CACHE
-    from eventstreamer_spark.streaming.pipeline import _UPSERT_CACHE
+    from eventstreamer_spark.operators.text import _BPE_CACHE
 
-    for cache in (_PAIRS_CACHE, _SHINGLED_CACHE, _CENT_CACHE, _UPSERT_CACHE):
+    # (_UPSERT_CACHE was removed in r7 — ADVICE: it was write-only)
+    for cache in (_PAIRS_CACHE, _SHINGLED_CACHE, _CENT_CACHE, _BPE_CACHE):
         assert isinstance(cache, BoundedMemo)
 
 
