@@ -81,6 +81,10 @@ QUERIES: tuple[str, ...] = (
     "bigram_perplexity", "dedup_method_agreement", "capped_session_windows",
     "stream_capped_sessions", "incremental_neardup_ingest",
     "stream_static_ingest_dedup",
+    # round-7 additions
+    "quality_classifier_scores", "ingest_index_maintenance",
+    "winnowing_fingerprints", "winnowing_candidates",
+    "token_budget_mixture", "corpus_build_pipeline",
 )
 
 # name -> (max factor, reason)
