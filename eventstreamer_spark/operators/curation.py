@@ -317,11 +317,10 @@ def _corpus_build_oracle() -> str:
         + ",\n".join(parts)
         + """
 SELECT source, n_docs, n_capped, n_semdedup, n_final,
-       floor(w6 * 1000000.0 / w_total + 0.5) / 1000000.0 AS alpha_share,
-       CASE WHEN n_final > 0
-            THEN floor(w6 * 1.0 / w_total * n_total * 1000000.0 / n_final + 0.5)
-                 / 1000000.0
-            END AS effective_epochs
+       floor(w6 * 1000000.0 / nullif(w_total, 0) + 0.5) / 1000000.0
+         AS alpha_share,
+       floor(w6 * 1.0 / nullif(w_total, 0) * n_total * 1000000.0
+             / nullif(n_final, 0) + 0.5) / 1000000.0 AS effective_epochs
 FROM tmix CROSS JOIN tot
 """
     )
@@ -447,22 +446,26 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(col):
         return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
 
+    # NULL-propagating divisors (nullif), NOT a bare F.when guard:
+    # under ANSI mode codegen evaluates both branches eagerly, so a
+    # source whose survivor count hits 0 (possible on replicated
+    # scale corpora, where the rewrite empties duplicate copies)
+    # would throw DIVIDE_BY_ZERO from the unselected branch.
+    w_tot_nz = F.nullif(F.col("w_total"), F.lit(0).cast("long"))
+    n_fin_nz = F.nullif(F.col("n_final"), F.lit(0).cast("long"))
     return tmix.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_capped",
         "n_semdedup",
         "n_final",
-        r6(F.col("w6") * F.lit(1000000.0) / F.col("w_total")).alias("alpha_share"),
-        F.when(
-            F.col("n_final") > 0,
-            r6(
-                F.col("w6")
-                * F.lit(1.0)
-                / F.col("w_total")
-                * F.col("n_total")
-                * F.lit(1000000.0)
-                / F.col("n_final")
-            ),
+        r6(F.col("w6") * F.lit(1000000.0) / w_tot_nz).alias("alpha_share"),
+        r6(
+            F.col("w6")
+            * F.lit(1.0)
+            / w_tot_nz
+            * F.col("n_total")
+            * F.lit(1000000.0)
+            / n_fin_nz
         ).alias("effective_epochs"),
     )
