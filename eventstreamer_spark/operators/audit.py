@@ -490,3 +490,205 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("method").alias("n_methods"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Selection-method agreement (DSIR vs trained classifier vs heuristic)
+# ---------------------------------------------------------------------------
+
+# The dedup surface has dedup_method_agreement; this is its twin for
+# the SELECTION surface: do the three scoring families — DSIR
+# importance weights, the trained ridge classifier, and the heuristic
+# quality score — rank the corpus the same way? Reported as exact
+# Spearman rank correlation plus top-quarter selection overlap for
+# each method pair. Audit-grade: ranks are GLOBAL row_numbers (one
+# single-partition window per method), fine for a report, documented
+# never-in-pipeline — the selection queries themselves rank per
+# source/shard.
+
+SELECTION_TOPQ_FRAC = 0.25
+
+
+def _sel_agreement_oracle() -> str:
+    """Assembled from the shared generators (_qc_parts prefix 'c',
+    _dsir_parts prefix 'd') — no re-derived SQL. Spearman's rho =
+    1 - 6Σd²/(n(n²-1)) with the numerator/denominator kept integer
+    until one identical-operand double division, then floor6."""
+    from eventstreamer_spark.operators.curation import _dsir_parts
+    from eventstreamer_spark.operators.quality import _qc_parts
+    from eventstreamer_spark.operators.text import QUALITY_DUCK
+
+    parts = _qc_parts(p="c") + _dsir_parts(p="d")
+    parts.append(
+        f"""hq AS (
+  SELECT doc_id, CAST(round({QUALITY_DUCK} * 10, 0) AS BIGINT) AS q10
+  FROM documents)"""
+    )
+    parts.append(
+        """j AS MATERIALIZED (
+  SELECT s.doc_id, s.score_e6 AS s_clf, dd.s_e6 AS s_dsir, h.q10
+  FROM cscores s JOIN dscored dd ON s.doc_id = dd.doc_id
+  JOIN hq h ON s.doc_id = h.doc_id)"""
+    )
+    parts.append(
+        """rk AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s_dsir DESC, doc_id) AS r_d,
+         row_number() OVER (ORDER BY s_clf DESC, doc_id) AS r_c,
+         row_number() OVER (ORDER BY q10 DESC, doc_id) AS r_q
+  FROM j)"""
+    )
+    parts.append(
+        f"""nrow AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         GREATEST(1, CAST(floor(count(*) * {SELECTION_TOPQ_FRAC}) AS BIGINT)) AS k
+  FROM j)"""
+    )
+    parts.append(
+        """ag AS MATERIALIZED (
+  SELECT CAST(any_value(nrow.n) AS BIGINT) AS n,
+         CAST(any_value(nrow.k) AS BIGINT) AS k,
+         CAST(sum((r_d - r_c) * (r_d - r_c)) AS BIGINT) AS sd2_dc,
+         CAST(sum((r_d - r_q) * (r_d - r_q)) AS BIGINT) AS sd2_dq,
+         CAST(sum((r_c - r_q) * (r_c - r_q)) AS BIGINT) AS sd2_cq,
+         CAST(sum(CASE WHEN r_d <= nrow.k AND r_c <= nrow.k THEN 1 ELSE 0 END) AS BIGINT) AS ov_dc,
+         CAST(sum(CASE WHEN r_d <= nrow.k AND r_q <= nrow.k THEN 1 ELSE 0 END) AS BIGINT) AS ov_dq,
+         CAST(sum(CASE WHEN r_c <= nrow.k AND r_q <= nrow.k THEN 1 ELSE 0 END) AS BIGINT) AS ov_cq
+  FROM rk CROSS JOIN nrow)"""
+    )
+    rho = (
+        "floor((n * (n * n - 1) - 6 * {sd2}) * 1000000.0"
+        " / nullif(n * (n * n - 1), 0) + 0.5) / 1000000.0"
+    )
+    ovf = "floor({ov} * 1000000.0 / k + 0.5) / 1000000.0"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS method_a, '{b}' AS method_b, n, {sd2} AS sum_d2, "
+        f"{rho.format(sd2=sd2)} AS spearman_rho, "
+        f"{ovf.format(ov=ov)} AS topq_overlap FROM ag"
+        for a, b, sd2, ov in (
+            ("dsir", "classifier", "sd2_dc", "ov_dc"),
+            ("dsir", "quality", "sd2_dq", "ov_dq"),
+            ("classifier", "quality", "sd2_cq", "ov_cq"),
+        )
+    )
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + rows
+
+
+@query("selection_method_agreement", oracle=_sel_agreement_oracle())
+def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the three data-SELECTION families agree? Exact Spearman rank
+    correlation and top-quarter overlap between every pair of:
+    DSIR per-gram log-ratio (curation.dsir_doc_scores), the trained
+    ridge classifier score (quality.ridge_scores, weights retrained
+    here via the shared exact-integer path), and the heuristic
+    quality score (text.QUALITY_SPARK, ranked on its exact 10×
+    integer class). Output: one row per method pair with n, Σd²,
+    rho = 1 - 6Σd²/(n(n²-1)) (floor6 of an identical-integer-operand
+    division — exact cross-engine), and |topA ∩ topB| / k for
+    k = max(1, floor(0.25·n)).
+
+    Audit-grade by design (like dedup_method_agreement): the three
+    global row_number ranks are single-partition windows over the
+    (doc_id, three-integer-score) table — tiny rows, but still a
+    global sort each; a pipeline never needs global ranks (the
+    selection queries rank per source), so this shape stays in the
+    report tier. Everything upstream of the ranks is the shared
+    linear-scaling scoring chains."""
+    from eventstreamer_spark.operators.curation import dsir_doc_scores
+    from eventstreamer_spark.operators.quality import (
+        ridge_scores,
+        train_ridge_weights,
+    )
+    from eventstreamer_spark.operators.text import QUALITY_SPARK
+
+    w = train_ridge_weights(spark, sf_dir)
+    clf = ridge_scores(spark, sf_dir, w).select(
+        "doc_id", F.col("score_e6").alias("s_clf")
+    )
+    dsir = dsir_doc_scores(spark, sf_dir).select(
+        "doc_id", F.col("s_e6").alias("s_dsir")
+    )
+    hq = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.expr(QUALITY_SPARK) * 10, 0).cast("long").alias("q10"),
+    )
+    j = clf.join(dsir, "doc_id").join(hq, "doc_id")
+    rk = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_dsir").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_d"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s_clf").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_c"),
+        F.row_number()
+        .over(Window.orderBy(F.col("q10").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_q"),
+    )
+    nrow = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.count(F.lit(1)) * F.lit(SELECTION_TOPQ_FRAC)),
+        ).alias("k"),
+    )
+
+    def d2(a, b):
+        return F.sum((F.col(a) - F.col(b)) * (F.col(a) - F.col(b))).cast("long")
+
+    def ov(a, b):
+        return F.sum(
+            ((F.col(a) <= F.col("k")) & (F.col(b) <= F.col("k"))).cast("long")
+        ).cast("long")
+
+    ag = (
+        rk.crossJoin(F.broadcast(nrow))
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("k").alias("k"),
+            d2("r_d", "r_c").alias("sd2_dc"),
+            d2("r_d", "r_q").alias("sd2_dq"),
+            d2("r_c", "r_q").alias("sd2_cq"),
+            ov("r_d", "r_c").alias("ov_dc"),
+            ov("r_d", "r_q").alias("ov_dq"),
+            ov("r_c", "r_q").alias("ov_cq"),
+        )
+    )
+    pairs = ag.selectExpr(
+        "n",
+        "k",
+        "stack(3, "
+        "'dsir', 'classifier', sd2_dc, ov_dc, "
+        "'dsir', 'quality', sd2_dq, ov_dq, "
+        "'classifier', 'quality', sd2_cq, ov_cq"
+        ") AS (method_a, method_b, sum_d2, ovl)",
+    )
+    nn = F.nullif(
+        F.col("n") * (F.col("n") * F.col("n") - F.lit(1).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    return pairs.select(
+        "method_a",
+        "method_b",
+        "n",
+        "sum_d2",
+        (
+            F.floor(
+                (
+                    F.col("n") * (F.col("n") * F.col("n") - F.lit(1).cast("long"))
+                    - F.lit(6).cast("long") * F.col("sum_d2")
+                )
+                * F.lit(1000000.0)
+                / nn
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("spearman_rho"),
+        (
+            F.floor(F.col("ovl") * F.lit(1000000.0) / F.col("k") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("topq_overlap"),
+    )

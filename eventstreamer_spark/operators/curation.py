@@ -469,3 +469,223 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_fin_nz
         ).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LMs)
+# ---------------------------------------------------------------------------
+
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+# fit two bag-of-hashed-ngram unigram models — one on a small TARGET
+# domain, one on the RAW pool — and weight every raw document by its
+# log-likelihood ratio under the two models. Here the target domain is
+# the English slice (standing in for "looks like Wikipedia/books");
+# features are unigrams + word-bigrams hashed into 256 buckets, the
+# paper's hashing-trick feature space at fixture scale.
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_PRED = "lang = 'en'"
+DSIR_KEEP_FRAC = 0.25  # per-source top quarter by per-gram log-ratio
+
+# unigrams + bigrams from a pre-materialized token array column t
+_DSIR_GRAMS_SPARK = (
+    "concat(t, CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) ELSE array() END)"
+)
+_DSIR_GRAMS_DUCK = (
+    "t || CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1]) ELSE [] END"
+)
+_DSIR_BUCKET_SPARK = (
+    f"CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+)
+_DSIR_BUCKET_DUCK = f"CAST('0x' || substring(md5(g), 1, 6) AS BIGINT) % {DSIR_BUCKETS}"
+
+# ln() of an INTEGER argument quantized to micro-nats BEFORE any
+# arithmetic — the zipf/bigram-LM exactness pattern: both engines see
+# the identical integer, compute the same double, and round to the
+# same int64, so every downstream number is integer-exact.
+_LN6 = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+
+# exact floor division (see quality._fdiv): subtracting the
+# non-negative remainder first makes the numerator exactly divisible,
+# so truncating and flooring division agree in every engine.
+_FDIV_SQL = "({a} - ((({a}) % ({b})) + ({b})) % ({b}))"
+
+_TOKS_DUCK_TEXT = H.TOKENS_DUCK.format(col="text")
+
+
+def _dsir_parts(p: str = "") -> list[str]:
+    """The DSIR scoring chain as WITH-parts, CTE names prefixed with
+    ``p`` (collision-free composition, the _ppl_parts pattern). Final
+    CTE ``{p}scored`` = (doc_id, source, n_grams, w_e6, s_e6)."""
+    return [
+        f"""{p}t0 AS (
+  SELECT doc_id, lang, source, {_TOKS_DUCK_TEXT} AS t FROM documents)""",
+        f"""{p}grams AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({_DSIR_GRAMS_DUCK}) AS g FROM {p}t0)""",
+        f"""{p}feat AS MATERIALIZED (
+  SELECT doc_id, {_DSIR_BUCKET_DUCK} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM {p}grams GROUP BY 1, 2)""",
+        f"""{p}rawb AS MATERIALIZED (
+  SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM {p}feat GROUP BY b)""",
+        f"""{p}tgtb AS MATERIALIZED (
+  SELECT {_DSIR_BUCKET_DUCK} AS b, CAST(count(*) AS BIGINT) AS ct
+  FROM {p}grams WHERE {DSIR_TARGET_PRED} GROUP BY 1)""",
+        f"""{p}tot AS MATERIALIZED (
+  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM {p}rawb) AS q,
+         (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) FROM {p}tgtb) AS tt)""",
+        f"""{p}lam AS MATERIALIZED (
+  SELECT r.b,
+         {_LN6.format(x="COALESCE(tg.ct, 0) + 1")}
+         - {_LN6.format(x=f"tot.tt + {DSIR_BUCKETS}")}
+         - {_LN6.format(x="r.cr + 1")}
+         + {_LN6.format(x=f"tot.q + {DSIR_BUCKETS}")} AS lam_e6
+  FROM {p}rawb r LEFT JOIN {p}tgtb tg USING (b) CROSS JOIN {p}tot tot)""",
+        f"""{p}docw AS (
+  SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_grams,
+         CAST(sum(f.c * l.lam_e6) AS BIGINT) AS w_e6
+  FROM {p}feat f JOIN {p}lam l USING (b) GROUP BY 1)""",
+        f"""{p}scored AS (
+  SELECT d.doc_id, d.source, w.n_grams, w.w_e6,
+         {_FDIV_SQL.format(a="w.w_e6", b="w.n_grams")} // w.n_grams AS s_e6
+  FROM documents d JOIN {p}docw w ON d.doc_id = w.doc_id)""",
+    ]
+
+
+_DSIR_CHAIN_SQL = ",\n".join(_dsir_parts())
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CHAIN_SQL}, ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY s_e6 DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT doc_id, source, n_grams,
+       w_e6 / 1000000.0 AS logratio,
+       s_e6 / 1000000.0 AS pergram_logratio,
+       CAST(CASE WHEN rnk <= GREATEST(1, CAST(floor(n_src * {DSIR_KEEP_FRAC}) AS BIGINT))
+                 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM ranked
+"""
+
+
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_grams, w_e6, s_e6): the DSIR scoring chain —
+    hashed-gram features, broadcast 256-row bucket LMs, per-doc
+    log-ratio weight and exact-floor per-gram score. Shared by the
+    selection query and the selection-agreement audit (the Spark twin
+    of ``_dsir_parts``)."""
+    from eventstreamer_spark.sources.tables import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    t0 = d.select(
+        "doc_id", "lang", F.expr(H.TOKENS_SPARK.format(col="text")).alias("t")
+    )
+    # explode_outer + isNotNull: see the InferFiltersFromGenerate note
+    # in dedup.py — plain explode re-inlines the gram pipeline
+    grams = t0.select(
+        "doc_id", "lang", F.explode_outer(F.expr(_DSIR_GRAMS_SPARK)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    feat = grams.groupBy(
+        "doc_id", F.expr(_DSIR_BUCKET_SPARK).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rawb = feat.groupBy("b").agg(F.sum("c").cast("long").alias("cr"))
+    tgtb = (
+        grams.filter(F.expr(DSIR_TARGET_PRED))
+        .groupBy(F.expr(_DSIR_BUCKET_SPARK).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = rawb.agg(F.sum("cr").cast("long").alias("q")).crossJoin(
+        tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    )
+    ln6 = lambda x: F.expr(_LN6.format(x=x))  # noqa: E731
+    lam = (
+        rawb.join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                ln6("COALESCE(ct, 0) + 1")
+                - ln6(f"tt + {DSIR_BUCKETS}")
+                - ln6("cr + 1")
+                + ln6(f"q + {DSIR_BUCKETS}")
+            ).alias("lam_e6"),
+        )
+    )
+    docw = (
+        feat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam_e6")).cast("long").alias("w_e6"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(docw, "doc_id")
+        .withColumn(
+            "s_e6",
+            F.expr(
+                _FDIV_SQL.format(a="w_e6", b="n_grams") + " div n_grams"
+            ).cast("long"),
+        )
+    )
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023), the trained data-SELECTION dimension the classifier
+    (quality.py) and heuristics don't cover: two add-1-smoothed
+    bag-of-hashed-ngram models (target = the English slice, raw = the
+    whole pool) and a per-document log-likelihood-ratio weight
+    w(d) = Σ_b c_db·(ln p_target(b) − ln p_raw(b)). Docs rank per
+    source by PER-GRAM log-ratio (length-neutral) and the top
+    max(1, floor(0.25·n)) are selected — the deterministic analog of
+    the paper's Gumbel resampling.
+
+    Plan shape: one explode (unigrams+bigrams), one (doc, bucket)
+    count aggregate; the two 256-row bucket LMs and the 1-row totals
+    are BROADCAST back onto the per-doc features (the corpus never
+    shuffles for the model); one per-doc weight aggregate; one window
+    on source for the rank. At 100 TB the λ table is still 256 rows —
+    model size is independent of corpus size, which is the whole point
+    of the hashing trick.
+
+    Cross-engine exactness: bucket counts are integers; each ln() is
+    taken on an identical integer and quantized to micro-nats BEFORE
+    any arithmetic (the zipf/bigram-LM pattern); per-doc weights are
+    int64 sums of count×micro-nat products; the per-gram score uses
+    the exact-floor-division identity — so every emitted value is
+    bit-identical to the oracle's.
+
+    Reference parity: beyond-reference curation surface (the reference
+    pipeline, Function1.cs:1-236, has no data-selection stage);
+    SURVEY.md §2.1 extension per the round-7 depth mandate."""
+    from pyspark.sql import Window
+
+    scored = dsir_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("source")
+    ranked = scored.withColumn(
+        "rnk", F.row_number().over(w.orderBy(F.col("s_e6").desc(), "doc_id"))
+    ).withColumn("n_src", F.count(F.lit(1)).over(w))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        (F.col("w_e6") / F.lit(1000000.0)).alias("logratio"),
+        (F.col("s_e6") / F.lit(1000000.0)).alias("pergram_logratio"),
+        (
+            F.col("rnk")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("n_src") * F.lit(DSIR_KEEP_FRAC)),
+            )
+        )
+        .cast("int")
+        .alias("selected"),
+    )

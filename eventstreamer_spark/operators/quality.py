@@ -91,11 +91,12 @@ def solve_ridge_gs(
     return w
 
 
-def _gs_oracle_cte() -> str:
+def _gs_oracle_cte(p: str = "") -> str:
     """The recursive-CTE twin of solve_ridge_gs: one coordinate update
     per step, GS_SWEEPS*D_FEAT steps, state = the length-d HUGEINT
     weight list. All arithmetic integer; the floor-division identity
-    matches _fdiv exactly.
+    matches _fdiv exactly. CTE names (and the gram/bvec inputs it
+    reads) are prefixed with ``p`` for collision-free composition.
 
     The Gram matrix enters the recursion as a DENSE row-major HUGEINT
     list (λ already on the diagonal) cross-joined from 1-row
@@ -106,22 +107,22 @@ def _gs_oracle_cte() -> str:
     dense-list form avoids the bug class entirely)."""
     steps = GS_SWEEPS * D_FEAT
     d = D_FEAT
-    return f"""cells AS (
+    return f"""{p}cells AS (
   SELECT p.p AS pos,
          COALESCE(g.a, CAST(0 AS HUGEINT))
            + CASE WHEN ((p.p - 1) // {d}) = ((p.p - 1) % {d})
                   THEN {RIDGE_LAMBDA} ELSE 0 END AS a
   FROM (SELECT unnest(generate_series(1, {d * d})) AS p) p
-  LEFT JOIN gram g ON g.i = (p.p - 1) // {d} AND g.j = (p.p - 1) % {d}
+  LEFT JOIN {p}gram g ON g.i = (p.p - 1) // {d} AND g.j = (p.p - 1) % {d}
 ),
-gmat AS MATERIALIZED (SELECT list(a ORDER BY pos) AS am FROM cells),
-bcells AS (
+{p}gmat AS MATERIALIZED (SELECT list(a ORDER BY pos) AS am FROM {p}cells),
+{p}bcells AS (
   SELECT p.p AS pos, COALESCE(b.bv, CAST(0 AS HUGEINT)) AS bv
   FROM (SELECT unnest(generate_series(1, {d})) AS p) p
-  LEFT JOIN bvec b ON b.i = p.p - 1
+  LEFT JOIN {p}bvec b ON b.i = p.p - 1
 ),
-bmat AS MATERIALIZED (SELECT list(bv ORDER BY pos) AS bm FROM bcells),
-gs AS (
+{p}bmat AS MATERIALIZED (SELECT list(bv ORDER BY pos) AS bm FROM {p}bcells),
+{p}gs AS (
   SELECT 0 AS step,
          list_transform(generate_series(1, {d}), k -> CAST(0 AS HUGEINT)) AS w
   UNION ALL
@@ -137,7 +138,7 @@ gs AS (
                  CASE WHEN j = ci + 1 THEN CAST(0 AS HUGEINT)
                       ELSE am[ci * {d} + j] * w[j] END)) AS num,
            am[ci * {d} + ci + 1] AS den
-    FROM (SELECT step, w, step % {d} AS ci, am, bm FROM gs, gmat, bmat) sub
+    FROM (SELECT step, w, step % {d} AS ci, am, bm FROM {p}gs, {p}gmat, {p}bmat) sub
   ) s
   WHERE step < {steps}
 )"""
@@ -145,44 +146,57 @@ gs AS (
 
 _TOKS_D = H.TOKENS_DUCK.format(col="text")
 
-_QC_ORACLE = f"""
-WITH RECURSIVE tokcnt AS MATERIALIZED (
+def _qc_parts(p: str = "") -> list[str]:
+    """The classifier train+score chain as WITH-parts (CTE names
+    prefixed with ``p``; requires WITH RECURSIVE at the head). Final
+    CTEs: ``{p}lab`` = (doc_id, y) and ``{p}scores`` =
+    (doc_id, score_e6)."""
+    return [
+        f"""{p}tokcnt AS MATERIALIZED (
   SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents)
   GROUP BY doc_id, tok
-),
-stats AS (
+)""",
+        f"""{p}stats AS (
   SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
          CAST(max(cnt) AS BIGINT) AS max_cnt
-  FROM tokcnt GROUP BY doc_id
-),
-lab AS MATERIALIZED (
+  FROM {p}tokcnt GROUP BY doc_id
+)""",
+        f"""{p}lab AS MATERIALIZED (
   SELECT d.doc_id, {_LABEL_CASE} AS y
-  FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
-),
-feat AS MATERIALIZED (
+  FROM documents d LEFT JOIN {p}stats s ON d.doc_id = s.doc_id
+)""",
+        f"""{p}feat AS MATERIALIZED (
   SELECT doc_id, {_BUCKET_DUCK} AS b, CAST(sum(cnt) AS BIGINT) AS x
-  FROM tokcnt GROUP BY doc_id, {_BUCKET_DUCK}
+  FROM {p}tokcnt GROUP BY doc_id, {_BUCKET_DUCK}
   UNION ALL
   SELECT doc_id, {N_BUCKETS}, 1 FROM documents
-),
-gram AS MATERIALIZED (
+)""",
+        f"""{p}gram AS MATERIALIZED (
   SELECT fa.b AS i, fb.b AS j, CAST(sum(fa.x * fb.x) AS HUGEINT) AS a
-  FROM feat fa JOIN feat fb ON fa.doc_id = fb.doc_id
+  FROM {p}feat fa JOIN {p}feat fb ON fa.doc_id = fb.doc_id
   GROUP BY fa.b, fb.b
-),
-bvec AS MATERIALIZED (
+)""",
+        f"""{p}bvec AS MATERIALIZED (
   SELECT f.b AS i, CAST(sum(f.x) AS HUGEINT) AS bv
-  FROM feat f JOIN lab l ON f.doc_id = l.doc_id AND l.y = 1
+  FROM {p}feat f JOIN {p}lab l ON f.doc_id = l.doc_id AND l.y = 1
   GROUP BY f.b
-),
-{_gs_oracle_cte()},
-wfinal AS MATERIALIZED (SELECT w FROM gs WHERE step = {GS_SWEEPS * D_FEAT}),
-scores AS (
+)""",
+        _gs_oracle_cte(p),
+        f"{p}wfinal AS MATERIALIZED "
+        f"(SELECT w FROM {p}gs WHERE step = {GS_SWEEPS * D_FEAT})",
+        f"""{p}scores AS (
   SELECT f.doc_id,
-         CAST(sum(f.x * (SELECT w FROM wfinal)[f.b + 1]) AS BIGINT) AS score_e6
-  FROM feat f GROUP BY f.doc_id
-)
+         CAST(sum(f.x * (SELECT w FROM {p}wfinal)[f.b + 1]) AS BIGINT) AS score_e6
+  FROM {p}feat f GROUP BY f.doc_id
+)""",
+    ]
+
+
+_QC_CHAIN_SQL = ",\n".join(_qc_parts())
+
+_QC_ORACLE = f"""
+WITH RECURSIVE {_QC_CHAIN_SQL}
 SELECT l.doc_id, l.y AS label,
        s.score_e6 / 1000000.0 AS score,
        CASE WHEN s.score_e6 * 2 >= 1000000 THEN 1 ELSE 0 END AS predicted
@@ -226,26 +240,12 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return feats, lab
 
 
-@query("quality_classifier_scores", oracle=_QC_ORACLE)
-def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED quality classifier end-to-end: hashed-unigram ridge
-    regression fit via exact-integer normal equations, then a
-    full-corpus scoring pass with the learned weights embedded as plan
-    literals. Output: (doc_id, label, score, predicted) for every doc.
-
-    Scale shape: X'X/X'y accumulate through ONE aggregation whose key
-    space is ≤ d² = 4096 (map-side combine collapses each partition's
-    partials first — the classic distributed normal-equations trick);
-    the d×d solve is driver-side and scale-free; scoring is a
-    row-local dot product against a literal weight array — no join,
-    no shuffle beyond the per-doc feature fold. The exponent is the
-    feature-extraction scan's: linear.
-
-    Cross-engine exactness: every training number is an integer (count
-    products, integer GS in 1e-6 weight units with exact floor
-    division), so the learned weights — and therefore every score —
-    are bit-identical between this plan and the DuckDB oracle's
-    recursive-CTE replay of the same sweeps."""
+def train_ridge_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Fit the ridge classifier from exact-integer normal equations:
+    distributed X'X/X'y partials (≤ d² aggregate keys), driver-side
+    integer Gauss–Seidel. The ONE training implementation shared by
+    the batch scorer and the streaming serving twin — weights are in
+    W_SCALE (1e-6) units and bit-identical across engines."""
     feats, lab = _doc_features(spark, sf_dir)
     # per-doc outer products, exploded row-locally, collapsed to ≤ d² keys
     pairs = feats.select(
@@ -270,10 +270,17 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram = {(int(r.i), int(r.j)): int(r.a) for r in gram_rows}
     bvec = {int(r.i): int(r.bv) for r in bvec_rows}
-    w = solve_ridge_gs(gram, bvec)
+    return solve_ridge_gs(gram, bvec)
 
+
+def ridge_scores(spark: SparkSession, sf_dir: str, w: list[int]) -> DataFrame:
+    """(doc_id, score_e6) under weight vector ``w`` (W_SCALE units):
+    the row-local literal-broadcast scoring pass, shared by the batch
+    scorer and the selection-agreement audit so the two can never
+    score differently."""
+    feats, _ = _doc_features(spark, sf_dir)
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
-    scored = feats.select(
+    return feats.select(
         "doc_id",
         F.aggregate(
             "fs",
@@ -281,9 +288,137 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, p: acc + p["x"] * F.element_at(w_arr, p["b"].cast("int") + 1),
         ).alias("score_e6"),
     )
+
+
+@query("quality_classifier_scores", oracle=_QC_ORACLE)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier end-to-end: hashed-unigram ridge
+    regression fit via exact-integer normal equations, then a
+    full-corpus scoring pass with the learned weights embedded as plan
+    literals. Output: (doc_id, label, score, predicted) for every doc.
+
+    Scale shape: X'X/X'y accumulate through ONE aggregation whose key
+    space is ≤ d² = 4096 (map-side combine collapses each partition's
+    partials first — the classic distributed normal-equations trick);
+    the d×d solve is driver-side and scale-free; scoring is a
+    row-local dot product against a literal weight array — no join,
+    no shuffle beyond the per-doc feature fold. The exponent is the
+    feature-extraction scan's: linear.
+
+    Cross-engine exactness: every training number is an integer (count
+    products, integer GS in 1e-6 weight units with exact floor
+    division), so the learned weights — and therefore every score —
+    are bit-identical between this plan and the DuckDB oracle's
+    recursive-CTE replay of the same sweeps."""
+    w = train_ridge_weights(spark, sf_dir)
+    _, lab = _doc_features(spark, sf_dir)
+    scored = ridge_scores(spark, sf_dir, w)
     return lab.join(scored, "doc_id").select(
         "doc_id",
         F.col("y").alias("label"),
         (F.col("score_e6") / F.lit(1000000.0)).alias("score"),
         (F.col("score_e6") * 2 >= F.lit(1000000)).cast("int").alias("predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming model serving: score a live document stream with the
+# offline-trained classifier
+# ---------------------------------------------------------------------------
+
+_STREAM_QC_CHUNKS = 3
+
+
+@query("stream_classifier_scores", oracle=_QC_ORACLE)
+def q_stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / score-online: the ridge classifier is fit on
+    the static corpus (shared ``train_ridge_weights`` — the batch
+    twin's exact training path), then documents arrive as a LIVE
+    STREAM in three micro-batches and every doc is scored in-flight
+    with the learned weights embedded as plan literals.
+
+    The serving plan is COMPLETELY STATELESS — scoring is a row-local
+    integer fold over the token array (Σ_tok w[bucket(tok)] plus the
+    intercept, which equals the batch twin's Σ_b c_b·w_b bucket-count
+    dot product exactly, since int64 addition is associative), and the
+    label/prediction are row-local expressions too. No aggregation, no
+    state store, no watermark: append mode, one output row per input
+    row. That is the 100 TB serving shape — a broadcast-weight map
+    over the stream, horizontally scalable to any throughput, while
+    training stays a bounded d×d problem offline.
+
+    Oracle: the batch classifier's oracle VERBATIM — same labels, same
+    weights, same scores — so the offline and online paths can never
+    drift. Micro-batch boundaries cannot change results (stateless
+    per-row map)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.sources.tables import load_table
+    from eventstreamer_spark.streaming.pipeline import run_to_memory
+
+    w = train_ridge_weights(spark, sf_dir)
+    w_lits = ", ".join(f"{int(v)}L" for v in w)
+    toks = H.TOKENS_SPARK.format(col="text")
+    bucket_of = (
+        f"CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % {N_BUCKETS}"
+    )
+    score_expr = (
+        f"aggregate({toks}, CAST({int(w[N_BUCKETS])} AS BIGINT), "
+        f"(acc, tok) -> acc + element_at(array({w_lits}), "
+        f"CAST({bucket_of} AS INT) + 1))"
+    )
+    # row-local label twin of _LABEL_CASE: n_toks/max_cnt from array
+    # expressions instead of the batch twin's token aggregate
+    stats_expr = (
+        f"named_struct('n_toks', size({toks}), "
+        f"'max_cnt', array_max(transform(array_distinct({toks}), "
+        f"d -> size(filter({toks}, x -> x = d)))))"
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_qcstream_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        staging = f"{chunk_dir}/_stage"
+        docs.withColumn(
+            "b", (F.col("doc_id") % _STREAM_QC_CHUNKS).cast("int")
+        ).repartition("b").write.mode("overwrite").partitionBy("b").parquet(staging)
+        base = 1_600_000_000
+        for i in range(_STREAM_QC_CHUNKS):
+            parts = glob.glob(f"{staging}/b={i}/part-*.parquet")
+            assert len(parts) == 1, parts
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(parts[0], dest)
+            os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        scored = (
+            stream.withColumn("st", F.expr(stats_expr))
+            .withColumn("score_e6", F.expr(score_expr))
+            .select(
+                "doc_id",
+                F.expr(
+                    _LABEL_CASE.replace("n_toks", "st.n_toks").replace(
+                        "max_cnt", "st.max_cnt"
+                    )
+                )
+                .cast("int")
+                .alias("label"),
+                (F.col("score_e6") / F.lit(1000000.0)).alias("score"),
+                (F.col("score_e6") * 2 >= F.lit(1000000))
+                .cast("int")
+                .alias("predicted"),
+            )
+        )
+        run_to_memory(scored, "qc_stream_sink", mode="append")
+        return spark.table("qc_stream_sink")
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

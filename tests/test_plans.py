@@ -856,3 +856,62 @@ def test_corpus_build_pipeline_no_cartesian(spark):
     df = q_corpus_build_pipeline(spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_band_index_join_plan(spark):
+    """The co-located probe: index-side scan is bucketed and the ONLY
+    shuffle in the candidate join is the batch side's — the corpus
+    index never moves (the 100 TB claim, pinned)."""
+    import re
+
+    from eventstreamer_spark.operators.dedup import (
+        bucketed_band_candidates,
+        q_bucketed_band_index_join,
+    )
+
+    # run the query once to (re)build the bucketed table for SF_DIR
+    q_bucketed_band_index_join(spark, SF_DIR).collect()
+    table = "band_index_b_" + re.sub(r"[^0-9a-zA-Z]+", "_", SF_DIR).strip("_")
+    cand = bucketed_band_candidates(spark, SF_DIR, table)
+    plan = physical_plan(cand)
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    # distinct() adds one aggregate exchange; the join itself must add
+    # exactly one (the probe side) — 2 total, not 3
+    assert count_exchanges(cand) == 2, plan[:3000]
+
+
+def test_dsir_weights_select_top_quarter_and_favor_target(spark):
+    """DSIR sanity: per-source selected counts match the cap rule, and
+    target-domain (en) docs outscore the other languages on per-gram
+    log-ratio — i.e. the importance weights actually learned the
+    target distribution."""
+    from eventstreamer_spark.operators.curation import (
+        DSIR_KEEP_FRAC,
+        q_dsir_importance_weights,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_MID
+
+    res = q_dsir_importance_weights(spark, SF_DIR_MID)
+    per_src = (
+        res.groupBy("source")
+        .agg(
+            F.sum("selected").alias("n_sel"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert per_src
+    for r in per_src:
+        assert r.n_sel == max(1, int(r.n * DSIR_KEEP_FRAC)), r
+    langs = load_table(spark, SF_DIR_MID, "documents").select("doc_id", "lang")
+    means = {
+        r.lang: r.m
+        for r in res.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("pergram_logratio").alias("m"))
+        .collect()
+    }
+    assert means["en"] > means["zh"], means
+    assert means["en"] > means["de"], means

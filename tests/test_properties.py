@@ -551,3 +551,26 @@ def test_index_maintenance_blocks_across_batches(spark, tmp_path):
     assert rows[2].decision == "drop" and rows[2].n_index_matches >= 1
     assert rows[2].batch_id == 2 and rows[1].batch_id == 1
     assert rows[4].decision == "ingest" and rows[5].decision == "ingest"
+
+
+def test_selection_method_agreement_is_consistent(spark):
+    """Spearman rho in [-1, 1], overlap in [0, 1], one row per method
+    pair, and rho consistent with its own Σd² (the closed form
+    recomputed driver-side on the emitted integers)."""
+    from eventstreamer_spark.operators.audit import q_selection_method_agreement
+    from tests.conftest import SF_DIR_MID
+
+    rows = q_selection_method_agreement(spark, SF_DIR_MID).collect()
+    assert sorted((r.method_a, r.method_b) for r in rows) == [
+        ("classifier", "quality"),
+        ("dsir", "classifier"),
+        ("dsir", "quality"),
+    ]
+    import math
+
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0, r
+        assert 0.0 <= r.topq_overlap <= 1.0, r
+        nn = r.n * (r.n * r.n - 1)
+        expect = math.floor((nn - 6 * r.sum_d2) * 1000000.0 / nn + 0.5) / 1000000.0
+        assert r.spearman_rho == expect, (r, expect)

@@ -570,3 +570,26 @@ def test_rocksdb_state_store_provider_works(spark, tmp_path):
         .collect()
     )
     assert [(r.key, r.n_events) for r in got] == [("1", 2), ("2", 1)]
+
+
+def test_stream_classifier_scores_match_batch(spark):
+    """Online serving == offline scoring: the streaming scorer's
+    per-doc (label, score, predicted) must be byte-identical to the
+    batch classifier's — same training path, same literal weights,
+    row-local fold == bucket-count dot product."""
+    from eventstreamer_spark.operators.quality import (
+        q_quality_classifier_scores,
+        q_stream_classifier_scores,
+    )
+    from tests.conftest import SF_DIR
+
+    batch = {
+        r.doc_id: (r.label, r.score, r.predicted)
+        for r in q_quality_classifier_scores(spark, SF_DIR).collect()
+    }
+    streamed = {
+        r.doc_id: (r.label, r.score, r.predicted)
+        for r in q_stream_classifier_scores(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
