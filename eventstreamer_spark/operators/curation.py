@@ -689,3 +689,173 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed selection pipeline: DSIR -> frozen classifier gate -> mixture
+# ---------------------------------------------------------------------------
+
+
+def _selection_pipeline_oracle() -> str:
+    """DSIR per-source selection, then the trained classifier as a
+    frozen acceptance gate, then temperature mixture over survivors —
+    assembled from the shared generators (_dsir_parts unprefixed,
+    _qc_parts prefix 'c'), no re-derived SQL."""
+    from eventstreamer_spark.operators.quality import _qc_parts
+
+    parts = _qc_parts(p="c") + _dsir_parts()
+    parts.append(
+        """dranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY s_e6 DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored)"""
+    )
+    parts.append(
+        f"""dsel AS MATERIALIZED (
+  SELECT doc_id, source FROM dranked
+  WHERE rnk <= GREATEST(1, CAST(floor(n_src * {DSIR_KEEP_FRAC}) AS BIGINT)))"""
+    )
+    parts.append(
+        """fin AS MATERIALIZED (
+  SELECT s.doc_id, s.source
+  FROM dsel s JOIN cscores c ON s.doc_id = c.doc_id
+  WHERE c.score_e6 * 2 >= 1000000)"""
+    )
+    parts.append(
+        "f0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM documents GROUP BY source)"
+    )
+    parts.append(
+        "f1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dsir"
+        " FROM dsel GROUP BY source)"
+    )
+    parts.append(
+        "f2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final"
+        " FROM fin GROUP BY source)"
+    )
+    parts.append(
+        """tmix AS (
+  SELECT f0.source, f0.n_docs,
+         COALESCE(f1.n_dsir, 0) AS n_dsir,
+         COALESCE(f2.n_final, 0) AS n_final,
+         CAST(round(sqrt(COALESCE(f2.n_final, 0)) * 1000000, 0) AS BIGINT) AS w6
+  FROM f0 LEFT JOIN f1 USING (source) LEFT JOIN f2 USING (source))"""
+    )
+    parts.append(
+        """stot AS (
+  SELECT CAST(sum(n_final) AS BIGINT) AS n_total,
+         CAST(sum(w6) AS BIGINT) AS w_total
+  FROM tmix)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT source, n_docs, n_dsir, n_final,
+       floor(w6 * 1000000.0 / nullif(w_total, 0) + 0.5) / 1000000.0
+         AS alpha_share,
+       floor(w6 * 1.0 / nullif(w_total, 0) * n_total * 1000000.0
+             / nullif(n_final, 0) + 0.5) / 1000000.0 AS effective_epochs
+FROM tmix CROSS JOIN stot
+"""
+    )
+
+
+@query("selection_pipeline", oracle=_selection_pipeline_oracle())
+def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7-continuation operators COMPOSED: DSIR picks each
+    source's top quarter by per-gram log-ratio, the TRAINED ridge
+    classifier (frozen weights, fit once on the full corpus) gates the
+    survivors at predicted == 1, and the temperature mixture (α = 0.5)
+    allocates shares + effective epochs over what remains — the
+    targeted-pretraining-corpus recipe (select for the target
+    distribution, then quality-gate, then mix) as ONE oracle-checked
+    plan.
+
+    Driver materialization: ONLY the d×d Gram solve (scale-free); the
+    DSIR λ table and the weight vector ride the plan as broadcast/
+    literals. Shuffles: the DSIR feature aggregates, one window on
+    source, the classifier's feature fold, per-source funnel
+    aggregates — every join key-bucketed, no cartesian beyond 1-row
+    totals. NULL-propagating divisors (nullif), not when-guards: ANSI
+    codegen evaluates unselected branches (see corpus_build_pipeline).
+
+    Oracle assembled from _qc_parts('c') + _dsir_parts() — the same
+    generators the standalone queries check against, so composition
+    and components cannot drift."""
+    from pyspark.sql import Window
+
+    from eventstreamer_spark.operators.quality import (
+        ridge_scores,
+        train_ridge_weights,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+
+    scored = dsir_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("source")
+    dsel = (
+        scored.withColumn(
+            "rnk", F.row_number().over(w.orderBy(F.col("s_e6").desc(), "doc_id"))
+        )
+        .withColumn("n_src", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("rnk")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("n_src") * F.lit(DSIR_KEEP_FRAC)),
+            )
+        )
+        .select("doc_id", "source")
+    )
+    wts = train_ridge_weights(spark, sf_dir)
+    clf = ridge_scores(spark, sf_dir, wts)
+    fin = dsel.join(
+        clf.filter(F.col("score_e6") * 2 >= F.lit(1000000)).select("doc_id"),
+        "doc_id",
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    f0 = cnt(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"), "n_docs"
+    )
+    tmix = (
+        f0.join(cnt(dsel, "n_dsir"), "source", "left")
+        .join(cnt(fin, "n_final"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dsir", F.lit(0)).cast("long").alias("n_dsir"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        )
+        .withColumn(
+            "w6", F.round(F.sqrt("n_final") * F.lit(1000000.0), 0).cast("long")
+        )
+    )
+    tot = tmix.agg(
+        F.sum("n_final").cast("long").alias("n_total"),
+        F.sum("w6").cast("long").alias("w_total"),
+    )
+
+    def r6(col):
+        return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
+
+    w_tot_nz = F.nullif(F.col("w_total"), F.lit(0).cast("long"))
+    n_fin_nz = F.nullif(F.col("n_final"), F.lit(0).cast("long"))
+    return tmix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_dsir",
+        "n_final",
+        r6(F.col("w6") * F.lit(1000000.0) / w_tot_nz).alias("alpha_share"),
+        r6(
+            F.col("w6")
+            * F.lit(1.0)
+            / w_tot_nz
+            * F.col("n_total")
+            * F.lit(1000000.0)
+            / n_fin_nz
+        ).alias("effective_epochs"),
+    )

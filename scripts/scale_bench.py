@@ -85,6 +85,10 @@ QUERIES: tuple[str, ...] = (
     "quality_classifier_scores", "ingest_index_maintenance",
     "winnowing_fingerprints", "winnowing_candidates",
     "token_budget_mixture", "corpus_build_pipeline",
+    # round-7 continuation additions
+    "dsir_importance_weights", "bucketed_band_index_join",
+    "stream_classifier_scores", "selection_method_agreement",
+    "selection_pipeline",
 )
 
 # name -> (max factor, reason)
