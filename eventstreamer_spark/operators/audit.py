@@ -692,3 +692,141 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("topq_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters, audited against exact counts
+# ---------------------------------------------------------------------------
+
+# The mergeable-sketch counting structure for token frequencies at
+# stream/100 TB scale: CMS_D independent md5 hash rows of CMS_W
+# counters; every (row, bucket) cell is a partial SUM, so the whole
+# sketch builds in ONE aggregation with map-side combine and merges
+# associatively across partitions/batches. Deterministic hashes mean
+# the sketch itself — not just the exact counts — is replayed
+# bit-identically by the oracle, and the top-k report audits the
+# estimator the way minhash_jaccard_calibration audits MinHash:
+# est >= exact always (one-sided error), overestimate quantified.
+
+CMS_W = 64  # counters per hash row
+CMS_D = 4  # independent hash rows
+CMS_TOP_K = 20
+
+
+def _cms_bucket(i: int, engine: str) -> str:
+    """Row-i bucket for a token column named tok (md5-seeded like the
+    minhash permutations)."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('{i}:', tok)), 1, 6), 16, 10) "
+            f"AS BIGINT) % {CMS_W}"
+        )
+    return f"CAST('0x' || substring(md5('{i}:' || tok), 1, 6) AS BIGINT) % {CMS_W}"
+
+
+_CMS_ORACLE = f"""
+WITH tokcnt AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_D}) AS tok FROM documents)
+  GROUP BY tok
+),
+cells AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS i, {_cms_bucket(i, 'duck')} AS b, CAST(sum(cnt) AS BIGINT) AS c FROM tokcnt GROUP BY 2"
+      for i in range(CMS_D)
+  )}
+),
+top AS (
+  SELECT tok, cnt FROM tokcnt
+  ORDER BY cnt DESC, tok
+  LIMIT {CMS_TOP_K}
+),
+est AS (
+  SELECT t.tok, t.cnt,
+         min(c.c) AS cms_est
+  FROM top t
+  JOIN cells c ON (
+    {" OR ".join(f"(c.i = {i} AND c.b = {_cms_bucket(i, 'duck').replace('tok', 't.tok')})" for i in range(CMS_D))}
+  )
+  GROUP BY t.tok, t.cnt
+)
+SELECT tok AS token, cnt AS exact_cnt, cms_est,
+       cms_est - cnt AS overestimate,
+       floor((cms_est - cnt) * 1000000.0 / cnt + 0.5) / 1000000.0 AS rel_err
+FROM est
+"""
+
+
+@query("countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan) over corpus token
+    frequencies, audited against exact counts for the top-20 heavy
+    hitters: est(tok) = min over CMS_D=4 md5 hash rows of the
+    64-counter row cell, so est >= exact always (the CMS one-sided
+    guarantee, which the hash check pins through the ``overestimate``
+    column), and collisions show up as quantified relative error.
+
+    Plan: ONE exact token aggregate feeds both sides; the sketch is a
+    4x64-cell aggregation (row-local explode of 4 bucket structs,
+    map-side combine — the sketch merges associatively, which is what
+    makes it a streaming/100 TB structure) and is BROADCAST back onto
+    the top-k probe set; the top-k itself plans as
+    TakeOrderedAndProject, never a global sort."""
+    tokcnt = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKS_S)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = (
+        tokcnt.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.expr(_cms_bucket(i, "spark")).alias("b"),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.i").alias("i"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    top = tokcnt.orderBy(F.col("cnt").desc(), "tok").limit(CMS_TOP_K)
+    probes = top.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket(i, "spark")).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "cnt", F.col("p.i").alias("i"), F.col("p.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+        (
+            F.floor(
+                (F.col("cms_est") - F.col("cnt")) * F.lit(1000000.0) / F.col("cnt")
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("rel_err"),
+    )

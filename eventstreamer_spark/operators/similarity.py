@@ -1076,3 +1076,128 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lower_partners",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage funnel retrieval: truncated-prefix coarse pass + exact re-rank
+# ---------------------------------------------------------------------------
+
+# Matryoshka-style funnel: a coarse pass scores every corpus vector on
+# only the FIRST 16 of 64 components (4x less data read — at scale the
+# truncated prefix is its own columnar projection), keeps CAND_K
+# candidates per query, and only those ids are re-joined for the exact
+# full-dimension cosine. Cost: O(q·n·d/4) coarse + O(q·CAND_K·d)
+# exact, vs brute force's O(q·n·d) — with exact scores on everything
+# that survives.
+
+PREFIX_DIMS = 16
+CAND_K = 50
+
+_COARSE_DOT_DUCK = (
+    f"list_sum(list_transform(generate_series(1, {PREFIX_DIMS}), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+_TWOSTAGE_ORACLE = f"""
+WITH u AS (SELECT * FROM (
+  SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
+) WHERE uq[1] IS NOT NULL),
+q AS (SELECT vec_id, uq FROM u WHERE {QUERY_FILTER}),
+coarse AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_COARSE_DOT_DUCK.format(a="q.uq", b="e.uq")} AS cdot
+  FROM q JOIN u e ON q.vec_id != e.vec_id
+), cr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, neighbor_id) AS crank
+  FROM coarse
+), cand AS (
+  SELECT query_id, neighbor_id FROM cr WHERE crank <= {CAND_K}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({H.qcosine_duck("q.uq", "e.uq")}, 5) AS cosine
+  FROM cand c
+  JOIN q ON q.vec_id = c.query_id
+  JOIN u e ON e.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("twostage_rerank_topk", oracle=_TWOSTAGE_ORACLE)
+def q_twostage_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel retrieval (the matryoshka/truncated-embedding recipe):
+    stage 1 scores the whole corpus on the first {pd} of {d} quantized
+    components (a pure int64 prefix dot — at 100 TB the prefix is a
+    separate columnar projection, so this pass reads 4× less data);
+    stage 2 re-joins ONLY the {ck} surviving candidate ids per query
+    against the full vectors and re-ranks by exact quantized cosine.
+
+    The stage-2 join is the load-bearing honesty: candidates flow as
+    bare (query_id, neighbor_id) pairs and the full 64-dim vectors are
+    fetched by id — never carried through the coarse pass — which is
+    exactly how a deployment keeps the coarse scan narrow. Both dots
+    are exact integer folds, so the two engines rank identically
+    everywhere including ties.
+
+    Complements the existing ANN family: SRP multi-probe and IVF
+    prune WHO gets scored; the funnel prunes HOW MUCH of each vector
+    the first pass reads. Reference has no vector ops (SURVEY §2.1);
+    beyond-reference similarity surface.""".format(
+        pd=PREFIX_DIMS, d=H.EMB_DIM, ck=CAND_K
+    )
+    e = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"),
+        "embedding",
+        "uq",
+        drop_zero_norm=True,
+    ).select("vec_id", "uq")
+    qv = e.filter(F.expr(QUERY_FILTER))
+    q_prefix = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(f"slice(uq, 1, {PREFIX_DIMS})").alias("q_pre"),
+    )
+    corpus_prefix = e.select(
+        "vec_id", F.expr(f"slice(uq, 1, {PREFIX_DIMS})").alias("e_pre")
+    )
+    coarse = (
+        F.broadcast(q_prefix)
+        .join(corpus_prefix, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(q_pre, e_pre, (x, y) -> x * y), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("cdot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= CAND_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cand.join(
+            F.broadcast(
+                qv.select(
+                    F.col("vec_id").alias("query_id"), F.col("uq").alias("q_uq")
+                )
+            ),
+            "query_id",
+        )
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "uq"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+    )
+    return _ranked_topk(exact)

@@ -88,7 +88,7 @@ QUERIES: tuple[str, ...] = (
     # round-7 continuation additions
     "dsir_importance_weights", "bucketed_band_index_join",
     "stream_classifier_scores", "selection_method_agreement",
-    "selection_pipeline",
+    "selection_pipeline", "twostage_rerank_topk", "countmin_heavy_hitters",
 )
 
 # name -> (max factor, reason)
@@ -97,6 +97,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "stream_tumbling_stats": (10, "one-batch gate run holds all window state in the in-memory test provider; production uses RocksDB"),
     "push_time_stream_parity": (10, "same in-memory gate state provider bound"),
     "neardup_prefilter_recall": (10, "runs the exact all-pairs calibration kernel alongside the prefilter: O(n^2) by contract"),
+    "twostage_rerank_topk": (10, "coarse stage scans q x n prefix pairs by contract (exact funnel baseline); SRP/IVF are the WHO-prune scale routes"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and

@@ -915,3 +915,65 @@ def test_dsir_weights_select_top_quarter_and_favor_target(spark):
     }
     assert means["en"] > means["zh"], means
     assert means["en"] > means["de"], means
+
+
+def test_twostage_rerank_exact_and_dominated_by_bruteforce(spark):
+    """Funnel invariants, seed-independent: (a) the stage-2 re-rank is
+    EXACT — every (query, neighbor) the funnel returns carries the same
+    quantized cosine brute force computes for that pair; (b) pointwise
+    dominance — the funnel's rank-r cosine can never exceed brute
+    force's rank-r cosine (k-th best of a candidate SUBSET <= k-th best
+    of the full corpus); (c) the coarse prefix is informative enough to
+    recover a nontrivial share of the true top-k."""
+    from eventstreamer_spark.operators.similarity import (
+        q_ann_bruteforce_topk,
+        q_twostage_rerank_topk,
+    )
+
+    fun = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+        for r in q_twostage_rerank_topk(spark, SF_DIR).collect()
+    }
+    bru = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+        for r in q_ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    assert fun and bru
+    shared = set(fun) & set(bru)
+    # (a) exact re-rank: identical cosine on every shared pair
+    for pair in shared:
+        assert fun[pair][1] == bru[pair][1], pair
+    # (b) pointwise dominance per query at every rank
+    fun_by_q: dict = {}
+    bru_by_q: dict = {}
+    for (q, _), (rank, cos) in fun.items():
+        fun_by_q.setdefault(q, {})[rank] = cos
+    for (q, _), (rank, cos) in bru.items():
+        bru_by_q.setdefault(q, {})[rank] = cos
+    for q, ranks in fun_by_q.items():
+        for rank, cos in ranks.items():
+            assert cos <= bru_by_q[q][rank], (q, rank)
+    # (c) nontrivial recall (measured 0.42 on current testdata;
+    # conservative floor so regenerated corpora don't flake)
+    assert len(shared) / len(bru) >= 0.2, len(shared) / len(bru)
+
+
+def test_countmin_one_sided_and_broadcast_probe(spark):
+    """CMS guarantees, pinned: est >= exact on every reported heavy
+    hitter (the one-sided error bound is the sketch's contract), and
+    the probe joins the 256-cell sketch as a BROADCAST — the sketch,
+    not the corpus, moves."""
+    from eventstreamer_spark.operators.audit import (
+        CMS_TOP_K,
+        q_countmin_heavy_hitters,
+    )
+
+    df = q_countmin_heavy_hitters(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == CMS_TOP_K
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.overestimate == r.cms_est - r.exact_cnt, r
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
