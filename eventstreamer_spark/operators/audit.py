@@ -830,3 +830,127 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar-quantization fidelity audit over the embedding corpus
+# ---------------------------------------------------------------------------
+
+# The memory-bound half of ANN at 100 TB: 64 float32 components -> 64
+# uint8 codes is a 4x index shrink (plus the 4x from the funnel's
+# prefix scan), but only if the quantized index still ranks like the
+# full-precision one. This audit measures exactly that: per-dimension
+# global [min, max] grid, 256-level codes, reconstruct, and report the
+# cosine(original, reconstruction) fidelity distribution per label.
+# All arithmetic is the repo's cross-engine discipline: the grid
+# bounds are exact input values (min/max, no arithmetic), code/recon
+# are fixed-order IEEE double expressions identical in both engines,
+# and the fidelity cosine is the integer-quantized dot (1e-12 grid)
+# rounded to 5 decimals.
+
+SQ8_LEVELS = 255  # codes 0..255 -> 256 levels
+
+
+def _sq8_recon_duck() -> str:
+    return (
+        f"list_transform(generate_series(1, {H.EMB_DIM}), i -> "
+        "mn_l[i] + coalesce(floor((CAST(embedding[i] AS DOUBLE) - mn_l[i]) "
+        f"* {SQ8_LEVELS}.0 / nullif(mx_l[i] - mn_l[i], 0) + 0.5), 0) "
+        f"* (mx_l[i] - mn_l[i]) / {SQ8_LEVELS}.0)"
+    )
+
+
+_SQ8_ORACLE = f"""
+WITH dims AS MATERIALIZED (
+  SELECT i, min(x) AS mn, max(x) AS mx
+  FROM (
+    SELECT unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+  GROUP BY i
+),
+lists AS MATERIALIZED (
+  SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mn_l,
+         list(CAST(mx AS DOUBLE) ORDER BY i) AS mx_l
+  FROM dims
+),
+recon AS MATERIALIZED (
+  SELECT vec_id, label, embedding, {_sq8_recon_duck()} AS rec
+  FROM embeddings, lists
+),
+u AS MATERIALIZED (
+  SELECT label,
+         {H.quantized_unit_duck("embedding")} AS uq_o,
+         {H.quantized_unit_duck("rec")} AS uq_r
+  FROM recon
+),
+f AS (
+  SELECT label, round({H.qcosine_duck("uq_o", "uq_r")}, 5) AS fid
+  FROM u WHERE uq_o[1] IS NOT NULL
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {_MEAN6_DUCK.format(v="fid")} AS mean_fidelity,
+       min(fid) AS min_fidelity
+FROM f GROUP BY label
+"""
+
+
+@query("sq8_quantization_audit", oracle=_SQ8_ORACLE)
+def q_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization fidelity (the memory-bound half of
+    100 TB ANN — a 4x index shrink is only usable if ranking
+    survives): per-dimension global [min, max] from ONE 64-key
+    aggregation, 256-level codes + reconstruction as a row-local
+    lambda against the broadcast 1-row grid table, and per-label
+    cosine(original, reconstruction) stats via the integer-quantized
+    dot. No driver materialization — the grid flows as a broadcast
+    1-row cross join (the classifier-literal pattern, in-plan).
+
+    Cross-engine exactness: grid bounds are exact input floats;
+    code = floor((x-mn)*255/(mx-mn) + 0.5) and the reconstruction are
+    fixed-order IEEE double chains (identical bit patterns in both
+    engines); fidelity is the 1e-12-grid integer dot rounded to 5
+    decimals; the mean is the int64-partial-sum mean6. Constant
+    dimensions (mx == mn) code to 0 and reconstruct to mn exactly in
+    both engines via the nullif/coalesce pair.
+
+    Complements ``embedding_quantization_error`` (embeddings.py),
+    which audits PER-ROW symmetric scaling with an MSE metric: this
+    is the index-grade variant — a corpus-GLOBAL per-dimension grid
+    (the codebook an SQ8 ANN index actually stores, shared by every
+    vector so codes are comparable) judged by cosine fidelity, the
+    ranking-relevant metric."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("p", "x"))
+        .select((F.col("p") + F.lit(1)).alias("i"), "x")
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    lists = dims.agg(
+        F.expr("array_sort(collect_list(struct(i, mn, mx)))").alias("s")
+    ).select(
+        F.expr("transform(s, e -> CAST(e.mn AS DOUBLE))").alias("mn_l"),
+        F.expr("transform(s, e -> CAST(e.mx AS DOUBLE))").alias("mx_l"),
+    )
+    recon_expr = (
+        f"transform(sequence(1, {H.EMB_DIM}), i -> "
+        "element_at(mn_l, i) + coalesce(floor("
+        "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mn_l, i)) "
+        f"* {SQ8_LEVELS}.0D / nullif(element_at(mx_l, i) - element_at(mn_l, i), 0.0D) "
+        "+ 0.5D), 0) "
+        f"* (element_at(mx_l, i) - element_at(mn_l, i)) / {SQ8_LEVELS}.0D)"
+    )
+    r = e.crossJoin(F.broadcast(lists)).withColumn("rec", F.expr(recon_expr))
+    r = H.with_quantized_unit(r, "embedding", "uq_o", drop_zero_norm=True)
+    r = H.with_quantized_unit(r, "rec", "uq_r")
+    fid = r.select(
+        "label", F.round(H.qcosine_expr("uq_o", "uq_r"), 5).alias("fid")
+    )
+    return fid.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        _mean6_spark(F.col("fid")).alias("mean_fidelity"),
+        F.min("fid").alias("min_fidelity"),
+    )

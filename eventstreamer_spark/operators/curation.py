@@ -859,3 +859,107 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_fin_nz
         ).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k resampling: sample K docs per source with P ∝ exp(score)
+# ---------------------------------------------------------------------------
+
+# DSIR's paper-faithful selection step is importance-weighted SAMPLING,
+# not a hard top-quarter cut (which q_dsir_importance_weights ships as
+# the deterministic variant). Gumbel-top-k (Kool et al. 2019) does
+# exactly that: adding independent Gumbel noise g = -ln(-ln u) to each
+# log-weight and taking the top K per group is a sample WITHOUT
+# replacement from the softmax over scores — one pass, merge-friendly,
+# no rejection loop, the sampling twin of Efraimidis-Spirakis.
+#
+# Integer-exact Gumbel: with u = (md5-48-bit + 1)/2^48 and
+# ne6 = ln6(u1) - ln6(2^48) <= 0 micro-nats, -ln(-ln u)
+# = ln(1e6) - ln(-ne6) — BOTH remaining ln() calls take the identical
+# INTEGER argument in the two engines (the _LN6 pattern applied
+# twice), so the noisy keys are bit-identical integers.
+
+GUMBEL_K = 10
+_GK_LN48E6 = 33271065  # round(ln(2^48) * 1e6)
+_GK_LN1E6E6 = 13815511  # round(ln(1e6) * 1e6)
+
+_GK_U1_S = (
+    "CAST(conv(substring(md5(concat('gk:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) + 1"
+)
+_GK_U1_D = (
+    "CAST('0x' || substring(md5('gk:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1"
+)
+_GK_NE6 = f"(CAST(round(ln(u1) * 1000000, 0) AS BIGINT) - {_GK_LN48E6})"
+_GK_KEY = (
+    f"w_e6 + ({_GK_LN1E6E6} - "
+    f"CAST(round(ln(greatest(1, -ne6)) * 1000000, 0) AS BIGINT))"
+)
+
+
+def _gumbel_oracle() -> str:
+    chain = ",\n".join(_dsir_parts("g"))
+    return f"""
+WITH {chain}, keyed AS (
+  SELECT source, doc_id, w_e6, {_GK_KEY} AS gumbel_key
+  FROM (
+    SELECT source, doc_id, w_e6, {_GK_NE6.replace("u1", _GK_U1_D)} AS ne6
+    FROM gscored
+  )
+),
+ranked AS (
+  SELECT source, doc_id,
+         w_e6 / 1000000.0 AS logratio,
+         gumbel_key,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY gumbel_key DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, logratio, gumbel_key, rank
+FROM ranked WHERE rank <= {GUMBEL_K}
+"""
+
+
+@query("gumbel_topk_resample", oracle=_gumbel_oracle())
+def q_gumbel_topk_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resampling over the DSIR selection surface: per
+    source, K=10 docs drawn WITHOUT replacement with probability
+    proportional to exp(total DSIR log-ratio weight) — the paper-faithful
+    importance-SAMPLING step (softmax sampling), where
+    q_dsir_importance_weights ships the deterministic hard-cut
+    variant. Adding Gumbel noise -ln(-ln u) to each score and taking
+    the per-group top K IS such a sample (Kool et al. 2019); it needs
+    one pass and one per-source window — no rejection loop, no
+    sampling state — which is what makes softmax sampling tractable
+    at 100 TB.
+
+    Cross-engine: both ln() calls in the Gumbel transform take
+    identical INTEGER arguments (the _LN6 pattern applied twice: once
+    to the md5-derived u, once to the quantized -ln u), so the noisy
+    keys are bit-identical int64s; ties break on doc_id. Reuses
+    dsir_doc_scores / _dsir_parts('g') — the sampler cannot drift
+    from the scorer."""
+    from pyspark.sql import Window
+
+    scored = dsir_doc_scores(spark, sf_dir).select(
+        "source", "doc_id", "w_e6"
+    )
+    keyed = (
+        scored.withColumn("u1", F.expr(_GK_U1_S))
+        .withColumn("ne6", F.expr(_GK_NE6))
+        .withColumn("gumbel_key", F.expr(_GK_KEY).cast("long"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("gumbel_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= GUMBEL_K)
+        .select(
+            "source",
+            "doc_id",
+            (F.col("w_e6") / F.lit(1000000.0)).alias("logratio"),
+            "gumbel_key",
+            "rank",
+        )
+    )

@@ -571,3 +571,105 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_tokens"),
         r6(target * F.lit(1000000.0) / F.col("n_tokens")).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+# The distributed-canonical weighted sampler: draw u ~ U(0,1] per row,
+# rank by u^(1/w), keep the per-group top K — equivalently rank by
+# ln(u)/w, which is what we compute. Deterministic twist: u comes from
+# md5(doc_id) (48-bit integer + 1), ln() is taken of that IDENTICAL
+# integer and quantized to micro-nats before any arithmetic (the
+# zipf/DSIR _LN6 pattern), and the division by the weight is the
+# exact floor division (_fdiv), so both engines produce bit-identical
+# priorities. Re-runs, backfills, and the oracle all select the same
+# rows. The weight here is n_chars; any positive integer weight
+# (e.g. DSIR importance weights) slots in unchanged.
+
+WS_K = 10
+_LN48E6 = 33271065  # round(ln(2^48) * 1e6): the u <= 1 normalizer
+
+_WS_U1_S = (
+    "CAST(conv(substring(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) + 1"
+)
+_WS_U1_D = (
+    "CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1"
+)
+_WS_FDIV = "({a} - ((({a}) % ({b})) + ({b})) % ({b}))"
+_WS_NE9 = f"(CAST(round(ln(u1) * 1000000, 0) AS BIGINT) - {_LN48E6}) * 1000"
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         {_WS_FDIV.format(a="ne9", b="n_chars")} // n_chars AS priority
+  FROM (
+    SELECT source, doc_id, n_chars, {_WS_NE9} AS ne9
+    FROM (
+      SELECT source, doc_id, n_chars, {_WS_U1_D} AS u1
+      FROM documents WHERE n_chars > 0
+    )
+  )
+),
+ranked AS (
+  SELECT source, doc_id, n_chars AS weight, priority,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, weight, priority, rank
+FROM ranked WHERE rank <= {WS_K}
+"""
+
+
+@query("weighted_sample_topk", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    per source, the K=10 docs with the largest u^(1/w) keys — i.e. a
+    sample where selection probability scales with the weight
+    (n_chars here; any positive integer weight, e.g. DSIR importance
+    weights, slots in unchanged). The A-ES key is the one-pass,
+    merge-friendly formulation: every executor keys rows
+    independently, a per-group top-K merge finishes the job — no
+    sampling state, no second pass, which is what makes it THE
+    weighted sampler at 100 TB.
+
+    Determinism/cross-engine: u = md5-derived 48-bit integer + 1;
+    ln() of that identical integer quantized to micro-nats (_LN6
+    pattern) before the exact floor division by the weight (_fdiv
+    pattern) — priorities are bit-identical integers in both engines,
+    ties broken by doc_id. One shuffle (the per-source window);
+    everything before it is row-local."""
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(_WS_U1_S).alias("u1"),
+        )
+        .withColumn("ne9", F.expr(_WS_NE9))
+        .withColumn(
+            "priority",
+            F.expr(
+                _WS_FDIV.format(a="ne9", b="n_chars") + " DIV n_chars"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= WS_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            "priority",
+            "rank",
+        )
+    )

@@ -829,3 +829,114 @@ def q_bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_symbol"),
         F.sum((F.col("n_syms") == 1).cast("long")).alias("n_types_fully_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) over corpus prefixes
+# ---------------------------------------------------------------------------
+
+# Prefix boundaries are VALUE strides over doc_id — decile(d) =
+# (doc_id * 10) div (max_id + 1) — not rank strides: a rank decile
+# would need a global sort, a value stride is a row-local map against
+# one broadcast scalar. doc_id is the corpus's arrival order, so the
+# curve reads as "vocabulary seen after ingesting the first k/10 of
+# the id space". First occurrence per type is min(decile), which is
+# map-side combinable; no token ever carries its text past the one
+# type-level aggregation.
+
+GROWTH_DECILES = 10
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH mx AS MATERIALIZED (
+  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS m1 FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT CAST((doc_id * {GROWTH_DECILES}) // mx.m1 AS INTEGER) AS decile,
+         unnest({{toks}}) AS tok
+  FROM documents, mx
+),
+per_dec AS (
+  SELECT CAST((doc_id * {GROWTH_DECILES}) // mx.m1 AS INTEGER) AS decile,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents, mx GROUP BY 1
+),
+tok_dec AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+),
+first_dec AS (
+  SELECT min(decile) AS decile FROM toks GROUP BY tok
+),
+new_types AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS new_types FROM first_dec GROUP BY 1
+)
+SELECT p.decile,
+       p.n_docs,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(n.new_types, 0) AS new_types,
+       CAST(sum(coalesce(t.n_tokens, 0)) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS cum_types
+FROM per_dec p
+LEFT JOIN tok_dec t ON t.decile = p.decile
+LEFT JOIN new_types n ON n.decile = p.decile
+WINDOW w AS (ORDER BY p.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=_VOCAB_GROWTH_ORACLE.format(toks=_TOKS_D),
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: per doc_id-stride decile, how many
+    docs/token occurrences arrive and how many NEW token types appear,
+    plus the running totals — the curve that sizes a tokenizer vocab
+    (and detects corpus staleness: a flattening new_types tail means
+    additional data stops adding diversity).
+
+    Scale shape: decile assignment is a row-local map against ONE
+    broadcast scalar (max doc_id) — no global sort, unlike a rank
+    decile. Type first-occurrence is min(decile) per token: map-side
+    combinable, and the only wide shuffle keys on token. Everything
+    after that is 10-row arithmetic. Reference has no text analytics
+    (SURVEY §2.1); beyond-reference corpus-statistics surface."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + F.lit(1)).cast("long").alias("m1"))
+    with_dec = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "decile",
+        F.expr(f"CAST((doc_id * {GROWTH_DECILES}) DIV m1 AS INT)"),
+    )
+    per_dec = with_dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    toks = with_dec.select("decile", F.explode(F.expr(_TOKS_S)).alias("tok"))
+    tok_dec = toks.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_dec.join(tok_dec, "decile", "left")
+        .join(new_types, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )

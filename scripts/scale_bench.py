@@ -89,6 +89,8 @@ QUERIES: tuple[str, ...] = (
     "dsir_importance_weights", "bucketed_band_index_join",
     "stream_classifier_scores", "selection_method_agreement",
     "selection_pipeline", "twostage_rerank_topk", "countmin_heavy_hitters",
+    "vocab_growth_curve", "sq8_quantization_audit", "weighted_sample_topk",
+    "gumbel_topk_resample",
 )
 
 # name -> (max factor, reason)

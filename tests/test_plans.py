@@ -977,3 +977,128 @@ def test_countmin_one_sided_and_broadcast_probe(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_curve_accounting(spark):
+    """Growth-curve invariants against an independently computed
+    total: cumulative columns telescope exactly, and the curve's
+    final cumulative vocabulary equals countDistinct over the raw
+    tokenized corpus (a different plan path)."""
+    from eventstreamer_spark.operators.text import (
+        _TOKS_S,
+        q_vocab_growth_curve,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+
+    rows = sorted(
+        q_vocab_growth_curve(spark, SF_DIR).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(len(rows)))
+    cum_toks = cum_types = 0
+    for r in rows:
+        cum_toks += r.n_tokens
+        cum_types += r.new_types
+        assert r.cum_tokens == cum_toks, r
+        assert r.cum_types == cum_types, r
+        assert 0 <= r.new_types <= r.n_tokens, r
+    total_types = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.expr(_TOKS_S)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert rows[-1].cum_types == total_types
+
+
+def test_sq8_audit_fidelity_bounds(spark):
+    """Int8 scalar quantization must preserve cosine geometry: every
+    per-label mean/min fidelity lands in (0.9, 1 + eps] — a grid that
+    coarse (256 levels over the global range) cannot push a unit
+    vector far. Also: the label partition covers the whole non-zero
+    corpus."""
+    from eventstreamer_spark.operators.audit import q_sq8_quantization_audit
+    from eventstreamer_spark.sources.tables import load_table
+
+    rows = q_sq8_quantization_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.9 < r.min_fidelity <= r.mean_fidelity <= 1.000001, r
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+
+
+def test_weighted_sample_biased_toward_heavy_docs(spark):
+    """A-ES sampler invariants: per-source counts hit min(K, n),
+    priorities are never positive (u <= 1), and pooled across sources
+    the sampled docs are heavier than the corpus average — the weight
+    actually steered selection."""
+    from eventstreamer_spark.operators.sampling import (
+        WS_K,
+        q_weighted_sample_topk,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_MID
+
+    res = q_weighted_sample_topk(spark, SF_DIR_MID)
+    rows = res.collect()
+    assert all(r.priority <= 0 and 1 <= r.rank <= WS_K for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    corpus = (
+        load_table(spark, SF_DIR_MID, "documents")
+        .filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("mean_w"))
+        .collect()
+    )
+    corpus_by_src = {r.source: r for r in corpus}
+    for src, n_sel in per_src.items():
+        assert n_sel == min(WS_K, corpus_by_src[src].n), src
+    sampled_mean = sum(r.weight for r in rows) / len(rows)
+    corpus_mean = sum(
+        r.mean_w * r.n for r in corpus
+    ) / sum(r.n for r in corpus)
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
+
+
+def test_gumbel_resample_biased_toward_high_scores(spark):
+    """Gumbel-top-k invariants: per-source counts hit min(K, n) and
+    the sampled docs' mean DSIR score exceeds the corpus mean score —
+    softmax sampling concentrates on high-scoring docs while the
+    noise keeps it a sample (pinned: it is NOT the deterministic
+    top-K by score)."""
+    from eventstreamer_spark.operators.curation import (
+        GUMBEL_K,
+        dsir_doc_scores,
+        q_gumbel_topk_resample,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    rows = q_gumbel_topk_resample(spark, SF_DIR_MID).collect()
+    scored = dsir_doc_scores(spark, SF_DIR_MID).select(
+        "source", "doc_id", "w_e6"
+    )
+    sc = scored.collect()
+    per_src_n = {}
+    for r in sc:
+        per_src_n[r.source] = per_src_n.get(r.source, 0) + 1
+    sel_by_src = {}
+    for r in rows:
+        sel_by_src.setdefault(r.source, set()).add(r.doc_id)
+    for src, sel in sel_by_src.items():
+        assert len(sel) == min(GUMBEL_K, per_src_n[src]), src
+    sampled_mean = sum(r.logratio for r in rows) / len(rows)
+    corpus_mean = sum(r.w_e6 for r in sc) / len(sc) / 1e6
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
+    # noise must matter somewhere: for at least one source the drawn
+    # set differs from the deterministic top-K by score
+    top_by_score = {}
+    for r in sorted(sc, key=lambda r: (r.source, -r.w_e6, r.doc_id)):
+        top_by_score.setdefault(r.source, [])
+        if len(top_by_score[r.source]) < GUMBEL_K:
+            top_by_score[r.source].append(r.doc_id)
+    assert any(
+        sel_by_src[src] != set(top_by_score[src]) for src in sel_by_src
+    )
