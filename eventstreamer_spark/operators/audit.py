@@ -757,61 +757,51 @@ FROM est
 """
 
 
-@query("countmin_heavy_hitters", oracle=_CMS_ORACLE)
-def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch (Cormode–Muthukrishnan) over corpus token
-    frequencies, audited against exact counts for the top-20 heavy
-    hitters: est(tok) = min over CMS_D=4 md5 hash rows of the
-    64-counter row cell, so est >= exact always (the CMS one-sided
-    guarantee, which the hash check pins through the ``overestimate``
-    column), and collisions show up as quantified relative error.
+def _cms_bucket_structs():
+    """Explodable array of the CMS_D (row, bucket) positions for the
+    current row's ``tok`` — the one definition both the cell builder
+    and the probe side use, so they cannot hash differently."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.expr(_cms_bucket(i, "spark")).alias("b"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("p")
 
-    Plan: ONE exact token aggregate feeds both sides; the sketch is a
-    4x64-cell aggregation (row-local explode of 4 bucket structs,
-    map-side combine — the sketch merges associatively, which is what
-    makes it a streaming/100 TB structure) and is BROADCAST back onto
-    the top-k probe set; the top-k itself plans as
-    TakeOrderedAndProject, never a global sort."""
-    tokcnt = (
+
+def _cms_tokcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (tok, cnt) aggregate over the document corpus."""
+    return (
         load_table_parallel(spark, sf_dir, "documents")
         .select(F.explode(F.expr(_TOKS_S)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    cells = (
-        tokcnt.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            F.expr(_cms_bucket(i, "spark")).alias("b"),
-                        )
-                        for i in range(CMS_D)
-                    ]
-                )
-            ).alias("p"),
-            "cnt",
-        )
+
+
+def _cms_cells(weighted_toks: DataFrame) -> DataFrame:
+    """(tok, cnt) -> the CMS_D x CMS_W cell table. Works on the exact
+    per-type aggregate (batch) or raw cnt=1 occurrences (stream) —
+    int64 SUM is associative, so both produce the identical sketch."""
+    return (
+        weighted_toks.select(_cms_bucket_structs(), "cnt")
         .groupBy(F.col("p.i").alias("i"), F.col("p.b").alias("b"))
         .agg(F.sum("cnt").cast("long").alias("c"))
     )
+
+
+def _cms_report(tokcnt: DataFrame, cells: DataFrame) -> DataFrame:
+    """Top-K exact heavy hitters probed against a cell table: the
+    shared audit tail of the batch and streaming sketches."""
     top = tokcnt.orderBy(F.col("cnt").desc(), "tok").limit(CMS_TOP_K)
-    probes = top.select(
-        "tok",
-        "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.expr(_cms_bucket(i, "spark")).alias("b"),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("tok", "cnt", F.col("p.i").alias("i"), F.col("p.b").alias("b"))
+    probes = top.select("tok", "cnt", _cms_bucket_structs()).select(
+        "tok", "cnt", F.col("p.i").alias("i"), F.col("p.b").alias("b")
+    )
     est = (
         probes.join(F.broadcast(cells), ["i", "b"])
         .groupBy("tok", "cnt")
@@ -830,6 +820,86 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("rel_err"),
     )
+
+
+@query("countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan) over corpus token
+    frequencies, audited against exact counts for the top-20 heavy
+    hitters: est(tok) = min over CMS_D=4 md5 hash rows of the
+    64-counter row cell, so est >= exact always (the CMS one-sided
+    guarantee, which the hash check pins through the ``overestimate``
+    column), and collisions show up as quantified relative error.
+
+    Plan: ONE exact token aggregate feeds both sides; the sketch is a
+    4x64-cell aggregation (row-local explode of 4 bucket structs,
+    map-side combine — the sketch merges associatively, which is what
+    makes it a streaming/100 TB structure; `stream_countmin_topk`
+    proves that merge LIVE) and is BROADCAST back onto the top-k
+    probe set; the top-k itself plans as TakeOrderedAndProject, never
+    a global sort."""
+    tokcnt = _cms_tokcnt(spark, sf_dir)
+    return _cms_report(tokcnt, _cms_cells(tokcnt))
+
+
+@query("stream_countmin_topk", oracle=_CMS_ORACLE)
+def q_stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained by a LIVE STREAM: documents
+    arrive in three micro-batches and a streaming aggregation keeps
+    the 4x64 cell table as its ONLY state — 256 bounded rows no
+    matter the corpus size, which is the entire point of a sketch as
+    a streaming structure (per-token exact counts would be unbounded
+    state). Because int64 SUM is associative-commutative, the cells
+    after the last micro-batch are BIT-IDENTICAL to the batch twin's
+    (`countmin_heavy_hitters`) — proven by the shared `_cms_cells`
+    builder on both paths, a test pinning stream == batch cell tables
+    row-for-row, and the batch oracle VERBATIM.
+
+    The audit tail (exact top-20 probe) runs offline against the
+    stream-built sketch — the production shape: the stream maintains
+    the cheap mergeable summary at ingest; exact audits are periodic
+    batch jobs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.sources.tables import load_table
+    from eventstreamer_spark.streaming.pipeline import run_to_memory
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_cmsstream_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        staging = f"{chunk_dir}/_stage"
+        docs.withColumn(
+            "bb", (F.col("doc_id") % 3).cast("int")
+        ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(
+            staging
+        )
+        base = 1_600_000_000
+        for i in range(3):
+            parts = glob.glob(f"{staging}/bb={i}/part-*.parquet")
+            assert len(parts) == 1, parts
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(parts[0], dest)
+            os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        occurrences = stream.select(
+            F.explode(F.expr(_TOKS_S)).alias("tok")
+        ).withColumn("cnt", F.lit(1).cast("long"))
+        cells_stream = _cms_cells(occurrences)
+        run_to_memory(cells_stream, "cms_stream_sink", mode="complete")
+        cells = spark.table("cms_stream_sink")
+        return _cms_report(_cms_tokcnt(spark, sf_dir), cells)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,7 @@ QUERIES: tuple[str, ...] = (
     "stream_classifier_scores", "selection_method_agreement",
     "selection_pipeline", "twostage_rerank_topk", "countmin_heavy_hitters",
     "vocab_growth_curve", "sq8_quantization_audit", "weighted_sample_topk",
-    "gumbel_topk_resample",
+    "gumbel_topk_resample", "stream_countmin_topk",
 )
 
 # name -> (max factor, reason)

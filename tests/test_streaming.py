@@ -593,3 +593,32 @@ def test_stream_classifier_scores_match_batch(spark):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_countmin_cells_match_batch(spark):
+    """The CMS mergeability claim, proven live: the 4x64 cell table a
+    3-micro-batch streaming aggregation accumulates equals the batch
+    sketch bit-for-bit (int64 SUM is associative across micro-batch
+    boundaries). The query itself hash-checks the downstream report;
+    this pins the STATE table equality directly."""
+    from pyspark.sql import functions as F
+
+    from eventstreamer_spark.operators.audit import (
+        _cms_cells,
+        _cms_tokcnt,
+        q_stream_countmin_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    # run the streaming query once: it leaves the complete-mode cell
+    # table in the cms_stream_sink memory sink
+    q_stream_countmin_topk(spark, SF_DIR).collect()
+    stream_cells = {
+        (r.i, r.b): r.c for r in spark.table("cms_stream_sink").collect()
+    }
+    batch_cells = {
+        (r.i, r.b): r.c
+        for r in _cms_cells(_cms_tokcnt(spark, SF_DIR)).collect()
+    }
+    assert stream_cells == batch_cells
+    assert len(batch_cells) > 0
