@@ -921,6 +921,43 @@ def q_stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_LEVELS = 255  # codes 0..255 -> 256 levels
 
 
+def _fidelity_tail_duck(recon_cte: str) -> str:
+    """The shared DuckDB fidelity tail: a CTE with (label, embedding,
+    rec) -> per-label cosine(original, reconstruction) report. Twin
+    of ``_fidelity_report``; used by the SQ8 and PQ audits."""
+    return f"""u AS MATERIALIZED (
+  SELECT label,
+         {H.quantized_unit_duck("embedding")} AS uq_o,
+         {H.quantized_unit_duck("rec")} AS uq_r
+  FROM {recon_cte}
+),
+f AS (
+  SELECT label, round({H.qcosine_duck("uq_o", "uq_r")}, 5) AS fid
+  FROM u WHERE uq_o[1] IS NOT NULL
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {_MEAN6_DUCK.format(v="fid")} AS mean_fidelity,
+       min(fid) AS min_fidelity
+FROM f GROUP BY label"""
+
+
+def _fidelity_report(r: DataFrame) -> DataFrame:
+    """(label, embedding, rec) -> per-label cosine fidelity report:
+    quantized-unit both vectors, integer dot rounded to 5 decimals,
+    mean6/min rollup. The Spark twin of ``_fidelity_tail_duck``."""
+    r = H.with_quantized_unit(r, "embedding", "uq_o", drop_zero_norm=True)
+    r = H.with_quantized_unit(r, "rec", "uq_r")
+    fid = r.select(
+        "label", F.round(H.qcosine_expr("uq_o", "uq_r"), 5).alias("fid")
+    )
+    return fid.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        _mean6_spark(F.col("fid")).alias("mean_fidelity"),
+        F.min("fid").alias("min_fidelity"),
+    )
+
+
 def _sq8_recon_duck() -> str:
     return (
         f"list_transform(generate_series(1, {H.EMB_DIM}), i -> "
@@ -949,21 +986,7 @@ recon AS MATERIALIZED (
   SELECT vec_id, label, embedding, {_sq8_recon_duck()} AS rec
   FROM embeddings, lists
 ),
-u AS MATERIALIZED (
-  SELECT label,
-         {H.quantized_unit_duck("embedding")} AS uq_o,
-         {H.quantized_unit_duck("rec")} AS uq_r
-  FROM recon
-),
-f AS (
-  SELECT label, round({H.qcosine_duck("uq_o", "uq_r")}, 5) AS fid
-  FROM u WHERE uq_o[1] IS NOT NULL
-)
-SELECT label,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       {_MEAN6_DUCK.format(v="fid")} AS mean_fidelity,
-       min(fid) AS min_fidelity
-FROM f GROUP BY label
+{_fidelity_tail_duck("recon")}
 """
 
 
@@ -1014,13 +1037,197 @@ def q_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* (element_at(mx_l, i) - element_at(mn_l, i)) / {SQ8_LEVELS}.0D)"
     )
     r = e.crossJoin(F.broadcast(lists)).withColumn("rec", F.expr(recon_expr))
-    r = H.with_quantized_unit(r, "embedding", "uq_o", drop_zero_norm=True)
-    r = H.with_quantized_unit(r, "rec", "uq_r")
-    fid = r.select(
-        "label", F.round(H.qcosine_expr("uq_o", "uq_r"), 5).alias("fid")
+    return _fidelity_report(r)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) fidelity audit: learned sub-codebooks
+# ---------------------------------------------------------------------------
+
+# The other half of the ANN compression ladder (Jégou et al. 2011):
+# where SQ8 keeps one byte PER DIMENSION (64 B/vector), PQ splits the
+# vector into PQ_SUBS subspaces and keeps one LEARNED centroid id per
+# subspace — 8 codes of 4 bits here, i.e. 4 B/vector, a 64x shrink vs
+# float32. Codebooks are k-means per subspace; everything runs in the
+# integer domain (v6 = round(x*1e6) int64) so distances, means, and
+# assignments are bit-identical across engines, and the final
+# cosine-fidelity report reuses the SQ8 audit's shared tail.
+
+PQ_SUBS = 8  # subspaces
+PQ_SUBDIM = H.EMB_DIM // PQ_SUBS
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+
+_PQ_MEAN6 = "CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)"
+
+# Row-local argmin against the per-subspace candidate list: distances
+# are exact int64 L2 folds; list_position/array_position return the
+# FIRST index of the min, and candidates are sorted by c, so ties
+# break to the smallest centroid id in both engines.
+_PQ_DISTS_D = (
+    f"list_transform(cands, cand -> list_sum(list_transform("
+    f"generate_series(1, {PQ_SUBDIM}), "
+    "i -> (v_arr[i] - cand.vals[i]) * (v_arr[i] - cand.vals[i]))))"
+)
+_PQ_DISTS_S = (
+    "transform(cands, cand -> aggregate(zip_with(v_arr, cand.vals, "
+    "(a, b) -> (a - b) * (a - b)), 0L, (acc, z) -> acc + z))"
+)
+
+
+def _pq_codebook_duck(name: str, means_cte: str) -> str:
+    """means (s, c, p, m6) -> (s, cands sorted by c) with vals sorted
+    by p — the broadcastable per-subspace candidate list."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT s, list(struct_pack(c := c, vals := vals) ORDER BY c) AS cands
+  FROM (
+    SELECT s, c, list(m6 ORDER BY p) AS vals FROM {means_cte} GROUP BY 1, 2
+  ) GROUP BY s
+)"""
+
+
+def _pq_assign_duck(name: str, cb_cte: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, s, cands[list_position(dists, list_min(dists))].c AS c
+  FROM (
+    SELECT vec_id, s, cands, {_PQ_DISTS_D} AS dists
+    FROM pqv JOIN {cb_cte} USING (s)
+  )
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH pqs AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST((i - 1) // {PQ_SUBDIM} AS INTEGER) AS s,
+         CAST((i - 1) % {PQ_SUBDIM} AS INTEGER) AS p,
+         CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+  FROM (
+    SELECT vec_id, label, unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+pqv AS MATERIALIZED (
+  SELECT vec_id, label, s, list(v6 ORDER BY p) AS v_arr
+  FROM pqs GROUP BY 1, 2, 3
+),
+m0 AS MATERIALIZED (
+  SELECT s, CAST(vec_id % {PQ_K} AS INTEGER) AS c, p, {_PQ_MEAN6} AS m6
+  FROM pqs GROUP BY 1, 2, 3
+),
+{_pq_codebook_duck("cb0", "m0")},
+{_pq_assign_duck("a1", "cb0")},
+m1 AS MATERIALIZED (
+  SELECT r.s, a.c, r.p, {_PQ_MEAN6} AS m6
+  FROM pqs r JOIN a1 a ON a.vec_id = r.vec_id AND a.s = r.s
+  GROUP BY 1, 2, 3
+),
+{_pq_codebook_duck("cb1", "m1")},
+{_pq_assign_duck("a2", "cb1")},
+reconp AS MATERIALIZED (
+  SELECT a.vec_id,
+         list(CAST(m.m6 AS DOUBLE) / 1000000.0 ORDER BY m.s, m.p) AS rec
+  FROM a2 a JOIN m1 m ON m.s = a.s AND m.c = a.c
+  GROUP BY a.vec_id
+),
+pqrecon AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.embedding, r.rec
+  FROM embeddings e JOIN reconp r ON r.vec_id = e.vec_id
+),
+{_fidelity_tail_duck("pqrecon")}
+"""
+
+
+@query("pq_quantization_audit", oracle=_PQ_ORACLE)
+def q_pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization fidelity (Jégou et al. 2011) — the far
+    end of the ANN compression ladder: 8 subspaces x 16 LEARNED
+    centroids = 4-bit codes, 4 B/vector (vs SQ8's 64 B), with the
+    same per-label cosine(original, reconstruction) report as
+    `sq8_quantization_audit` so the two compression points are
+    directly comparable. Codebooks are per-subspace k-means:
+    vec_id%16-seeded means, one full Lloyd refinement, final
+    assignment — unrolled so the plan is static and the oracle
+    replays it as a MATERIALIZED CTE chain.
+
+    100 TB shape: each (vector, subspace) is gathered ONCE into an
+    8-component integer array; the codebook (8 rows — one candidate
+    list per subspace) BROADCASTS and assignment is a row-local
+    argmin fold — no n x k row expansion, no per-vector window, no
+    giant aggregation state (an earlier draft materialized the
+    (vec, s, c) distance table: n x 128 rows + a 16-way expansion,
+    which OOMed a default-memory session at x100; the gathered form
+    is both the faster and the smaller plan). Refits aggregate to
+    the 1024 (s, c, p) keys with map-side combine.
+
+    Cross-engine exactness: everything lives in the v6 =
+    round(x*1e6) integer domain — exact int64 L2 folds, floor+0.5
+    integer means, first-index-of-min ties to the smallest centroid
+    id — and the fidelity tail is the shared integer-dot report."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
+        F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+            "v6"
+        ),
     )
-    return fid.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        _mean6_spark(F.col("fid")).alias("mean_fidelity"),
-        F.min("fid").alias("min_fidelity"),
+    pqv = sub.groupBy("vec_id", "s").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
+        ).alias("v_arr")
     )
+    mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")
+
+    def refit(assign: DataFrame | None) -> DataFrame:
+        members = (
+            sub.withColumn("c", (F.col("vec_id") % PQ_K).cast("int"))
+            if assign is None
+            else sub.join(assign, ["vec_id", "s"])
+        )
+        return members.groupBy("s", "c", "p").agg(mean6.alias("m6"))
+
+    def codebook(means: DataFrame) -> DataFrame:
+        return (
+            means.groupBy("s", "c")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, m6))), e -> e.m6)"
+                ).alias("vals")
+            )
+            .groupBy("s")
+            .agg(F.expr("array_sort(collect_list(struct(c, vals)))").alias("cands"))
+        )
+
+    def assign_to(cb: DataFrame) -> DataFrame:
+        return (
+            pqv.join(F.broadcast(cb), "s")
+            .withColumn("dists", F.expr(_PQ_DISTS_S))
+            .select(
+                "vec_id",
+                "s",
+                F.expr(
+                    "element_at(cands, CAST(array_position(dists, array_min(dists)) AS INT)).c"
+                ).alias("c"),
+            )
+        )
+
+    a1 = assign_to(codebook(refit(None)))
+    m1 = refit(a1)
+    a2 = assign_to(codebook(m1))
+    recon = (
+        a2.join(F.broadcast(m1), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, p, m6))), "
+                "e -> CAST(e.m6 AS DOUBLE) / 1000000.0)"
+            ).alias("rec")
+        )
+    )
+    r = e.join(recon, "vec_id").select("label", "embedding", "rec")
+    return _fidelity_report(r)

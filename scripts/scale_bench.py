@@ -91,6 +91,7 @@ QUERIES: tuple[str, ...] = (
     "selection_pipeline", "twostage_rerank_topk", "countmin_heavy_hitters",
     "vocab_growth_curve", "sq8_quantization_audit", "weighted_sample_topk",
     "gumbel_topk_resample", "stream_countmin_topk",
+    "pq_quantization_audit",
 )
 
 # name -> (max factor, reason)

@@ -1102,3 +1102,29 @@ def test_gumbel_resample_biased_toward_high_scores(spark):
     assert any(
         sel_by_src[src] != set(top_by_score[src]) for src in sel_by_src
     )
+
+
+def test_pq_audit_codebook_properties(spark):
+    """PQ invariants: per-label rows cover the corpus; fidelity is
+    bounded (learned 16-centroid sub-codebooks lose more than SQ8's
+    256-level grid but must stay cosine-positive on unit-ish data);
+    and PQ fidelity <= SQ8 fidelity per label (4 B/vector cannot beat
+    64 B/vector on the same corpus)."""
+    from eventstreamer_spark.operators.audit import (
+        q_pq_quantization_audit,
+        q_sq8_quantization_audit,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+
+    pq = {r.label: r for r in q_pq_quantization_audit(spark, SF_DIR).collect()}
+    sq = {r.label: r for r in q_sq8_quantization_audit(spark, SF_DIR).collect()}
+    assert set(pq) == set(sq)
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in pq.values()) == n_corpus
+    for lbl, r in pq.items():
+        assert 0.0 < r.min_fidelity <= r.mean_fidelity <= 1.000001, r
+        assert r.mean_fidelity <= sq[lbl].mean_fidelity + 1e-9, (
+            lbl,
+            r.mean_fidelity,
+            sq[lbl].mean_fidelity,
+        )
