@@ -1095,8 +1095,14 @@ def _pq_assign_duck(name: str, cb_cte: str) -> str:
 )"""
 
 
-_PQ_ORACLE = f"""
-WITH pqs AS MATERIALIZED (
+def _pq_parts() -> list[str]:
+    """The PQ training chain as WITH-parts (the _dsir_parts pattern):
+    pqs (exploded integer components) -> pqv (gathered per-subspace
+    arrays) -> m0/cb0 (seed codebook) -> a1 -> m1/cb1 (refit
+    codebook) -> a2 (final codes). Shared by the fidelity audit and
+    the ADC search oracle so index build and search cannot drift."""
+    return [
+        f"""pqs AS MATERIALIZED (
   SELECT vec_id, label,
          CAST((i - 1) // {PQ_SUBDIM} AS INTEGER) AS s,
          CAST((i - 1) % {PQ_SUBDIM} AS INTEGER) AS p,
@@ -1106,24 +1112,31 @@ WITH pqs AS MATERIALIZED (
            unnest(generate_series(1, len(embedding))) AS i
     FROM embeddings
   )
-),
-pqv AS MATERIALIZED (
+)""",
+        """pqv AS MATERIALIZED (
   SELECT vec_id, label, s, list(v6 ORDER BY p) AS v_arr
   FROM pqs GROUP BY 1, 2, 3
-),
-m0 AS MATERIALIZED (
+)""",
+        f"""m0 AS MATERIALIZED (
   SELECT s, CAST(vec_id % {PQ_K} AS INTEGER) AS c, p, {_PQ_MEAN6} AS m6
   FROM pqs GROUP BY 1, 2, 3
-),
-{_pq_codebook_duck("cb0", "m0")},
-{_pq_assign_duck("a1", "cb0")},
-m1 AS MATERIALIZED (
+)""",
+        _pq_codebook_duck("cb0", "m0"),
+        _pq_assign_duck("a1", "cb0"),
+        f"""m1 AS MATERIALIZED (
   SELECT r.s, a.c, r.p, {_PQ_MEAN6} AS m6
   FROM pqs r JOIN a1 a ON a.vec_id = r.vec_id AND a.s = r.s
   GROUP BY 1, 2, 3
-),
-{_pq_codebook_duck("cb1", "m1")},
-{_pq_assign_duck("a2", "cb1")},
+)""",
+        _pq_codebook_duck("cb1", "m1"),
+        _pq_assign_duck("a2", "cb1"),
+    ]
+
+
+_PQ_CHAIN_SQL = ",\n".join(_pq_parts())
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CHAIN_SQL},
 reconp AS MATERIALIZED (
   SELECT a.vec_id,
          list(CAST(m.m6 AS DOUBLE) / 1000000.0 ORDER BY m.s, m.p) AS rec
@@ -1136,6 +1149,75 @@ pqrecon AS MATERIALIZED (
 ),
 {_fidelity_tail_duck("pqrecon")}
 """
+
+
+def pq_codebook(means: DataFrame) -> DataFrame:
+    """(s, c, p, m6) -> (s, cands) candidate lists sorted by c with
+    vals sorted by p — the 8-row broadcastable codebook (Spark twin
+    of ``_pq_codebook_duck``)."""
+    return (
+        means.groupBy("s", "c")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, m6))), e -> e.m6)"
+            ).alias("vals")
+        )
+        .groupBy("s")
+        .agg(F.expr("array_sort(collect_list(struct(c, vals)))").alias("cands"))
+    )
+
+
+def pq_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The PQ training chain (Spark twin of ``_pq_parts``): returns
+    (embeddings, pqv gathered subspace arrays, m1 refit codebook
+    means, a2 final codes). Shared by the fidelity audit and the ADC
+    search so index build and search cannot drift."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
+        F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+            "v6"
+        ),
+    )
+    pqv = sub.groupBy("vec_id", "s").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
+        ).alias("v_arr")
+    )
+    mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")
+
+    def refit(assign: DataFrame | None) -> DataFrame:
+        members = (
+            sub.withColumn("c", (F.col("vec_id") % PQ_K).cast("int"))
+            if assign is None
+            else sub.join(assign, ["vec_id", "s"])
+        )
+        return members.groupBy("s", "c", "p").agg(mean6.alias("m6"))
+
+    def assign_to(cb: DataFrame) -> DataFrame:
+        return (
+            pqv.join(F.broadcast(cb), "s")
+            .withColumn("dists", F.expr(_PQ_DISTS_S))
+            .select(
+                "vec_id",
+                "s",
+                F.expr(
+                    "element_at(cands, CAST(array_position(dists, array_min(dists)) AS INT)).c"
+                ).alias("c"),
+            )
+        )
+
+    a1 = assign_to(pq_codebook(refit(None)))
+    m1 = refit(a1)
+    a2 = assign_to(pq_codebook(m1))
+    return e, pqv, m1, a2
 
 
 @query("pq_quantization_audit", oracle=_PQ_ORACLE)
@@ -1164,61 +1246,7 @@ def q_pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x*1e6) integer domain — exact int64 L2 folds, floor+0.5
     integer means, first-index-of-min ties to the smallest centroid
     id — and the fidelity tail is the shared integer-dot report."""
-    e = load_table_parallel(spark, sf_dir, "embeddings")
-    sub = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
-        F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
-            "v6"
-        ),
-    )
-    pqv = sub.groupBy("vec_id", "s").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
-        ).alias("v_arr")
-    )
-    mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")
-
-    def refit(assign: DataFrame | None) -> DataFrame:
-        members = (
-            sub.withColumn("c", (F.col("vec_id") % PQ_K).cast("int"))
-            if assign is None
-            else sub.join(assign, ["vec_id", "s"])
-        )
-        return members.groupBy("s", "c", "p").agg(mean6.alias("m6"))
-
-    def codebook(means: DataFrame) -> DataFrame:
-        return (
-            means.groupBy("s", "c")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(p, m6))), e -> e.m6)"
-                ).alias("vals")
-            )
-            .groupBy("s")
-            .agg(F.expr("array_sort(collect_list(struct(c, vals)))").alias("cands"))
-        )
-
-    def assign_to(cb: DataFrame) -> DataFrame:
-        return (
-            pqv.join(F.broadcast(cb), "s")
-            .withColumn("dists", F.expr(_PQ_DISTS_S))
-            .select(
-                "vec_id",
-                "s",
-                F.expr(
-                    "element_at(cands, CAST(array_position(dists, array_min(dists)) AS INT)).c"
-                ).alias("c"),
-            )
-        )
-
-    a1 = assign_to(codebook(refit(None)))
-    m1 = refit(a1)
-    a2 = assign_to(codebook(m1))
+    e, pqv, m1, a2 = pq_build(spark, sf_dir)
     recon = (
         a2.join(F.broadcast(m1), ["s", "c"])
         .groupBy("vec_id")
@@ -1231,3 +1259,125 @@ def q_pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = e.join(recon, "vec_id").select("label", "embedding", "rec")
     return _fidelity_report(r)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search over the learned codes
+# ---------------------------------------------------------------------------
+
+# The search half of the PQ index: the QUERY stays full-precision, the
+# corpus is only its 8 codes — per (query, subspace) a 16-entry
+# distance lookup table is precomputed against the codebook, and each
+# corpus vector's distance is 8 table lookups + adds (Jégou et al.'s
+# ADC). Scanning codes instead of vectors reads 16x less data than
+# the exact scan; like the funnel and brute force, the scan itself is
+# O(q·n) by contract — IVF is the orthogonal WHO-prune that would cut
+# n at 100 TB (IVF-PQ = compose the two).
+
+PQ_TOP_K = 10
+ADC_QUERY_FILTER = "vec_id % 100 = 0"  # same query subset as the ANN family
+
+_ADC_ORACLE = f"""
+WITH {_PQ_CHAIN_SQL},
+qsel AS (
+  SELECT vec_id AS query_id, s, v_arr FROM pqv WHERE {ADC_QUERY_FILTER}
+),
+luts AS MATERIALIZED (
+  SELECT query_id, s,
+         {_PQ_DISTS_D} AS lut,
+         list_transform(cands, cand -> cand.c) AS cs
+  FROM qsel JOIN cb1 USING (s)
+),
+qlut AS MATERIALIZED (
+  SELECT query_id,
+         list(struct_pack(cs := cs, lut := lut) ORDER BY s) AS sl
+  FROM luts GROUP BY query_id
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, list(c ORDER BY s) AS cvec FROM a2 GROUP BY vec_id
+),
+dists AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {PQ_SUBS}),
+           si -> sl[si].lut[list_position(sl[si].cs, cvec[si])])) AS BIGINT)
+           AS adc_dist
+  FROM qlut q JOIN codes v ON q.query_id != v.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM dists
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= {PQ_TOP_K}
+"""
+
+
+@query("pq_adc_topk", oracle=_ADC_ORACLE)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ index (Jégou et al.
+    2011): queries stay full-precision; per (query, subspace) a
+    16-entry L2 lookup table is precomputed against the refit
+    codebook, and every corpus vector is scored from its 4-bit codes
+    alone — 8 table lookups + adds per vector, scanning 16x less
+    data than the exact scan. Completes the PQ story the audit
+    starts: `pq_quantization_audit` measures what the codes LOSE,
+    this is how they're USED.
+
+    Plan: the per-query LUT table (q x 8 x 16 int64s) BROADCASTS;
+    corpus codes are gathered once into an 8-int array per vector;
+    the scan is a row-local fold, the top-k a per-query window. The
+    code scan is O(q·n) by contract (capped x10 in scale_bench, like
+    brute force and the funnel) — IVF is the orthogonal WHO-prune
+    that cuts n; composing them is IVF-PQ, the standard 100 TB
+    layout. Exactness: LUT entries and distances are the build's own
+    exact int64 L2 sums; ranking ties break on neighbor_id; the
+    oracle replays the shared _pq_parts chain verbatim."""
+    _, pqv, m1, a2 = pq_build(spark, sf_dir)
+    cb1 = pq_codebook(m1)
+    qsel = pqv.filter(F.expr(ADC_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), "s", "v_arr"
+    )
+    luts = (
+        qsel.join(F.broadcast(cb1), "s")
+        .withColumn("lut", F.expr(_PQ_DISTS_S))
+        .select(
+            "query_id",
+            "s",
+            "lut",
+            F.expr("transform(cands, cand -> cand.c)").alias("cs"),
+        )
+    )
+    qlut = luts.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, cs, lut))), "
+            "e -> struct(e.cs AS cs, e.lut AS lut))"
+        ).alias("sl")
+    )
+    codes = a2.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, c))), e -> e.c)"
+        ).alias("cvec")
+    )
+    dist_expr = (
+        f"CAST(aggregate(sequence(1, {PQ_SUBS}), 0L, (acc, si) -> acc + "
+        "element_at(element_at(sl, si).lut, CAST("
+        "array_position(element_at(sl, si).cs, element_at(cvec, si)) AS INT))) AS BIGINT)"
+    )
+    dists = (
+        F.broadcast(qlut)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(dist_expr).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

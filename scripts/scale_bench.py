@@ -91,7 +91,7 @@ QUERIES: tuple[str, ...] = (
     "selection_pipeline", "twostage_rerank_topk", "countmin_heavy_hitters",
     "vocab_growth_curve", "sq8_quantization_audit", "weighted_sample_topk",
     "gumbel_topk_resample", "stream_countmin_topk",
-    "pq_quantization_audit",
+    "pq_quantization_audit", "pq_adc_topk",
 )
 
 # name -> (max factor, reason)
@@ -101,6 +101,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "push_time_stream_parity": (10, "same in-memory gate state provider bound"),
     "neardup_prefilter_recall": (10, "runs the exact all-pairs calibration kernel alongside the prefilter: O(n^2) by contract"),
     "twostage_rerank_topk": (10, "coarse stage scans q x n prefix pairs by contract (exact funnel baseline); SRP/IVF are the WHO-prune scale routes"),
+    "pq_adc_topk": (10, "ADC code scan is q x n by contract (16x less data than exact); IVF is the WHO-prune that cuts n (IVF-PQ)"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and

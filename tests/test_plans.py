@@ -1128,3 +1128,40 @@ def test_pq_audit_codebook_properties(spark):
             r.mean_fidelity,
             sq[lbl].mean_fidelity,
         )
+
+
+def test_pq_adc_distance_identity(spark):
+    """The defining ADC identity, checked through an independent
+    composition path: the lookup-table distance the query reports for
+    (q, v) must equal the exact integer L2 distance between q's
+    components and v's CODEBOOK RECONSTRUCTION, recomputed in Python
+    from the collected codes and means."""
+    from eventstreamer_spark.operators.audit import (
+        PQ_TOP_K,
+        pq_build,
+        q_pq_adc_topk,
+    )
+
+    adc = q_pq_adc_topk(spark, SF_DIR).collect()
+    assert adc
+    _, pqv, m1, a2 = pq_build(spark, SF_DIR)
+    v_arrs = {(r.vec_id, r.s): list(r.v_arr) for r in pqv.collect()}
+    means = {}
+    for r in m1.collect():
+        means.setdefault((r.s, r.c), {})[r.p] = r.m6
+    codes = {(r.vec_id, r.s): r.c for r in a2.collect()}
+    n_subs = max(s for (_, s) in codes) + 1
+    per_q = {}
+    for r in adc:
+        per_q.setdefault(r.query_id, []).append(r)
+        expected = 0
+        for s in range(n_subs):
+            q_arr = v_arrs[(r.query_id, s)]
+            cell = means[(s, codes[(r.neighbor_id, s)])]
+            expected += sum(
+                (q_arr[p] - cell[p]) ** 2 for p in range(len(q_arr))
+            )
+        assert r.adc_dist == expected, (r, expected)
+    for q, rows in per_q.items():
+        assert len(rows) == PQ_TOP_K
+        assert sorted(r.rank for r in rows) == list(range(1, PQ_TOP_K + 1))
