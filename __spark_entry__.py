@@ -188,6 +188,29 @@ _GREEN_R6 = frozenset({
     'windowed_emit_json',
 })
 
+# r07 (all 50 rows hash-green, CORRECTNESS_r07.json): the 20 round-7
+# additions + the stalest greens that window re-proved.
+_GREEN_R7 = frozenset({
+    'bigram_conditional_probs', 'bucketed_band_index_join',
+    'calendar_gap_fill', 'cdc_changelog_compaction', 'corpus_build_pipeline',
+    'countmin_heavy_hitters', 'datapoint_window_eav', 'doc_length_histogram',
+    'dow_hour_heatmap', 'dsir_importance_weights', 'duplicate_span_histogram',
+    'embedding_norm_stats', 'gumbel_topk_resample', 'ingest_index_maintenance',
+    'inverted_index_topk', 'minhash_jaccard_calibration',
+    'nation_trade_volume', 'neardup_source_matrix', 'pq_adc_topk',
+    'pq_quantization_audit', 'priority_share_by_year', 'push_time_parity',
+    'push_time_stream_parity', 'quality_by_source_report',
+    'quality_classifier_scores', 'rfm_segmentation',
+    'selection_method_agreement', 'selection_pipeline', 'session_windows',
+    'shipping_priority_topk', 'sliding_window_stats', 'sq8_quantization_audit',
+    'stream_classifier_scores', 'stream_countmin_topk', 'stream_dedup_counts',
+    'stream_session_windows', 'stream_sliding_stats', 'stream_stream_join',
+    'stream_topk_types', 'stream_tumbling_stats', 'token_budget_mixture',
+    'tumbling_window_stats', 'twostage_rerank_topk', 'user_retention_cohorts',
+    'value_outliers_zscore', 'vocab_growth_curve', 'vocab_oov_coverage',
+    'weighted_sample_topk', 'winnowing_candidates', 'winnowing_fingerprints',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -197,16 +220,13 @@ for _round, _names in (
     (4, _GREEN_R4),
     (5, _GREEN_R5),
     (6, _GREEN_R6),
+    (7, _GREEN_R7),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
 
 _RECORDED_GREEN = frozenset(_GREEN_ROUND)
 
-# The round-7 recording window = this round's new queries (never-recorded,
-# ordered first) + the stalest greens: the remaining r1/r2 rows no later
-# window has re-proven, then r03. Round 8: fold CORRECTNESS_r07 into a
-# _GREEN_R7 set here.
 
 # Queries added mid-round past a full 50-slot recording window: ordered
 # after every other never-recorded query so they cannot displace one from

@@ -576,7 +576,7 @@ def _sel_agreement_oracle() -> str:
 
 @query("selection_method_agreement", oracle=_sel_agreement_oracle())
 def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Do the three data-SELECTION families agree? Exact Spearman rank
+    """Do the three data-SELECTION families agree? Spearman-style rank
     correlation and top-quarter overlap between every pair of:
     DSIR per-gram log-ratio (curation.dsir_doc_scores), the trained
     ridge classifier score (quality.ridge_scores, weights retrained
@@ -587,6 +587,16 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — exact cross-engine), and |topA ∩ topB| / k for
     k = max(1, floor(0.25·n)).
 
+    TIE SEMANTICS (deliberate, tiebreak-dependent): all three rankings
+    are row_number with the SAME doc_id ASC tiebreak, not midranks —
+    so the statistic is exact and reproducible cross-engine, but NOT
+    classical (midrank) Spearman: the heuristic q10 score has large
+    tie classes, and doc_id-resolved segments correlate across methods
+    by construction, so the reported rho reads HIGHER than midrank
+    Spearman would. Read it as "agreement under a shared deterministic
+    tiebreak"; comparisons between pairs remain apples-to-apples
+    because every ranking uses the identical rule (ADVICE r7).
+
     Audit-grade by design (like dedup_method_agreement): the three
     global row_number ranks are single-partition windows over the
     (doc_id, three-integer-score) table — tiny rows, but still a
@@ -596,13 +606,15 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-scaling scoring chains."""
     from eventstreamer_spark.operators.curation import dsir_doc_scores
     from eventstreamer_spark.operators.quality import (
+        _doc_features,
         ridge_scores,
         train_ridge_weights,
     )
     from eventstreamer_spark.operators.text import QUALITY_SPARK
 
-    w = train_ridge_weights(spark, sf_dir)
-    clf = ridge_scores(spark, sf_dir, w).select(
+    feats, lab = _doc_features(spark, sf_dir)
+    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    clf = ridge_scores(spark, sf_dir, w, feats=feats).select(
         "doc_id", F.col("score_e6").alias("s_clf")
     )
     dsir = dsir_doc_scores(spark, sf_dir).select(
@@ -713,15 +725,18 @@ CMS_D = 4  # independent hash rows
 CMS_TOP_K = 20
 
 
-def _cms_bucket(i: int, engine: str) -> str:
-    """Row-i bucket for a token column named tok (md5-seeded like the
-    minhash permutations)."""
+def _cms_bucket(i: int, engine: str, col: str = "tok") -> str:
+    """Row-i bucket for the token column expression ``col`` (md5-seeded
+    like the minhash permutations). Parameterized on the column — the
+    probe side passes a qualified name — rather than post-hoc string
+    replace, which silently corrupts the oracle the moment another
+    'tok' substring appears in the rendered SQL (ADVICE r7)."""
     if engine == "spark":
         return (
-            f"CAST(conv(substring(md5(concat('{i}:', tok)), 1, 6), 16, 10) "
+            f"CAST(conv(substring(md5(concat('{i}:', {col})), 1, 6), 16, 10) "
             f"AS BIGINT) % {CMS_W}"
         )
-    return f"CAST('0x' || substring(md5('{i}:' || tok), 1, 6) AS BIGINT) % {CMS_W}"
+    return f"CAST('0x' || substring(md5('{i}:' || {col}), 1, 6) AS BIGINT) % {CMS_W}"
 
 
 _CMS_ORACLE = f"""
@@ -746,7 +761,7 @@ est AS (
          min(c.c) AS cms_est
   FROM top t
   JOIN cells c ON (
-    {" OR ".join(f"(c.i = {i} AND c.b = {_cms_bucket(i, 'duck').replace('tok', 't.tok')})" for i in range(CMS_D))}
+    {" OR ".join(f"(c.i = {i} AND c.b = {_cms_bucket(i, 'duck', col='t.tok')})" for i in range(CMS_D))}
   )
   GROUP BY t.tok, t.cnt
 )

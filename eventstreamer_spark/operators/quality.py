@@ -207,12 +207,23 @@ FROM lab l JOIN scores s ON l.doc_id = s.doc_id
 def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(per-doc sparse feature list, per-doc label): the shared front
     half of training and scoring. feats: (doc_id, fs: array<struct<b,x>>)
-    including the intercept; lab: (doc_id, y)."""
+    including the intercept; lab: (doc_id, y).
+
+    Both outputs (and the token-count table they branch from) are
+    localCheckpointed so the corpus is tokenized ONCE per invocation no
+    matter how many consumers evaluate them — training's gram + bvec,
+    the scoring pass, and the final label join previously re-derived
+    the tokenize→groupBy chain ~3× (VERDICT r7 "repeated-subtree"
+    finding). localCheckpoint, not persist(): Spark's plan-matching
+    CacheManager would let a persist() from one bench run serve the
+    next run's identical plan — a cross-invocation memo; a checkpoint
+    is invocation-scoped by construction."""
     docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     tokcnt = (
         docs.select("doc_id", F.explode(H.tokens_expr("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     stats = tokcnt.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_toks"),
@@ -222,6 +233,7 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         docs.select("doc_id")
         .join(stats, "doc_id", "left")
         .select("doc_id", F.expr(_LABEL_CASE).cast("int").alias("y"))
+        .localCheckpoint(eager=False)
     )
     feat = (
         tokcnt.groupBy("doc_id", F.expr(_BUCKET_SPARK).alias("b"))
@@ -234,19 +246,31 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             )
         )
     )
-    feats = feat.groupBy("doc_id").agg(
-        F.collect_list(F.struct("b", "x")).alias("fs")
+    feats = (
+        feat.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("b", "x")).alias("fs"))
+        .localCheckpoint(eager=False)
     )
     return feats, lab
 
 
-def train_ridge_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+def train_ridge_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    feats: DataFrame | None = None,
+    lab: DataFrame | None = None,
+) -> list[int]:
     """Fit the ridge classifier from exact-integer normal equations:
     distributed X'X/X'y partials (≤ d² aggregate keys), driver-side
     integer Gauss–Seidel. The ONE training implementation shared by
     the batch scorer and the streaming serving twin — weights are in
-    W_SCALE (1e-6) units and bit-identical across engines."""
-    feats, lab = _doc_features(spark, sf_dir)
+    W_SCALE (1e-6) units and bit-identical across engines.
+
+    Callers that also score (the batch classifier, the selection
+    pipelines) pass precomputed ``feats``/``lab`` so the feature
+    extraction runs once for the whole train+score chain."""
+    if feats is None or lab is None:
+        feats, lab = _doc_features(spark, sf_dir)
     # per-doc outer products, exploded row-locally, collapsed to ≤ d² keys
     pairs = feats.select(
         F.explode(
@@ -273,12 +297,19 @@ def train_ridge_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     return solve_ridge_gs(gram, bvec)
 
 
-def ridge_scores(spark: SparkSession, sf_dir: str, w: list[int]) -> DataFrame:
+def ridge_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    w: list[int],
+    feats: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, score_e6) under weight vector ``w`` (W_SCALE units):
     the row-local literal-broadcast scoring pass, shared by the batch
     scorer and the selection-agreement audit so the two can never
-    score differently."""
-    feats, _ = _doc_features(spark, sf_dir)
+    score differently. Pass the ``feats`` used for training to avoid a
+    second feature-extraction scan."""
+    if feats is None:
+        feats, _ = _doc_features(spark, sf_dir)
     w_arr = F.array(*[F.lit(int(v)).cast("long") for v in w])
     return feats.select(
         "doc_id",
@@ -310,9 +341,9 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     division), so the learned weights — and therefore every score —
     are bit-identical between this plan and the DuckDB oracle's
     recursive-CTE replay of the same sweeps."""
-    w = train_ridge_weights(spark, sf_dir)
-    _, lab = _doc_features(spark, sf_dir)
-    scored = ridge_scores(spark, sf_dir, w)
+    feats, lab = _doc_features(spark, sf_dir)
+    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    scored = ridge_scores(spark, sf_dir, w, feats=feats)
     return lab.join(scored, "doc_id").select(
         "doc_id",
         F.col("y").alias("label"),

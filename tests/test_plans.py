@@ -827,10 +827,16 @@ def test_capped_sessions_single_shuffle(spark):
     session_window-vs-capped-walk plan contract, VERDICT r6 item 9)."""
     from eventstreamer_spark.streaming.stateful import q_capped_session_windows
 
+    import re
+
     df = q_capped_session_windows(spark, SF_DIR)
     plan = physical_plan(df)
     assert count_exchanges(df) == 1, plan[:1500]
-    assert "Sort [" not in plan or "SortMergeJoin" not in plan  # no global sort
+    # no GLOBAL sort: a global Sort node renders as `Sort [...], true`
+    # (the r7 disjunction passed whenever an SMJ was merely absent);
+    # partition-local sorts (`..., false, 0`) are allowed.
+    assert re.search(r"Sort \[[^\]]*\], true", plan) is None, plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
     assert "MapInPandas" in plan
 
 
