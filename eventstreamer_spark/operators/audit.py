@@ -853,7 +853,9 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves that merge LIVE) and is BROADCAST back onto the top-k
     probe set; the top-k itself plans as TakeOrderedAndProject, never
     a global sort."""
-    tokcnt = _cms_tokcnt(spark, sf_dir)
+    # checkpoint: the exact aggregate feeds BOTH the sketch build and
+    # the top-k probe side — one corpus tokenize, not two.
+    tokcnt = _cms_tokcnt(spark, sf_dir).localCheckpoint(eager=False)
     return _cms_report(tokcnt, _cms_cells(tokcnt))
 
 
