@@ -1192,21 +1192,30 @@ def pq_build(
     means, a2 final codes). Shared by the fidelity audit and the ADC
     search so index build and search cannot drift."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    sub = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
-        F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
-            "v6"
-        ),
+    # both checkpointed: sub feeds the seed means AND the refit join;
+    # pqv feeds two assignment passes plus every search-side consumer —
+    # without the boundaries each branch re-ran the component explode.
+    sub = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
+            F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
+            F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+                "v6"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    pqv = sub.groupBy("vec_id", "s").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
-        ).alias("v_arr")
+    pqv = (
+        sub.groupBy("vec_id", "s")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
+            ).alias("v_arr")
+        )
+        .localCheckpoint(eager=False)
     )
     mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")
 
@@ -1294,30 +1303,48 @@ def q_pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TOP_K = 10
 ADC_QUERY_FILTER = "vec_id % 100 = 0"  # same query subset as the ANN family
 
-_ADC_ORACLE = f"""
-WITH {_PQ_CHAIN_SQL},
-qsel AS (
+# Search-side CTEs shared by the full-scan ADC, the IVF-PQ composition
+# and the PQ recall audit: per-query LUT rows against the refit
+# codebook, and the gathered per-vector code arrays.
+_ADC_PARTS = [
+    f"""qsel AS (
   SELECT vec_id AS query_id, s, v_arr FROM pqv WHERE {ADC_QUERY_FILTER}
-),
-luts AS MATERIALIZED (
+)""",
+    f"""luts AS MATERIALIZED (
   SELECT query_id, s,
          {_PQ_DISTS_D} AS lut,
          list_transform(cands, cand -> cand.c) AS cs
   FROM qsel JOIN cb1 USING (s)
-),
-qlut AS MATERIALIZED (
+)""",
+    """qlut AS MATERIALIZED (
   SELECT query_id,
          list(struct_pack(cs := cs, lut := lut) ORDER BY s) AS sl
   FROM luts GROUP BY query_id
-),
-codes AS MATERIALIZED (
+)""",
+    """codes AS MATERIALIZED (
   SELECT vec_id, list(c ORDER BY s) AS cvec FROM a2 GROUP BY vec_id
-),
+)""",
+]
+_ADC_PARTS_SQL = ",\n".join(_ADC_PARTS)
+
+# ADC distance: 8 table lookups + adds, identical lambda in both
+# engines (sl from the query's LUT row, cvec from the neighbor codes).
+_ADC_DIST_D = (
+    f"CAST(list_sum(list_transform(generate_series(1, {PQ_SUBS}), "
+    "si -> sl[si].lut[list_position(sl[si].cs, cvec[si])])) AS BIGINT)"
+)
+_ADC_DIST_S = (
+    f"CAST(aggregate(sequence(1, {PQ_SUBS}), 0L, (acc, si) -> acc + "
+    "element_at(element_at(sl, si).lut, CAST("
+    "array_position(element_at(sl, si).cs, element_at(cvec, si)) AS INT))) AS BIGINT)"
+)
+
+_ADC_ORACLE = f"""
+WITH {_PQ_CHAIN_SQL},
+{_ADC_PARTS_SQL},
 dists AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(generate_series(1, {PQ_SUBS}),
-           si -> sl[si].lut[list_position(sl[si].cs, cvec[si])])) AS BIGINT)
-           AS adc_dist
+         {_ADC_DIST_D} AS adc_dist
   FROM qlut q JOIN codes v ON q.query_id != v.vec_id
 ),
 ranked AS (
@@ -1348,11 +1375,28 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan is a row-local fold, the top-k a per-query window. The
     code scan is O(q·n) by contract (capped x10 in scale_bench, like
     brute force and the funnel) — IVF is the orthogonal WHO-prune
-    that cuts n; composing them is IVF-PQ, the standard 100 TB
-    layout. Exactness: LUT entries and distances are the build's own
-    exact int64 L2 sums; ranking ties break on neighbor_id; the
-    oracle replays the shared _pq_parts chain verbatim."""
-    _, pqv, m1, a2 = pq_build(spark, sf_dir)
+    that cuts n; `ivf_pq_topk` is that composition, the standard
+    100 TB layout. Exactness: LUT entries and distances are the
+    build's own exact int64 L2 sums; ranking ties break on
+    neighbor_id; the oracle replays the shared _pq_parts chain
+    verbatim."""
+    _, qlut, codes = pq_search_parts(spark, sf_dir)
+    return _adc_rank_topk(
+        F.broadcast(qlut)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sl", "cvec")
+    )
+
+
+def pq_search_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(embeddings, qlut, codes): the ADC search-side artifacts from
+    the shared PQ build — per-query LUT rows (query_id, sl) for the
+    ADC_QUERY_FILTER subset and gathered per-vector code arrays
+    (vec_id, cvec). Checkpointed: the full-scan ADC, the IVF-PQ
+    probe and the recall audit each consume them more than once."""
+    e, pqv, m1, a2 = pq_build(spark, sf_dir)
     cb1 = pq_codebook(m1)
     qsel = pqv.filter(F.expr(ADC_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), "s", "v_arr"
@@ -1367,34 +1411,292 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(cands, cand -> cand.c)").alias("cs"),
         )
     )
-    qlut = luts.groupBy("query_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, cs, lut))), "
-            "e -> struct(e.cs AS cs, e.lut AS lut))"
-        ).alias("sl")
-    )
-    codes = a2.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, c))), e -> e.c)"
-        ).alias("cvec")
-    )
-    dist_expr = (
-        f"CAST(aggregate(sequence(1, {PQ_SUBS}), 0L, (acc, si) -> acc + "
-        "element_at(element_at(sl, si).lut, CAST("
-        "array_position(element_at(sl, si).cs, element_at(cvec, si)) AS INT))) AS BIGINT)"
-    )
-    dists = (
-        F.broadcast(qlut)
-        .join(codes, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(dist_expr).alias("adc_dist"),
+    qlut = (
+        luts.groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, cs, lut))), "
+                "e -> struct(e.cs AS cs, e.lut AS lut))"
+            ).alias("sl")
         )
+        .localCheckpoint(eager=False)
+    )
+    codes = (
+        a2.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, c))), e -> e.c)"
+            ).alias("cvec")
+        )
+        .localCheckpoint(eager=False)
+    )
+    return e, qlut, codes
+
+
+def _adc_rank_topk(pairs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, sl, cvec) candidate pairs -> ADC-scored
+    per-query top-k (the shared tail of the full scan and IVF-PQ)."""
+    dists = pairs.select(
+        "query_id", "neighbor_id", F.expr(_ADC_DIST_S).alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         dists.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed index — IVF prunes WHO, PQ compresses WHAT
+# ---------------------------------------------------------------------------
+
+# The standard billion/100 TB-scale ANN layout (Jégou et al. 2011,
+# IVFADC): corpus vectors live in IVF cells keyed by their nearest
+# Lloyd centroid, and inside a cell only the 4-bit PQ codes are
+# stored. A query (a) picks its NPROBE nearest centroids — the
+# WHO-prune, so the scan touches ~nprobe/k of the corpus — and
+# (b) scores each resident from its codes alone via the ADC lookup
+# table — the WHAT-compression, reading 16x less per candidate. Both
+# halves already exist verified (ivf_topk_search; pq_adc_topk); this
+# query is their composition, which neither could claim alone: the
+# ONLY uncapped-scale top-k over compressed codes in the repo.
+
+from eventstreamer_spark.operators.similarity import (  # noqa: E402
+    NPROBE as _IVF_NPROBE,
+)
+from eventstreamer_spark.operators.similarity import (  # noqa: E402
+    _BRUTE_ORACLE as _ANN_BRUTE_ORACLE,
+)
+from eventstreamer_spark.operators.similarity import (  # noqa: E402
+    _ivf_centroids_duck as _ivf_cent_duck,
+)
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_CHAIN_SQL},
+{_ADC_PARTS_SQL},
+{_ivf_cent_duck()},
+centqf AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
+),
+fscored AS (
+  SELECT e.vec_id, c.c_label,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({H.qcosine_duck("e.uq", "c.cq")}, 5) DESC,
+                                     c.c_label) AS rn
+  FROM embq e CROSS JOIN centqf c
+),
+iassigned AS (SELECT vec_id, c_label FROM fscored WHERE rn = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, c_label FROM fscored
+  WHERE {ADC_QUERY_FILTER} AND rn <= {_IVF_NPROBE}
+),
+icand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM iprobes p JOIN iassigned a
+    ON p.c_label = a.c_label AND a.vec_id != p.query_id
+),
+idists AS (
+  SELECT c.query_id, c.neighbor_id, {_ADC_DIST_D} AS adc_dist
+  FROM icand c
+  JOIN qlut q ON q.query_id = c.query_id
+  JOIN codes v ON v.vec_id = c.neighbor_id
+),
+iranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM idists
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM iranked WHERE rank <= {PQ_TOP_K}
+"""
+
+
+def ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, parts: tuple[DataFrame, DataFrame, DataFrame] | None = None
+) -> DataFrame:
+    """The IVF-PQ probe search over prepared (or freshly built) PQ
+    search parts; see q_ivf_pq_topk for the plan rationale. Pass
+    ``parts`` (from pq_search_parts) to share one PQ build across
+    consumers (the recall audit scores this and the full scan from
+    the same artifacts)."""
+    from eventstreamer_spark.operators.similarity import (
+        _score_centroids,
+        ivf_centroids_for,
+    )
+
+    e, qlut, codes = parts if parts is not None else pq_search_parts(spark, sf_dir)
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_for(spark, sf_dir, e=e, embq=embq)
+    scored = _score_centroids(embq, cent, max_rank=_IVF_NPROBE).localCheckpoint(
+        eager=False
+    )
+    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "c_label")
+    probes = scored.filter(
+        F.expr(ADC_QUERY_FILTER) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "c_label")
+    # the stored index: cell label + codes, co-keyed on vec_id — at
+    # 100 TB this join IS the one-time index build, written bucketed
+    # by cell so the probe join below never moves it
+    cell_codes = assigned.join(codes, "vec_id")
+    cand = (
+        F.broadcast(probes)
+        .join(
+            cell_codes,
+            (probes["c_label"] == cell_codes["c_label"])
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cvec")
+    )
+    return _adc_rank_topk(cand.join(F.broadcast(qlut), "query_id"))
+
+
+@query("ivf_pq_topk", oracle=_IVFPQ_ORACLE)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): top-k where IVF prunes WHO
+    gets scored (each query probes its NPROBE nearest Lloyd centroids'
+    cells — the memoized label-seeded build shared with
+    ivf_topk_search) and PQ compresses WHAT is read (residents are
+    scored from their 4-bit codes via the shared ADC lookup fold, the
+    pq_adc_topk kernel). The composition the ADC docstring names as
+    the standard 100 TB layout — and the repo's only compressed-code
+    top-k whose scan cost is NOT O(q·n) by contract: a query reads
+    ~nprobe/k of the corpus at 16x fewer bytes per candidate.
+
+    Plan: centroid table and per-query LUTs broadcast; the corpus
+    never moves except the one cell+codes co-keyed join (the stored
+    index — bucketed by cell at scale); candidate scoring is a
+    row-local integer fold; the top-k a per-query window. Exactness:
+    centroid ranks, code assignments and ADC sums are the existing
+    verified integer kernels; ties break (adc_dist, neighbor_id);
+    the oracle composes the same _pq_parts + IVF CTE chains."""
+    return ivf_pq_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# PQ recall audit: what the compressed scans actually retrieve
+# ---------------------------------------------------------------------------
+
+# The house measure-the-estimator discipline (ann_recall_at_k,
+# minhash_jaccard_calibration) applied to the compression ladder: the
+# ADC full scan and the IVF-PQ probe are ranked against the EXACT
+# cosine top-k ground truth on the same query subset. Two operating
+# points on the PQ grid — full-scan codes (compression loss only) and
+# nprobe-pruned codes (compression + WHO-prune loss) — so the recall
+# cost of each design decision is a separate measured number.
+
+_PQ_RECALL_TAIL = """
+SELECT method,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS brute_total,
+       floor(hits * 1000000.0 / total + 0.5) / 1000000.0 AS recall_at_k,
+       CAST(hits_at_1 AS BIGINT) AS hits_at_1,
+       CAST(total_at_1 AS BIGINT) AS total_at_1,
+       floor(hits_at_1 * 1000000.0 / total_at_1 + 0.5) / 1000000.0 AS recall_at_1
+FROM (
+  SELECT 'pq_adc' AS method,
+         (SELECT count(*) FROM adc l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM adc l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+  UNION ALL
+  SELECT 'ivf_pq' AS method,
+         (SELECT count(*) FROM ivfpq i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM ivfpq i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+)
+"""
+
+_PQ_RECALL_ORACLE = f"""
+WITH brute AS ({_ANN_BRUTE_ORACLE}),
+adc AS ({_ADC_ORACLE}),
+ivfpq AS ({_IVFPQ_ORACLE})
+{_PQ_RECALL_TAIL}
+"""
+
+
+@query("pq_recall_at_k", oracle=_PQ_RECALL_ORACLE)
+def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k (and @1) of the two PQ retrieval paths against the
+    exact cosine top-k — the measured answer to "what do 4-bit codes
+    cost": 'pq_adc' isolates pure compression loss (full code scan,
+    every vector scored), 'ivf_pq' adds the WHO-prune loss on top
+    (nprobe cells only), so the gap between the two rows IS the
+    price of pruning and the gap between pq_adc and 1.0 IS the price
+    of quantization. Same query subset, ground truth and report shape
+    as ann_recall_at_k, so all five retrievers (brute/SRP/IVF/ADC/
+    IVF-PQ) sit on one comparable recall grid.
+
+    One PQ build feeds both paths (pq_search_parts, checkpointed);
+    the exact ground truth is the shared brute_topk kernel,
+    checkpointed once and joined by both hit counters. Audit-tier by
+    contract: the ground truth is O(q·n) like every recall check —
+    production health-checks sample fixed probes
+    (ann_recall_fixed_probes)."""
+    from eventstreamer_spark.operators.similarity import brute_topk
+
+    parts = pq_search_parts(spark, sf_dir)
+    e, qlut, codes = parts
+    prepared = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    brute = (
+        brute_topk(prepared)
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=False)
+    )
+    total = brute.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("rank") == 1).cast("long")).alias("total_at_1"),
+    )
+    adc = _adc_rank_topk(
+        F.broadcast(qlut)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sl", "cvec")
+    )
+    ivfpq = ivf_pq_topk(spark, sf_dir, parts=parts)
+
+    def method_hits(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(
+                F.count(F.lit(1)).alias("hits"),
+                F.coalesce(
+                    F.sum((F.col("rank") == 1).cast("long")), F.lit(0)
+                ).alias("hits_at_1"),
+            )
+            .select(F.lit(name).alias("method"), "hits", "hits_at_1")
+        )
+
+    rows = method_hits("pq_adc", adc).unionByName(method_hits("ivf_pq", ivfpq))
+
+    def ratio6(num: str, den: str):
+        return F.floor(
+            F.col(num) * F.lit(1000000.0) / F.col(den) + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return rows.crossJoin(total).select(
+        "method",
+        "hits",
+        F.col("total").alias("brute_total"),
+        ratio6("hits", "total").alias("recall_at_k"),
+        "hits_at_1",
+        "total_at_1",
+        ratio6("hits_at_1", "total_at_1").alias("recall_at_1"),
     )

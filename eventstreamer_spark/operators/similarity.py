@@ -1093,19 +1093,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_DIMS = 16
 CAND_K = 50
 
-_COARSE_DOT_DUCK = (
-    f"list_sum(list_transform(generate_series(1, {PREFIX_DIMS}), "
-    "i -> {a}[i] * {b}[i]))"
-)
-
-_TWOSTAGE_ORACLE = f"""
+def _twostage_sql(prefix_dims: int = PREFIX_DIMS) -> str:
+    """The funnel oracle parameterized on the coarse prefix width, so
+    the recall audit can rank several read-fraction operating points
+    with the identical machinery."""
+    coarse_dot = (
+        f"list_sum(list_transform(generate_series(1, {prefix_dims}), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
 WITH u AS (SELECT * FROM (
   SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq FROM embeddings
 ) WHERE uq[1] IS NOT NULL),
 q AS (SELECT vec_id, uq FROM u WHERE {QUERY_FILTER}),
 coarse AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         {_COARSE_DOT_DUCK.format(a="q.uq", b="e.uq")} AS cdot
+         {coarse_dot.format(a="q.uq", b="e.uq")} AS cdot
   FROM q JOIN u e ON q.vec_id != e.vec_id
 ), cr AS (
   SELECT query_id, neighbor_id,
@@ -1126,6 +1129,9 @@ coarse AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+_TWOSTAGE_ORACLE = _twostage_sql()
 
 
 @query("twostage_rerank_topk", oracle=_TWOSTAGE_ORACLE)
@@ -1156,13 +1162,20 @@ def q_twostage_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uq",
         drop_zero_norm=True,
     ).select("vec_id", "uq")
+    return funnel_topk(e)
+
+
+def funnel_topk(e: DataFrame, prefix_dims: int = PREFIX_DIMS) -> DataFrame:
+    """Two-stage funnel top-k over a prepared (vec_id, uq) corpus,
+    parameterized on the coarse prefix width (see q_twostage_rerank_topk
+    for the plan rationale; the recall audit runs several widths)."""
     qv = e.filter(F.expr(QUERY_FILTER))
     q_prefix = qv.select(
         F.col("vec_id").alias("query_id"),
-        F.expr(f"slice(uq, 1, {PREFIX_DIMS})").alias("q_pre"),
+        F.expr(f"slice(uq, 1, {prefix_dims})").alias("q_pre"),
     )
     corpus_prefix = e.select(
-        "vec_id", F.expr(f"slice(uq, 1, {PREFIX_DIMS})").alias("e_pre")
+        "vec_id", F.expr(f"slice(uq, 1, {prefix_dims})").alias("e_pre")
     )
     coarse = (
         F.broadcast(q_prefix)
@@ -1201,3 +1214,124 @@ def q_twostage_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(exact)
+
+
+# ---------------------------------------------------------------------------
+# Funnel recall audit: what each coarse prefix width actually retrieves
+# ---------------------------------------------------------------------------
+
+# The measure-the-estimator discipline applied to the funnel: the
+# two-stage retriever is ranked against the exact top-k at TWO
+# read-fraction operating points — the shipped 16-component prefix
+# (reads 1/4 of each vector in the coarse pass) and an 8-component
+# half-width twin (reads 1/8) — so recall-vs-bytes-read is a measured
+# trade-off curve, not a docstring claim.
+
+FUNNEL_RECALL_PREFIXES = (PREFIX_DIMS, PREFIX_DIMS // 2)
+
+_FUNNEL_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+f{FUNNEL_RECALL_PREFIXES[0]} AS ({_twostage_sql(FUNNEL_RECALL_PREFIXES[0])}),
+f{FUNNEL_RECALL_PREFIXES[1]} AS ({_twostage_sql(FUNNEL_RECALL_PREFIXES[1])})
+SELECT method,
+       CAST(prefix_dims AS INTEGER) AS prefix_dims,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS brute_total,
+       floor(hits * 1000000.0 / total + 0.5) / 1000000.0 AS recall_at_k,
+       CAST(hits_at_1 AS BIGINT) AS hits_at_1,
+       CAST(total_at_1 AS BIGINT) AS total_at_1,
+       floor(hits_at_1 * 1000000.0 / total_at_1 + 0.5) / 1000000.0 AS recall_at_1
+FROM (
+  SELECT 'funnel_p{FUNNEL_RECALL_PREFIXES[0]}' AS method,
+         {FUNNEL_RECALL_PREFIXES[0]} AS prefix_dims,
+         (SELECT count(*) FROM f{FUNNEL_RECALL_PREFIXES[0]} l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM f{FUNNEL_RECALL_PREFIXES[0]} l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+  UNION ALL
+  SELECT 'funnel_p{FUNNEL_RECALL_PREFIXES[1]}' AS method,
+         {FUNNEL_RECALL_PREFIXES[1]} AS prefix_dims,
+         (SELECT count(*) FROM f{FUNNEL_RECALL_PREFIXES[1]} l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM f{FUNNEL_RECALL_PREFIXES[1]} l JOIN brute b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+)
+"""
+
+
+@query("funnel_recall_at_k", oracle=_FUNNEL_RECALL_ORACLE)
+def q_funnel_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k (and @1) of the two-stage funnel retriever against the
+    exact cosine top-k at two coarse prefix widths (16 and 8 of 64
+    components — 4x and 8x less data read in the coarse pass), the
+    measured recall-vs-read-fraction curve for twostage_rerank_topk.
+    Because stage 2 re-ranks candidates with EXACT full-width cosines,
+    the only recall loss is a true neighbor missing the CAND_K coarse
+    cut — so the curve directly prices the prefix projection choice.
+
+    One prepared corpus (quantized vectors, checkpointed) feeds the
+    ground truth and both funnel runs; the brute top-k is checkpointed
+    once and joined by every hit counter — the ann_recall_at_k plan
+    pattern with the funnel grid instead of the bucketed one.
+    Audit-tier by contract (O(q·n) ground truth), like every recall
+    check; the production health-check form samples fixed probes."""
+    raw = load_table_parallel(spark, sf_dir, "embeddings")
+    prepared = (
+        H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    brute = (
+        brute_topk(prepared)
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=False)
+    )
+    total = brute.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("rank") == 1).cast("long")).alias("total_at_1"),
+    )
+
+    def method_hits(name: str, pd_: int, df: DataFrame) -> DataFrame:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(
+                F.count(F.lit(1)).alias("hits"),
+                F.coalesce(
+                    F.sum((F.col("rank") == 1).cast("long")), F.lit(0)
+                ).alias("hits_at_1"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(pd_).cast("int").alias("prefix_dims"),
+                "hits",
+                "hits_at_1",
+            )
+        )
+
+    rows = None
+    for pd_ in FUNNEL_RECALL_PREFIXES:
+        part = method_hits(f"funnel_p{pd_}", pd_, funnel_topk(prepared, pd_))
+        rows = part if rows is None else rows.unionByName(part)
+
+    def ratio6(num: str, den: str):
+        return F.floor(
+            F.col(num) * F.lit(1000000.0) / F.col(den) + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return rows.crossJoin(total).select(
+        "method",
+        "prefix_dims",
+        "hits",
+        F.col("total").alias("brute_total"),
+        ratio6("hits", "total").alias("recall_at_k"),
+        "hits_at_1",
+        "total_at_1",
+        ratio6("hits_at_1", "total_at_1").alias("recall_at_1"),
+    )

@@ -1171,3 +1171,26 @@ def test_pq_adc_distance_identity(spark):
     for q, rows in per_q.items():
         assert len(rows) == PQ_TOP_K
         assert sorted(r.rank for r in rows) == list(range(1, PQ_TOP_K + 1))
+
+
+def test_ivf_pq_probe_plan(spark):
+    """IVF-PQ: probes and LUTs broadcast (BroadcastHashJoin present),
+    no cartesian — the corpus moves only through the one cell+codes
+    co-keyed join."""
+    from eventstreamer_spark.operators.audit import q_ivf_pq_topk
+
+    df = q_ivf_pq_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_recall_shares_one_build(spark):
+    """The PQ recall audit's two retrieval paths must not rebuild the
+    PQ chain: both consume the same checkpointed search parts, so the
+    composed plan contains no second posexplode of the embeddings."""
+    from eventstreamer_spark.operators.audit import q_pq_recall_at_k
+
+    df = q_pq_recall_at_k(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
