@@ -342,3 +342,93 @@ def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= XLING_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+# The embedding twin of benchmark_decontamination: n-gram collision
+# only catches VERBATIM leakage — a paraphrased or re-worded benchmark
+# item shares no 3-grams but sits next to the original in embedding
+# space. The held-out set here is the embeddings-table analog of the
+# benchmark subset (vec_id % 50 = 0), and the WHO-prune is the shared
+# SemDeDup clustering: a training vector is only scored against
+# held-out vectors in its OWN adaptive-⌈√n⌉ cluster, so the pair work
+# is Σ(cluster × bench-in-cluster), never bench × corpus. The bench
+# side additionally broadcasts (benchmark suites are tiny relative to
+# a training corpus — the same asymmetry the n-gram twin exploits).
+
+SEM_BENCH_FILTER = "vec_id % 50 = 0"
+
+
+def _sem_decontam_oracle() -> str:
+    from eventstreamer_spark.operators.similarity import (
+        SEMDEDUP_T,
+        _semdedup_assign_duck,
+    )
+
+    return f"""
+WITH {_semdedup_assign_duck()},
+bench AS (
+  SELECT vec_id AS bench_id, uq AS b_uq, c_label FROM assign
+  WHERE {SEM_BENCH_FILTER}
+),
+train AS (
+  SELECT vec_id, uq, c_label FROM assign WHERE NOT ({SEM_BENCH_FILTER})
+),
+spairs AS (
+  SELECT t.vec_id, b.bench_id,
+         floor({H.qcosine_duck("t.uq", "b.b_uq")} * 100000 + 0.5) / 100000.0
+           AS cosine
+  FROM train t JOIN bench b ON t.c_label = b.c_label
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_bench_same_cluster,
+       max(cosine) AS max_cosine,
+       CAST(CASE WHEN max(cosine) >= {SEMDEDUP_T} THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM spairs GROUP BY vec_id
+"""
+
+
+@query("semantic_decontamination", oracle=_sem_decontam_oracle())
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: per training vector, how many
+    held-out vectors share its SemDeDup cluster, the deepest cosine
+    overlap, and a contamination flag at the SemDeDup threshold —
+    catching the near-semantic leakage (paraphrase, re-wording) that
+    benchmark_decontamination's n-gram collision cannot see.
+
+    Pure composition of verified kernels: the adaptive-⌈√n⌉ cluster
+    assignment is semdedup_assign (session-memoized centroids shared
+    with ivf_adaptive_topk / semantic_dedup), the cosine is the exact
+    quantized integer dot, the held-out subset is deterministic
+    (vec_id % 50). Plan: held-out rows BROADCAST onto the corpus's
+    cluster-key equi-join — the corpus never shuffles for scoring and
+    only same-cluster pairs are ever scored (the SemDeDup ~n^1.5
+    bound with the bench fraction on top). At 100 TB: identical, with
+    the benchmark index materialized per cluster."""
+    from eventstreamer_spark.operators.similarity import (
+        SEMDEDUP_T,
+        semdedup_assign,
+    )
+
+    assign = semdedup_assign(spark, sf_dir).localCheckpoint(eager=False)
+    bench = assign.filter(F.expr(SEM_BENCH_FILTER)).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("uq").alias("b_uq"),
+        "c_label",
+    )
+    train = assign.filter(~F.expr(SEM_BENCH_FILTER))
+    cos5 = F.floor(H.qcosine_expr("uq", "b_uq") * 100000 + F.lit(0.5)) / F.lit(
+        100000.0
+    )
+    spairs = train.join(F.broadcast(bench), "c_label").select(
+        "vec_id", "bench_id", cos5.alias("cosine")
+    )
+    return spairs.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_same_cluster"),
+        F.max("cosine").alias("max_cosine"),
+        (F.max("cosine") >= F.lit(SEMDEDUP_T)).cast("int").alias("contaminated"),
+    )
