@@ -1466,16 +1466,24 @@ from eventstreamer_spark.operators.similarity import (  # noqa: E402
     NPROBE as _IVF_NPROBE,
 )
 from eventstreamer_spark.operators.similarity import (  # noqa: E402
+    _ADAPTIVE_SEED_DUCK as _SQRT_SEED_DUCK,
+)
+from eventstreamer_spark.operators.similarity import (  # noqa: E402
     _BRUTE_ORACLE as _ANN_BRUTE_ORACLE,
 )
 from eventstreamer_spark.operators.similarity import (  # noqa: E402
     _ivf_centroids_duck as _ivf_cent_duck,
 )
 
+# Adaptive ⌈√n⌉ cells, NOT the fixed label-seeded k: with k fixed the
+# probed candidate count grows as n²·nprobe/k across a scale-up (the
+# ivf_topk_search cliff SCALING.md documents); with k = ⌈√n⌉ a query
+# scans ~nprobe·√n codes and the composed index keeps a sub-linear
+# exponent — the sizing rule a real IVF-PQ deployment uses.
 _IVFPQ_ORACLE = f"""
 WITH {_PQ_CHAIN_SQL},
 {_ADC_PARTS_SQL},
-{_ivf_cent_duck()},
+{_ivf_cent_duck(seed=_SQRT_SEED_DUCK)},
 centqf AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
 ),
@@ -1522,6 +1530,8 @@ def ivf_pq_topk(
     ``parts`` (from pq_search_parts) to share one PQ build across
     consumers (the recall audit scores this and the full scan from
     the same artifacts)."""
+    import math
+
     from eventstreamer_spark.operators.similarity import (
         _score_centroids,
         ivf_centroids_for,
@@ -1533,7 +1543,11 @@ def ivf_pq_topk(
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
-    cent = ivf_centroids_for(spark, sf_dir, e=e, embq=embq)
+    # adaptive ⌈√n⌉ cells (memoized, shared with ivf_adaptive_topk and
+    # SemDeDup) — see the seed-choice note above _IVFPQ_ORACLE
+    k = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
+    cent = ivf_centroids_for(spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}")
     scored = _score_centroids(embq, cent, max_rank=_IVF_NPROBE).localCheckpoint(
         eager=False
     )
@@ -1560,14 +1574,15 @@ def ivf_pq_topk(
 @query("ivf_pq_topk", oracle=_IVFPQ_ORACLE)
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011): top-k where IVF prunes WHO
-    gets scored (each query probes its NPROBE nearest Lloyd centroids'
-    cells — the memoized label-seeded build shared with
-    ivf_topk_search) and PQ compresses WHAT is read (residents are
-    scored from their 4-bit codes via the shared ADC lookup fold, the
-    pq_adc_topk kernel). The composition the ADC docstring names as
-    the standard 100 TB layout — and the repo's only compressed-code
-    top-k whose scan cost is NOT O(q·n) by contract: a query reads
-    ~nprobe/k of the corpus at 16x fewer bytes per candidate.
+    gets scored (each query probes its NPROBE nearest of the adaptive
+    ⌈√n⌉ Lloyd centroids — the memoized sqrt-k build shared with
+    ivf_adaptive_topk and SemDeDup) and PQ compresses WHAT is read
+    (residents are scored from their 4-bit codes via the shared ADC
+    lookup fold, the pq_adc_topk kernel). The composition the ADC
+    docstring names as the standard 100 TB layout — and the repo's
+    only compressed-code top-k whose scan cost is NOT O(q·n) by
+    contract: a query reads ~nprobe·√n codes at 16x fewer bytes per
+    candidate.
 
     Plan: centroid table and per-query LUTs broadcast; the corpus
     never moves except the one cell+codes co-keyed join (the stored

@@ -92,6 +92,9 @@ QUERIES: tuple[str, ...] = (
     "vocab_growth_curve", "sq8_quantization_audit", "weighted_sample_topk",
     "gumbel_topk_resample", "stream_countmin_topk",
     "pq_quantization_audit", "pq_adc_topk",
+    # round-8 additions
+    "ivf_pq_topk", "pq_recall_at_k", "funnel_recall_at_k",
+    "paragraph_dedup", "semantic_decontamination",
 )
 
 # name -> (max factor, reason)
@@ -102,6 +105,8 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "neardup_prefilter_recall": (10, "runs the exact all-pairs calibration kernel alongside the prefilter: O(n^2) by contract"),
     "twostage_rerank_topk": (10, "coarse stage scans q x n prefix pairs by contract (exact funnel baseline); SRP/IVF are the WHO-prune scale routes"),
     "pq_adc_topk": (10, "ADC code scan is q x n by contract (16x less data than exact); IVF is the WHO-prune that cuts n (IVF-PQ)"),
+    "pq_recall_at_k": (10, "exact brute-force ground truth is O(q x n) by contract, like every recall audit; the retrievers it measures scale separately"),
+    "funnel_recall_at_k": (10, "exact brute-force ground truth plus two O(q x n) coarse scans by contract (recall audit tier)"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and
