@@ -581,74 +581,87 @@ FROM ranked
 
 def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_grams, w_e6, s_e6): the DSIR scoring chain —
-    hashed-gram features, broadcast 256-row bucket LMs, per-doc
-    log-ratio weight and exact-floor per-gram score. Shared by the
-    selection query and the selection-agreement audit (the Spark twin
-    of ``_dsir_parts``)."""
+    hashed-gram features, broadcast 256-bucket LMs, per-doc log-ratio
+    weight and exact-floor per-gram score. Shared by the selection
+    query, the Gumbel sampler and the selection-agreement audit (the
+    Spark twin of ``_dsir_parts``).
+
+    Aggregation state is O(1) in corpus size BY CONSTRUCTION: the two
+    LMs come from ONE 256-group aggregate with conditional sums (the
+    per-task partial map can never exceed 256 cells), the λ table
+    folds into a single broadcast map row, and each document's weight
+    is a ROW-LOCAL fold Σ_g λ[bucket(g)] over its own gram array —
+    no (doc, bucket) shuffle, no per-doc feature materialization.
+    The r7 shape aggregated a (doc, bucket) table and joined the LMs
+    back onto it; at x100 in a small-heap session that 50 M-group
+    hash aggregate was the OOM site (and a checkpointed copy of it
+    locked storage memory on top). Σ_g λ[b(g)] ≡ Σ_b c_b·λ_b exactly
+    (int64 addition is associative), so scores are unchanged. Cost:
+    the corpus is scanned twice (LM pass + scoring pass) — at 100 TB
+    two scans beat materializing a corpus-sized feature table."""
     from eventstreamer_spark.sources.tables import load_table_parallel
 
     d = load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
     t0 = d.select(
-        "doc_id", "lang", F.expr(H.TOKENS_SPARK.format(col="text")).alias("t")
-    )
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(H.TOKENS_SPARK.format(col="text")).alias("t"),
+    ).select("doc_id", "lang", "source", F.expr(_DSIR_GRAMS_SPARK).alias("garr"))
     # explode_outer + isNotNull: see the InferFiltersFromGenerate note
     # in dedup.py — plain explode re-inlines the gram pipeline
     grams = t0.select(
-        "doc_id", "lang", F.explode_outer(F.expr(_DSIR_GRAMS_SPARK)).alias("g")
+        "lang", F.explode_outer("garr").alias("g")
     ).filter(F.col("g").isNotNull())
-    # localCheckpoint: feat feeds the raw LM, the target LM AND the
-    # per-doc weights — without the boundary each consumer re-ran the
-    # tokenize→gram-explode chain (VERDICT r7 repeated-subtree note).
-    feat = (
-        grams.groupBy("doc_id", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+    # ONE pass builds both LMs: 256 groups, conditional target sum.
+    lmcells = grams.groupBy(F.expr(_DSIR_BUCKET_SPARK).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.expr(DSIR_TARGET_PRED).cast("long")).cast("long").alias("ct"),
     )
-    rawb = feat.groupBy("b").agg(F.sum("c").cast("long").alias("cr"))
-    # target-model counts from the SAME (doc, bucket) table — a join
-    # with the tiny target-doc set, not a second explode of the corpus:
-    # Σ_{target docs} c_db ≡ per-bucket count of target grams.
-    tgtb = (
-        feat.join(d.filter(F.expr(DSIR_TARGET_PRED)).select("doc_id"), "doc_id")
-        .groupBy("b")
-        .agg(F.sum("c").cast("long").alias("ct"))
-    )
-    tot = rawb.agg(F.sum("cr").cast("long").alias("q")).crossJoin(
-        tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    tot = lmcells.agg(
+        F.sum("cr").cast("long").alias("q"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"),
     )
     ln6 = lambda x: F.expr(_LN6.format(x=x))  # noqa: E731
-    lam = (
-        rawb.join(tgtb, "b", "left")
-        .crossJoin(F.broadcast(tot))
+    lam = lmcells.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            ln6("ct + 1")
+            - ln6(f"tt + {DSIR_BUCKETS}")
+            - ln6("cr + 1")
+            + ln6(f"q + {DSIR_BUCKETS}")
+        ).alias("lam_e6"),
+    )
+    # 1-row broadcast λ map (every gram's bucket exists in lmcells by
+    # construction, so lookups can never miss)
+    lam_map = lam.agg(
+        F.expr(
+            "map_from_entries(array_sort(collect_list(struct(b, lam_e6))))"
+        ).alias("lmap")
+    )
+    bucket_of_g = _DSIR_BUCKET_SPARK  # binds the lambda variable g
+    scored = (
+        t0.filter(F.size("garr") > 0)
+        .crossJoin(F.broadcast(lam_map))
         .select(
-            "b",
-            (
-                ln6("COALESCE(ct, 0) + 1")
-                - ln6(f"tt + {DSIR_BUCKETS}")
-                - ln6("cr + 1")
-                + ln6(f"q + {DSIR_BUCKETS}")
-            ).alias("lam_e6"),
-        )
-    )
-    docw = (
-        feat.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lam_e6")).cast("long").alias("w_e6"),
-        )
-    )
-    return (
-        d.select("doc_id", "source")
-        .join(docw, "doc_id")
-        .withColumn(
-            "s_e6",
+            "doc_id",
+            "source",
+            F.size("garr").cast("long").alias("n_grams"),
             F.expr(
-                _FDIV_SQL.format(a="w_e6", b="n_grams") + " div n_grams"
-            ).cast("long"),
+                f"aggregate(garr, 0L, (acc, g) -> acc + "
+                f"element_at(lmap, {bucket_of_g}))"
+            )
+            .cast("long")
+            .alias("w_e6"),
         )
+    )
+    return scored.withColumn(
+        "s_e6",
+        F.expr(_FDIV_SQL.format(a="w_e6", b="n_grams") + " div n_grams").cast(
+            "long"
+        ),
     )
 
 
@@ -664,13 +677,14 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(1, floor(0.25·n)) are selected — the deterministic analog of
     the paper's Gumbel resampling.
 
-    Plan shape: one explode (unigrams+bigrams), one (doc, bucket)
-    count aggregate; the two 256-row bucket LMs and the 1-row totals
-    are BROADCAST back onto the per-doc features (the corpus never
-    shuffles for the model); one per-doc weight aggregate; one window
-    on source for the rank. At 100 TB the λ table is still 256 rows —
-    model size is independent of corpus size, which is the whole point
-    of the hashing trick.
+    Plan shape (see dsir_doc_scores): ONE 256-group aggregate builds
+    both LMs (conditional target sum — per-task partial state can
+    never exceed 256 cells); λ folds into a single broadcast map row;
+    each doc's weight is a row-local fold over its own gram array —
+    the corpus never shuffles at all before the per-source rank
+    window. At 100 TB the model is still 256 cells and the scoring
+    pass is a map — model size and aggregation state are independent
+    of corpus size, which is the whole point of the hashing trick.
 
     Cross-engine exactness: bucket counts are integers; each ln() is
     taken on an identical integer and quantized to micro-nats BEFORE
