@@ -1192,9 +1192,10 @@ def pq_build(
     means, a2 final codes). Shared by the fidelity audit and the ADC
     search so index build and search cannot drift."""
     e = load_table_parallel(spark, sf_dir, "embeddings")
-    # both checkpointed: sub feeds the seed means AND the refit join;
-    # pqv feeds two assignment passes plus every search-side consumer —
-    # without the boundaries each branch re-ran the component explode.
+    # pqv is checkpointed (two assignment passes + every search-side
+    # consumer read it); sub is NOT — its two consumers are cheap
+    # re-derived posexplodes, and materializing the n×64 component
+    # rows cost more than it saved (measured at sf0.1).
     sub = (
         e.select("vec_id", "label", F.posexplode("embedding").alias("i0", "x"))
         .select(
@@ -1206,7 +1207,6 @@ def pq_build(
                 "v6"
             ),
         )
-        .localCheckpoint(eager=False)
     )
     pqv = (
         sub.groupBy("vec_id", "s")
@@ -1380,7 +1380,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build's own exact int64 L2 sums; ranking ties break on
     neighbor_id; the oracle replays the shared _pq_parts chain
     verbatim."""
-    _, qlut, codes = pq_search_parts(spark, sf_dir)
+    _, qlut, codes = pq_search_parts(spark, sf_dir, checkpoint=False)
     return _adc_rank_topk(
         F.broadcast(qlut)
         .join(codes, F.col("query_id") != F.col("vec_id"))
@@ -1389,13 +1389,14 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_search_parts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(embeddings, qlut, codes): the ADC search-side artifacts from
     the shared PQ build — per-query LUT rows (query_id, sl) for the
     ADC_QUERY_FILTER subset and gathered per-vector code arrays
-    (vec_id, cvec). Checkpointed: the full-scan ADC, the IVF-PQ
-    probe and the recall audit each consume them more than once."""
+    (vec_id, cvec). ``checkpoint=True`` for multi-consumer callers
+    (the recall audit reads both twice); single-scan callers pass
+    False — materializing a once-read table is pure overhead."""
     e, pqv, m1, a2 = pq_build(spark, sf_dir)
     cb1 = pq_codebook(m1)
     qsel = pqv.filter(F.expr(ADC_QUERY_FILTER)).select(
@@ -1411,25 +1412,20 @@ def pq_search_parts(
             F.expr("transform(cands, cand -> cand.c)").alias("cs"),
         )
     )
-    qlut = (
-        luts.groupBy("query_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(s, cs, lut))), "
-                "e -> struct(e.cs AS cs, e.lut AS lut))"
-            ).alias("sl")
-        )
-        .localCheckpoint(eager=False)
+    qlut = luts.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, cs, lut))), "
+            "e -> struct(e.cs AS cs, e.lut AS lut))"
+        ).alias("sl")
     )
-    codes = (
-        a2.groupBy("vec_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(s, c))), e -> e.c)"
-            ).alias("cvec")
-        )
-        .localCheckpoint(eager=False)
+    codes = a2.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, c))), e -> e.c)"
+        ).alias("cvec")
     )
+    if checkpoint:
+        qlut = qlut.localCheckpoint(eager=False)
+        codes = codes.localCheckpoint(eager=False)
     return e, qlut, codes
 
 
@@ -1537,7 +1533,12 @@ def ivf_pq_topk(
         ivf_centroids_for,
     )
 
-    e, qlut, codes = parts if parts is not None else pq_search_parts(spark, sf_dir)
+    e, qlut, codes = (
+        parts
+        if parts is not None
+        # standalone: each artifact is read exactly once — no checkpoint
+        else pq_search_parts(spark, sf_dir, checkpoint=False)
+    )
     embq = (
         H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
         .select("vec_id", "uq")

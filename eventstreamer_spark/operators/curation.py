@@ -586,19 +586,23 @@ def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, the Gumbel sampler and the selection-agreement audit (the
     Spark twin of ``_dsir_parts``).
 
-    Aggregation state is O(1) in corpus size BY CONSTRUCTION: the two
-    LMs come from ONE 256-group aggregate with conditional sums (the
-    per-task partial map can never exceed 256 cells), the λ table
-    folds into a single broadcast map row, and each document's weight
-    is a ROW-LOCAL fold Σ_g λ[bucket(g)] over its own gram array —
-    no (doc, bucket) shuffle, no per-doc feature materialization.
-    The r7 shape aggregated a (doc, bucket) table and joined the LMs
-    back onto it; at x100 in a small-heap session that 50 M-group
-    hash aggregate was the OOM site (and a checkpointed copy of it
-    locked storage memory on top). Σ_g λ[b(g)] ≡ Σ_b c_b·λ_b exactly
-    (int64 addition is associative), so scores are unchanged. Cost:
-    the corpus is scanned twice (LM pass + scoring pass) — at 100 TB
-    two scans beat materializing a corpus-sized feature table."""
+    Aggregation state is tiny BY CONSTRUCTION: the two LMs come from
+    ONE 256-group aggregate with conditional sums (the per-task
+    partial map can never exceed 256 cells); the λ table folds into a
+    single broadcast DENSE array row (array element_at is O(1) —
+    element_at on a Spark MAP is a linear entry scan, measured 2× on
+    the whole query); and each document's weight aggregates at DOC
+    grain — one group per document — via a codegen explode projection
+    (NOT an aggregate() lambda fold: higher-order-function lambdas
+    evaluate interpreted per element, measured 2.7 s vs 0.7 s for the
+    identical md5s). The r7 shape aggregated a (doc, bucket) feature
+    table — ~50 M groups at x100 — and joined the LMs back onto it;
+    that hash aggregate was the small-heap OOM site, and a
+    checkpointed copy of it locked storage memory on top. Σ_g λ[b(g)]
+    ≡ Σ_b c_b·λ_b exactly (int64 addition is associative), so scores
+    are unchanged. Cost: the corpus is scanned twice (LM pass +
+    scoring pass) — at 100 TB two scans beat materializing a
+    corpus-sized feature table."""
     from eventstreamer_spark.sources.tables import load_table_parallel
 
     d = load_table_parallel(spark, sf_dir, "documents").select(
@@ -634,27 +638,45 @@ def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ln6(f"q + {DSIR_BUCKETS}")
         ).alias("lam_e6"),
     )
-    # 1-row broadcast λ map (every gram's bucket exists in lmcells by
-    # construction, so lookups can never miss)
+    # 1-row broadcast DENSE λ array indexed by bucket: element_at on a
+    # Spark MAP is a linear scan of the entries (256 compares PER GRAM
+    # — measured 2× on the whole query), while element_at on an array
+    # is O(1). Buckets absent from the corpus zero-fill and are never
+    # looked up (every scored gram's bucket exists in lmcells).
     lam_map = lam.agg(
         F.expr(
             "map_from_entries(array_sort(collect_list(struct(b, lam_e6))))"
         ).alias("lmap")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {DSIR_BUCKETS - 1}), "
+            "i -> coalesce(element_at(lmap, CAST(i AS BIGINT)), 0L))"
+        ).alias("larr")
     )
-    bucket_of_g = _DSIR_BUCKET_SPARK  # binds the lambda variable g
+    # scoring: explode + codegen projection + per-DOC aggregate — NOT
+    # an aggregate() lambda fold (higher-order-function lambdas run
+    # interpreted per element: measured 2.7 s vs 0.7 s for the same
+    # md5s in a codegen projection). The doc-grain aggregate has one
+    # group per document (500 k at x100) — two orders of magnitude
+    # smaller state than the r7 (doc, bucket) aggregate that OOMed
+    # small heaps.
     scored = (
-        t0.filter(F.size("garr") > 0)
+        t0.select(
+            "doc_id", "source", F.explode_outer("garr").alias("g")
+        )
+        .filter(F.col("g").isNotNull())
         .crossJoin(F.broadcast(lam_map))
         .select(
             "doc_id",
             "source",
-            F.size("garr").cast("long").alias("n_grams"),
             F.expr(
-                f"aggregate(garr, 0L, (acc, g) -> acc + "
-                f"element_at(lmap, {bucket_of_g}))"
-            )
-            .cast("long")
-            .alias("w_e6"),
+                f"element_at(larr, CAST(({_DSIR_BUCKET_SPARK}) AS INT) + 1)"
+            ).alias("lam_g"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lam_g").cast("long").alias("w_e6"),
         )
     )
     return scored.withColumn(
