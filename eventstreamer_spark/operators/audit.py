@@ -1208,6 +1208,9 @@ def pq_build(
             ),
         )
     )
+    # repartition BEFORE the checkpoint: AQE coalesces the aggregate
+    # output to 1 partition, which would serialize the downstream
+    # interpreted per-candidate distance transforms onto one core.
     pqv = (
         sub.groupBy("vec_id", "s")
         .agg(
@@ -1215,6 +1218,7 @@ def pq_build(
                 "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
             ).alias("v_arr")
         )
+        .repartition(32, "vec_id")
         .localCheckpoint(eager=False)
     )
     mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")

@@ -419,7 +419,10 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdrop = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     semkept = capped.join(sdrop, "doc_id", "left_anti").localCheckpoint(eager=True)
 
-    nll = bigram_avg_nll(semkept.select("doc_id", "text"))
+    # repartition before the retrain: AQE coalesces the small
+    # anti-join output to ~1 partition, which would serialize the
+    # md5-heavy bigram explode onto one core (measured 4.4 s vs 1.4 s)
+    nll = bigram_avg_nll(semkept.select("doc_id", "text").repartition(32))
     pplkept = (
         semkept.join(nll, "doc_id")
         .filter(F.expr(_ppl_band_sql("avg_nll_e6")) != F.lit("high"))

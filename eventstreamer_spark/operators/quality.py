@@ -246,9 +246,13 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             )
         )
     )
+    # repartition before the checkpoint: AQE coalesces the aggregate
+    # output to 1 partition, which would serialize the training pass's
+    # interpreted per-pair outer-product transforms onto one core.
     feats = (
         feat.groupBy("doc_id")
         .agg(F.collect_list(F.struct("b", "x")).alias("fs"))
+        .repartition(32, "doc_id")
         .localCheckpoint(eager=False)
     )
     return feats, lab
