@@ -409,20 +409,30 @@ def substring_cover(tk: DataFrame) -> DataFrame:
     substring_dedup_rewrite and corpus_build_pipeline (curation.py):
     positional span hashes → frequent-span keeper table → non-keeper
     occurrences → per-doc covered-position union."""
+    # explode POSITIONS, hash in the projection: building (pos, span)
+    # structs inside a transform lambda evaluates the md5 INTERPRETED
+    # per element (higher-order-function lambdas are not codegen'd);
+    # exploding the position sequence and hashing in a plain projection
+    # keeps the md5 in whole-stage codegen. explode_outer + isNotNull
+    # per the InferFiltersFromGenerate note in dedup.py.
     span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
-        f"element_at(toks, i + {j})" for j in range(SPAN_N)
+        f"element_at(toks, pos + {j})" for j in range(SPAN_N)
     ) + ")), 1, 16)"
-    occ = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
-                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
-                f"i -> struct(i AS pos, {span_hash} AS span)) "
-                f"ELSE array() END"
-            )
-        ).alias("o"),
-    ).select("doc_id", "o.pos", "o.span")
+    occ = (
+        tk.select(
+            "doc_id",
+            "toks",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+                    f"sequence(1, size(toks) - {SPAN_N - 1}) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select("doc_id", "pos", F.expr(span_hash).alias("span"))
+    )
     freq = (
         occ.select("doc_id", "span")
         .distinct()
@@ -737,20 +747,30 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table_parallel(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    # explode POSITIONS, hash in the projection: building (pos, span)
+    # structs inside a transform lambda evaluates the md5 INTERPRETED
+    # per element (higher-order-function lambdas are not codegen'd);
+    # exploding the position sequence and hashing in a plain projection
+    # keeps the md5 in whole-stage codegen. explode_outer + isNotNull
+    # per the InferFiltersFromGenerate note in dedup.py.
     span_hash = "substring(md5(concat_ws(' ', " + ", ".join(
-        f"element_at(toks, i + {j})" for j in range(SPAN_N)
+        f"element_at(toks, pos + {j})" for j in range(SPAN_N)
     ) + ")), 1, 16)"
-    occ = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
-                f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
-                f"i -> struct(i AS pos, {span_hash} AS span)) "
-                f"ELSE array() END"
-            )
-        ).alias("o"),
-    ).select("doc_id", "o.pos", "o.span")
+    occ = (
+        tk.select(
+            "doc_id",
+            "toks",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {SPAN_N} THEN "
+                    f"sequence(1, size(toks) - {SPAN_N - 1}) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select("doc_id", "pos", F.expr(span_hash).alias("span"))
+    )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
     per = Window.partitionBy("doc_id")
     wm = occ.select(
