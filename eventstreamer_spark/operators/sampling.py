@@ -673,3 +673,109 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling (SSL-prototype pruning)
+# ---------------------------------------------------------------------------
+
+# Sorscher et al. (NeurIPS 2022, "Beyond neural scaling laws"): when
+# data is abundant, prune the EASY examples — the ones closest to
+# their cluster prototype — and keep the hard/diverse tail; selecting
+# per cluster keeps the sample balanced across modes instead of
+# collapsing onto the densest region. Composed entirely from verified
+# kernels: the adaptive-⌈√n⌉ Lloyd prototypes are the session-memoized
+# sqrt-k build (shared with ivf_adaptive_topk / SemDeDup), assignment
+# is the broadcast int64-matmul pass, and the keep decision is one
+# window per cluster key.
+
+CLUSTER_SAMPLE_FRAC = 0.3  # keep the hardest 30% of each cluster
+
+
+def _cluster_sample_oracle() -> str:
+    from eventstreamer_spark.operators.similarity import (
+        _ADAPTIVE_SEED_DUCK,
+        _ivf_centroids_duck,
+    )
+
+    return f"""
+WITH {_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)},
+centq2 AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
+),
+sc AS (
+  SELECT e.vec_id, c.c_label,
+         round({H.qcosine_duck("e.uq", "c.cq")}, 5) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({H.qcosine_duck("e.uq", "c.cq")}, 5) DESC,
+                                     c.c_label) AS rn
+  FROM embq e CROSS JOIN centq2 c
+),
+asg AS (SELECT vec_id, c_label, cosine FROM sc WHERE rn = 1),
+cranked AS (
+  SELECT c_label, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY c_label
+                                 ORDER BY cosine, vec_id) AS BIGINT) AS hard_rank,
+         CAST(count(*) OVER (PARTITION BY c_label) AS BIGINT) AS n_cluster
+  FROM asg
+)
+SELECT CAST(c_label AS INTEGER) AS c_label, vec_id, cosine, hard_rank, n_cluster
+FROM cranked
+WHERE hard_rank <= GREATEST(1, CAST(floor(n_cluster * {CLUSTER_SAMPLE_FRAC}) AS BIGINT))
+"""
+
+
+@query("cluster_balanced_sample", oracle=_cluster_sample_oracle())
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling by prototype distance (Sorscher et al.):
+    every embedding is assigned to its nearest adaptive-⌈√n⌉ Lloyd
+    prototype, and each cluster keeps its HARDEST
+    max(1, floor({frac}·n)) members — lowest cosine to the prototype,
+    vec_id tiebreak — so the sample stays balanced across clusters
+    while dropping the redundant easy core of each mode. The
+    data-pruning complement of SemDeDup: that removes near-identical
+    PAIRS, this removes the prototypical MASS.
+
+    Plan: memoized sqrt-k centroid table (shared with
+    ivf_adaptive_topk / semantic_dedup) broadcasts into the
+    mapInPandas int64-matmul assignment — the corpus never shuffles
+    to be scored — then ONE window over the cluster key ranks members
+    by hardness. At 100 TB: same plan; clusters are ~√n wide so no
+    window partition is ever corpus-sized. Exactness: integer-dot
+    cosines rounded half-up to 5, integer rank/threshold
+    arithmetic.""".format(frac=CLUSTER_SAMPLE_FRAC)
+    import math
+
+    from eventstreamer_spark.operators.similarity import (
+        _score_centroids,
+        ivf_centroids_for,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_for(spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}")
+    asg = _score_centroids(embq, cent).select("vec_id", "c_label", "cosine")
+    w = Window.partitionBy("c_label")
+    ranked = asg.withColumn(
+        "hard_rank",
+        F.row_number().over(w.orderBy("cosine", "vec_id")).cast("long"),
+    ).withColumn("n_cluster", F.count(F.lit(1)).over(w).cast("long"))
+    return ranked.filter(
+        F.col("hard_rank")
+        <= F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("n_cluster") * F.lit(CLUSTER_SAMPLE_FRAC)),
+        )
+    ).select(
+        F.col("c_label").cast("int").alias("c_label"),
+        "vec_id",
+        "cosine",
+        "hard_rank",
+        "n_cluster",
+    )

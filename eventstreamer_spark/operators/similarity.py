@@ -1335,3 +1335,104 @@ def q_funnel_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_at_1",
         ratio6("hits_at_1", "total_at_1").alias("recall_at_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN serving: a live query stream against the static SRP index
+# ---------------------------------------------------------------------------
+
+_STREAM_ANN_CHUNKS = 3
+
+
+@query("stream_ann_topk", oracle=_LSH_ORACLE)
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING: query vectors arrive as a LIVE STREAM (three
+    micro-batches) and are answered against the static SRP-bucketed
+    corpus index — the deploy shape of ann_lsh_topk, completing the
+    serving trio (stream classifier scoring, stream CMS, stream ANN).
+
+    Plan: each micro-batch's queries explode their multi-probe buckets
+    (stream side — tiny), stream-static join the bucketed corpus on
+    the bucket key, and score candidates row-locally with the exact
+    quantized cosine; the ONLY streaming state is the per-query
+    candidate aggregation (complete mode, keyed by query_id — bounded
+    by the query count, never the corpus). The final top-k ranking
+    runs as a batch window over the sink (k rows per query), exactly
+    how a serving tier ranks a request's gathered candidates. At
+    100 TB the static side is the bucket-partitioned index table and
+    the stream side stays per-request-sized.
+
+    Oracle: the batch multi-probe LSH oracle VERBATIM — the union of
+    the three micro-batches covers the whole query subset and the
+    index is static, so serving and batch can never drift (the same
+    stream==batch discipline as stream_classifier_scores)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.streaming.pipeline import run_to_memory
+
+    prepared = (
+        H.with_quantized_unit(
+            load_table(spark, sf_dir, "embeddings"),
+            "embedding",
+            "uq",
+            drop_zero_norm=True,
+        )
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    queries_df = prepared.filter(F.expr(QUERY_FILTER))
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_annstream_")
+    try:
+        staging = f"{chunk_dir}/_stage"
+        queries_df.withColumn(
+            "bb", (F.col("vec_id") % _STREAM_ANN_CHUNKS).cast("int")
+        ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(
+            staging
+        )
+        base = 1_600_000_000
+        for i in range(_STREAM_ANN_CHUNKS):
+            parts = glob.glob(f"{staging}/bb={i}/part-*.parquet")
+            assert len(parts) == 1, parts
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(parts[0], dest)
+            os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        probes = stream.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("uq").alias("q_uq"),
+            F.explode(H.srp_probe_buckets_expr("bucket")).alias("pb"),
+        )
+        cand = probes.join(
+            prepared,
+            (F.col("pb") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        ).select(
+            "query_id",
+            F.struct(
+                F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+                F.col("vec_id").alias("neighbor_id"),
+            ).alias("c"),
+        )
+        gathered = cand.groupBy("query_id").agg(
+            F.collect_list("c").alias("cands")
+        )
+        run_to_memory(gathered, "ann_stream_sink", mode="complete")
+        t = spark.table("ann_stream_sink")
+        exploded = t.select("query_id", F.explode("cands").alias("c")).select(
+            "query_id", F.col("c.neighbor_id").alias("neighbor_id"),
+            F.col("c.cosine").alias("cosine"),
+        )
+        return _ranked_topk(exploded)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

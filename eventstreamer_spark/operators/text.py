@@ -832,6 +832,103 @@ def q_bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer fertility by language (symbols per word under the learned BPE)
+# ---------------------------------------------------------------------------
+
+# The multilingual-tokenizer health check every LLM data pipeline runs:
+# a BPE table learned on a mixed corpus segments some languages into
+# far more symbols per word than others ("fertility"), which silently
+# re-weights the token-grain mixture and inflates those languages'
+# training cost. This measures it under the repo's own learned merge
+# table, per language — the per-lang refinement of
+# bpe_apply_segmentation's corpus-level compression report.
+
+
+def _bpe_fertility_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_segall_ctes())
+        + f""",
+vl AS MATERIALIZED (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT lang, unnest({_TOKS_D}) AS word FROM documents)
+  GROUP BY 1, 2
+),
+lcounted AS (
+  SELECT v.lang, v.freq, length(v.word) AS n_chars,
+         len(list_filter(string_split(s.seg, ' '), x -> x != '')) AS n_syms
+  FROM vl v JOIN segall{BPE_MERGES} s ON v.word = s.word
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_word_types,
+       CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+       CAST(sum(freq * n_syms) AS BIGINT) AS total_symbols,
+       floor(sum(freq * n_syms) * 1000000.0 / sum(freq) + 0.5) / 1000000.0
+         AS fertility,
+       floor(sum(freq * n_chars) * 1000000.0 / sum(freq * n_syms) + 0.5) / 1000000.0
+         AS chars_per_symbol
+FROM lcounted
+GROUP BY lang
+"""
+    )
+
+
+@query("bpe_fertility_by_lang", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the LEARNED BPE table:
+    average symbols per word occurrence (and chars per symbol) for
+    each language — the check that catches a byte-level tokenizer
+    taxing some languages 2-3x more tokens for the same text, which
+    silently re-weights any token-grain mixture
+    (token_budget_mixture) toward low-fertility languages.
+
+    Plan: the merge table comes from the session memo (learned once,
+    the apply query's pattern); the per-(lang, word) frequency is one
+    aggregate; segmentation is the same row-local nested-replace
+    projection in whole-stage codegen — evaluated directly on the
+    (lang, word) rows, so there is NO join (a word type appearing in
+    k languages re-segments k times — cheaper than shuffling the
+    vocab, and exactly what the oracle's word-keyed join computes).
+    One final per-lang aggregate; every sum integer-exact."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    from eventstreamer_spark.sources.tables import load_table_parallel as _ltp
+
+    d = _ltp(spark, sf_dir, "documents")
+    vl = (
+        d.select("lang", F.explode(H.tokens_expr("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    counted = vl.withColumn("seg", bpe_seg_col(merges)).select(
+        "lang",
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size(F.expr("filter(split(seg, ' '), x -> x != '')")).alias("n_syms"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.sum("freq").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("total_symbols"),
+        (
+            F.floor(
+                F.sum(F.col("freq") * F.col("n_syms")) * F.lit(1000000.0)
+                / F.sum("freq")
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("fertility"),
+        (
+            F.floor(
+                F.sum(F.col("freq") * F.col("n_chars")) * F.lit(1000000.0)
+                / F.sum(F.col("freq") * F.col("n_syms"))
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("chars_per_symbol"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary growth curve (Heaps' law) over corpus prefixes
 # ---------------------------------------------------------------------------
 

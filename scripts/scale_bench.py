@@ -95,6 +95,7 @@ QUERIES: tuple[str, ...] = (
     # round-8 additions
     "ivf_pq_topk", "pq_recall_at_k", "funnel_recall_at_k",
     "paragraph_dedup", "semantic_decontamination",
+    "bpe_fertility_by_lang", "cluster_balanced_sample", "stream_ann_topk",
 )
 
 # name -> (max factor, reason)
@@ -107,6 +108,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "pq_adc_topk": (10, "ADC code scan is q x n by contract (16x less data than exact); IVF is the WHO-prune that cuts n (IVF-PQ)"),
     "pq_recall_at_k": (10, "exact brute-force ground truth is O(q x n) by contract, like every recall audit; the retrievers it measures scale separately"),
     "funnel_recall_at_k": (10, "exact brute-force ground truth plus two O(q x n) coarse scans by contract (recall audit tier)"),
+    "stream_ann_topk": (10, "complete-mode memory sink holds every query's gathered candidates during the gate run; production serving emits per-batch and keeps no cross-batch state"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and

@@ -1194,3 +1194,26 @@ def test_pq_recall_shares_one_build(spark):
     df = q_pq_recall_at_k(spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_plan(spark):
+    """Prototype assignment is the broadcast matmul pass (MapInPandas),
+    the keep decision one window on the cluster key — no cartesian, no
+    corpus-side broadcast."""
+    from eventstreamer_spark.operators.sampling import q_cluster_balanced_sample
+
+    df = q_cluster_balanced_sample(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_fertility_rowlocal_segmentation(spark):
+    """Per-(lang, word) segmentation is a row-local projection: no join
+    anywhere in the plan (the merge table rides as literals)."""
+    from eventstreamer_spark.operators.text import q_bpe_fertility_by_lang
+
+    df = q_bpe_fertility_by_lang(spark, SF_DIR)
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "EvalPython"):
+        assert node not in plan, f"unexpected {node}"
