@@ -211,6 +211,29 @@ _GREEN_R7 = frozenset({
     'weighted_sample_topk', 'winnowing_candidates', 'winnowing_fingerprints',
 })
 
+# r08 (all 50 rows hash-green, CORRECTNESS_r08.json): the 8 round-8
+# additions + the stalest r4-era greens that window re-proved.
+_GREEN_R8 = frozenset({
+    'bpe_fertility_by_lang', 'paragraph_dedup', 'funnel_recall_at_k',
+    'stream_ann_topk', 'semantic_decontamination', 'cluster_balanced_sample',
+    'ivf_pq_topk', 'pq_recall_at_k', 'simhash_multiblock_neardup',
+    'char_bigram_diversity', 'minhash_containment', 'ivf_adaptive_topk',
+    'multimodal_metadata_stats', 'multimodal_resize_stub', 'zipf_slope',
+    'user_event_entropy', 'csv_source_parity', 'json_source_parity',
+    'orc_source_parity', 'ohlc_bars', 'time_weighted_avg',
+    'fuzzy_name_matches', 'q4_priority_exists', 'q17_small_quantity_revenue',
+    'q21_waiting_suppliers', 'q22_idle_customers', 'q18_large_volume_orders',
+    'q2_min_cost_supplier', 'q11_important_values', 'q20_dominant_suppliers',
+    'q6_forecast_revenue', 'q8_market_share', 'q9_profit_by_nation',
+    'q10_returned_revenue', 'q12_late_priority_mix',
+    'q13_order_count_distribution', 'q14_promo_revenue', 'q15_top_supplier',
+    'q19_bracket_revenue', 'q5_local_supplier_volume', 'q7_nation_trade_flow',
+    'q16_parts_supplier_count', 'embedding_quantization_error',
+    'label_centroids', 'ann_filtered_topk', 'centroid_distance_matrix',
+    'moving_average_revenue', 'yoy_growth', 'weekly_active_users',
+    'interevent_gap_stats',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -221,6 +244,7 @@ for _round, _names in (
     (5, _GREEN_R5),
     (6, _GREEN_R6),
     (7, _GREEN_R7),
+    (8, _GREEN_R8),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
