@@ -411,10 +411,12 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark index materialized per cluster."""
     from eventstreamer_spark.operators.similarity import (
         SEMDEDUP_T,
-        semdedup_assign,
+        semdedup_assign_memo,
     )
 
-    assign = semdedup_assign(spark, sf_dir).localCheckpoint(eager=False)
+    # consumer-side session memo (already checkpointed); the owner
+    # semantic_dedup re-runs its own build each invocation
+    assign = semdedup_assign_memo(spark, sf_dir)
     bench = assign.filter(F.expr(SEM_BENCH_FILTER)).select(
         F.col("vec_id").alias("bench_id"),
         F.col("uq").alias("b_uq"),

