@@ -96,6 +96,8 @@ QUERIES: tuple[str, ...] = (
     "ivf_pq_topk", "pq_recall_at_k", "funnel_recall_at_k",
     "paragraph_dedup", "semantic_decontamination",
     "bpe_fertility_by_lang", "cluster_balanced_sample", "stream_ann_topk",
+    # round-9 additions
+    "ivfadc_residual_topk", "paragraph_dedup_rewrite",
 )
 
 # name -> (max factor, reason)
