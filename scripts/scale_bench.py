@@ -98,6 +98,7 @@ QUERIES: tuple[str, ...] = (
     "bpe_fertility_by_lang", "cluster_balanced_sample", "stream_ann_topk",
     # round-9 additions
     "ivfadc_residual_topk", "paragraph_dedup_rewrite",
+    "sampled_centroid_training",
 )
 
 # name -> (max factor, reason)
