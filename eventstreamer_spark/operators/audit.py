@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.registry import query
+from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
 _TOKS_S = H.TOKENS_SPARK.format(col="text")
@@ -1234,7 +1235,7 @@ def pq_build(
                 "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
             ).alias("v_arr")
         )
-        .repartition(32, "vec_id")
+        .repartition(shuffle_partitions(spark), "vec_id")
         .localCheckpoint(eager=False)
     )
     m1, a2 = _pq_train(sub, pqv)
@@ -1788,7 +1789,7 @@ def ivfadc_residual_topk(
                 "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
             ).alias("v_arr")
         )
-        .repartition(32, "vec_id")
+        .repartition(shuffle_partitions(spark), "vec_id")
         .localCheckpoint(eager=False)
     )
     m1r, a2r = _pq_train(rsub, rqv)

@@ -371,6 +371,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_assign_memo,
         semdedup_cluster_pairs,
     )
+    from eventstreamer_spark.session import shuffle_partitions
     from eventstreamer_spark.sources.tables import load_table_parallel
 
     d = load_table_parallel(spark, sf_dir, "documents").select(
@@ -427,7 +428,9 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the retrain: AQE coalesces the small
     # anti-join output to ~1 partition, which would serialize the
     # md5-heavy bigram explode onto one core (measured 4.4 s vs 1.4 s)
-    nll = bigram_avg_nll(semkept.select("doc_id", "text").repartition(32))
+    nll = bigram_avg_nll(
+        semkept.select("doc_id", "text").repartition(shuffle_partitions(spark))
+    )
     pplkept = (
         semkept.join(nll, "doc_id")
         .filter(F.expr(_ppl_band_sql("avg_nll_e6")) != F.lit("high"))

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.registry import query
+from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table_parallel
 
 N_BUCKETS = 63  # hashed unigram buckets; feature 63 is the intercept
@@ -252,7 +253,7 @@ def _doc_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     feats = (
         feat.groupBy("doc_id")
         .agg(F.collect_list(F.struct("b", "x")).alias("fs"))
-        .repartition(32, "doc_id")
+        .repartition(shuffle_partitions(spark), "doc_id")
         .localCheckpoint(eager=False)
     )
     return feats, lab

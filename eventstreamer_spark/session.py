@@ -83,8 +83,34 @@ def configure(spark: SparkSession) -> SparkSession:
     # streaming query pins its state-store partition count from this
     # value at first start — leaving the 200 default costs ~6× on
     # every stateful streaming stage of a 32-core host.
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides: partition count is the
+    # knob that sizes per-task hash-agg/join state, so a scaled-up run
+    # on a fixed heap raises it instead of raising the heap (the same
+    # sizing any real deployment does; the x100 replica runs at the
+    # DEFAULT heap with 256 partitions where 8 OOMs).
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(spark.sparkContext.defaultParallelism, 8)),
+        override or str(max(spark.sparkContext.defaultParallelism, 8)),
     )
+    # Input-split sizing, the map-side twin of the shuffle knob: a
+    # single large parquet read as 128 MB splits hands each task a
+    # ~100k+-doc partial hash-agg map, which is what actually OOMs a
+    # small-heap session at x100 (AGGREGATE_OUT_OF_MEMORY in codegen
+    # stage 1, before any shuffle). Smaller splits = smaller per-task
+    # partial maps, same total work.
+    split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if split:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
     return spark
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count — the one value every
+    explicit ``repartition`` in the operators follows, so the
+    re-parallelization boundaries scale with the same knob that sizes
+    shuffle state (a hardcoded width is exactly what would not survive
+    a 100× scale-up)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))

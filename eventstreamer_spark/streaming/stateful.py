@@ -512,7 +512,9 @@ def q_capped_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    return prepared.repartition(32, "key").mapInPandas(
+    from eventstreamer_spark.session import shuffle_partitions
+
+    return prepared.repartition(shuffle_partitions(spark), "key").mapInPandas(
         _capped_whole_partition, CAPPED_SCHEMA
     )
 

@@ -28,8 +28,14 @@ def main() -> int:
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
+    # DRIVER_SIM_CORES sizes threads to the heap: a 1 GiB JVM running 8
+    # concurrent tasks gives each ~50 MB of execution memory — a
+    # misconfiguration at x100 working sets, exactly like an 8-core
+    # 1 GiB executor on a real cluster. Cores-per-memory is the FIRST
+    # sizing knob a deployment turns; DRIVER_SIM_MEM is the second.
+    cores = os.environ.get("DRIVER_SIM_CORES", "8")
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")

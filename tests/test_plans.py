@@ -1215,6 +1215,71 @@ def test_cluster_balanced_sample_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfadc_residual_plan(spark):
+    """Residual IVFADC keeps the ivf_pq contract: probes, centroid
+    components, LUTs and codebook broadcast (BroadcastHashJoin
+    present), no cartesian — the corpus moves only through the
+    residual join and the cell-key candidate join."""
+    from eventstreamer_spark.operators.audit import q_ivfadc_residual_topk
+
+    df = q_ivfadc_residual_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_recall_includes_residual_point(spark):
+    """The recall grid reports all three compressed retrievers; the
+    residual build rides behind checkpoints so the composed plan
+    stays Generate-free (same invariant as the shared raw build)."""
+    from eventstreamer_spark.operators.audit import q_pq_recall_at_k
+
+    rows = q_pq_recall_at_k(spark, SF_DIR).collect()
+    assert {r.method for r in rows} == {"pq_adc", "ivf_pq", "ivfadc_res"}
+
+
+def test_paragraph_rewrite_band_candidates_only(spark):
+    """The rewrite's near-dup candidates come from the band equi-join
+    only — no cartesian — and removal agrees with the report: per
+    doc, n_exact_removed == n_exact_dup and n_near_removed ==
+    n_near_dup for every affected doc."""
+    from eventstreamer_spark.operators.dedup import (
+        q_paragraph_dedup,
+        q_paragraph_dedup_rewrite,
+    )
+
+    rw = q_paragraph_dedup_rewrite(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(rw)
+    rep = {
+        r.doc_id: (r.n_exact_dup, r.n_near_dup)
+        for r in q_paragraph_dedup(spark, SF_DIR).collect()
+    }
+    rw_rows = rw.collect()
+    assert rw_rows, "expected at least one affected doc in the fixture"
+    for r in rw_rows:
+        assert (r.n_exact_removed, r.n_near_removed) == rep[r.doc_id], r.doc_id
+        # removing blocks can only shrink the doc
+        assert r.n_exact_removed + r.n_near_removed >= 1
+
+
+def test_sampled_centroid_training_shape(spark):
+    """One audit row; the sampled regime should not materially beat
+    the full build on mean assignment cosine (both are Lloyd local
+    optima, so a small inversion is possible on a lucky sample —
+    allow drift noise, fail on anything structural); agreement is a
+    valid share."""
+    from eventstreamer_spark.operators.similarity import (
+        q_sampled_centroid_training,
+    )
+
+    rows = q_sampled_centroid_training(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_train < r.n_vectors
+    assert 0.0 <= r.agree_share <= 1.0
+    assert r.mean_cos_sampled <= r.mean_cos_full + 0.05
+
+
 def test_bpe_fertility_rowlocal_segmentation(spark):
     """Per-(lang, word) segmentation is a row-local projection: no join
     anywhere in the plan (the merge table rides as literals)."""
