@@ -458,3 +458,109 @@ def q_stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("qc_stream_sink")
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Calibration audit: is the trained classifier's score a probability?
+# ---------------------------------------------------------------------------
+
+# The house measure-the-estimator pattern applied to the trained
+# quality filter itself: reliability-diagram bins + the per-bin ECE
+# contributions. A ridge score is NOT a calibrated probability — the
+# audit quantifies by how much, which is what decides whether a
+# pipeline can threshold it directly or must recalibrate (Platt /
+# isotonic) before using it as a sampling weight.
+
+_CALIB_BINS = 10
+
+_CALIB_ORACLE = f"""
+WITH RECURSIVE {_QC_CHAIN_SQL},
+j AS (
+  SELECT l.y, s.score_e6 FROM lab l JOIN scores s ON l.doc_id = s.doc_id
+),
+binned AS (
+  SELECT CAST(LEAST((GREATEST(score_e6, 0) * 10) // 1000000, {_CALIB_BINS - 1})
+              AS BIGINT) AS bin,
+         score_e6, y
+  FROM j
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(score_e6) AS BIGINT) AS ss, CAST(sum(y) AS BIGINT) AS sy
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM binned),
+r AS (
+  SELECT bin, n_docs, total,
+         floor(CAST(ss AS DOUBLE) / n_docs + 0.5) / 1000000.0 AS mean_pred,
+         floor(CAST(sy AS DOUBLE) * 1000000 / n_docs + 0.5) / 1000000.0 AS frac_pos
+  FROM per, tot
+)
+SELECT bin, n_docs, mean_pred, frac_pos,
+       abs(mean_pred - frac_pos) AS abs_gap,
+       floor(abs(mean_pred - frac_pos) * n_docs * 1000000 / total + 0.5)
+         / 1000000.0 AS weighted_gap
+FROM r
+"""
+
+
+@query("classifier_calibration_audit", oracle=_CALIB_ORACLE)
+def q_classifier_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration audit of the trained ridge
+    quality classifier: scores clamped to [0,1] and decile-binned
+    (integer bin edges in the exact 1e-6 score domain), each bin
+    reporting mean predicted score vs observed positive rate plus its
+    |gap| and n/N-weighted gap — SUM(weighted_gap) IS the expected
+    calibration error.
+
+    Scale shape: reuses the classifier's one-tokenize-pass
+    checkpointed features and literal-broadcast scoring
+    (quality_classifier_scores' plan); the audit itself adds one
+    10-key aggregation and a broadcast 1-row total join — nothing
+    corpus-sized beyond the scoring scan it already shares."""
+    feats, lab = _doc_features(spark, sf_dir)
+    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    scored = ridge_scores(spark, sf_dir, w, feats=feats)
+    binned = lab.join(scored, "doc_id").select(
+        F.expr(
+            f"CAST(LEAST((GREATEST(score_e6, 0) * 10) DIV 1000000, "
+            f"{_CALIB_BINS - 1}) AS BIGINT)"
+        ).alias("bin"),
+        "score_e6",
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score_e6").cast("long").alias("ss"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    r = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        "total",
+        (F.floor(F.col("ss").cast("double") / F.col("n_docs") + F.lit(0.5)) / 1000000.0).alias(
+            "mean_pred"
+        ),
+        (
+            F.floor(F.col("sy").cast("double") * 1000000 / F.col("n_docs") + F.lit(0.5))
+            / 1000000.0
+        ).alias("frac_pos"),
+    )
+    return r.select(
+        "bin",
+        "n_docs",
+        "mean_pred",
+        "frac_pos",
+        F.abs(F.col("mean_pred") - F.col("frac_pos")).alias("abs_gap"),
+        (
+            F.floor(
+                F.abs(F.col("mean_pred") - F.col("frac_pos"))
+                * F.col("n_docs")
+                * 1000000
+                / F.col("total")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("weighted_gap"),
+    )

@@ -1623,3 +1623,196 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ranked_topk(exploded)
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k (maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+
+# Carbonell & Goldstein 1998: greedily pick the candidate maximizing
+# λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+# diversity re-rank retrieval stacks bolt onto an ANN candidate
+# stage (dedup-adjacent: it suppresses near-identical hits that
+# would otherwise fill the whole top-k). λ = 0.7, kept integer by
+# scoring in the ×10 domain: score = 7·dot(q,d) − 3·max dot(d,s)
+# over the quantized-unit int64 dots, so the greedy argmax chain is
+# bit-identical in Spark (numpy int64 kernel) and the oracle's
+# unrolled k-step SQL.
+
+MMR_CAND = 16  # relevance candidates entering the re-rank (per query)
+MMR_K = 8  # diversified results per query
+
+
+def _intdot_spark(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def _intdot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a})[i] * ({b})[i]))"
+    )
+
+
+def _mmr_rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-query greedy MMR selection (applyInPandas kernel): exact
+    int64 dots, ties broken by smaller neighbor_id; emitted scores
+    rounded half-up at 1e-5 like semdedup_cluster_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(
+        ["dq", "neighbor_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = len(pdf)
+    ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+    dq = pdf["dq"].to_numpy(dtype="int64")
+    mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
+    dots = mat @ mat.T  # exact int64 (|component| <= 1e6, 64 dims)
+    chosen: list[int] = []
+    scores: list[int] = []
+    avail = list(range(n))
+    for t in range(min(MMR_K, n)):
+        if t == 0:
+            best = 0  # sort order IS the (dq desc, id asc) argmax
+            best_s = 7 * int(dq[0])
+        else:
+            best, best_key, best_s = -1, None, 0
+            for i in avail:
+                mx = int(max(dots[i, j] for j in chosen))
+                s = 7 * int(dq[i]) - 3 * mx
+                key = (s, -int(ids[i]))
+                if best_key is None or key > best_key:
+                    best, best_key, best_s = i, key, s
+        chosen.append(best)
+        avail.remove(best)
+        scores.append(best_s)
+    qid = int(pdf["query_id"].iloc[0]) if n else 0
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(chosen), qid, dtype="int64"),
+            "neighbor_id": ids[chosen],
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int64"),
+            "relevance": np.floor(dq[chosen] / 1e12 * 1e5 + 0.5) / 1e5,
+            "mmr_score": np.floor(np.array(scores) / 1e13 * 1e5 + 0.5) / 1e5,
+        }
+    )
+
+
+def _mmr_oracle() -> str:
+    intdot_cc = _intdot_duck("a.uq", "b.uq")
+    steps = [
+        "s1 AS (SELECT query_id, neighbor_id, dq, 7*dq AS score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY dq DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1)"
+    ]
+    prev = "SELECT query_id, neighbor_id FROM s1"
+    for t in range(2, MMR_K + 1):
+        steps.append(
+            f"p{t} AS ({prev}),\n"
+            f"m{t} AS (SELECT pp.query_id, pp.i AS neighbor_id, max(pp.d) AS mx\n"
+            f"  FROM pdots pp JOIN p{t} s ON pp.query_id = s.query_id AND pp.j = s.neighbor_id\n"
+            f"  GROUP BY pp.query_id, pp.i),\n"
+            f"s{t} AS (SELECT query_id, neighbor_id, dq, score FROM (\n"
+            f"  SELECT c.query_id, c.neighbor_id, c.dq, 7*c.dq - 3*m.mx AS score,\n"
+            f"         row_number() OVER (PARTITION BY c.query_id\n"
+            f"           ORDER BY 7*c.dq - 3*m.mx DESC, c.neighbor_id) AS rn\n"
+            f"  FROM cand c JOIN m{t} m\n"
+            f"    ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM p{t} s\n"
+            f"    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)\n"
+            f") WHERE rn = 1)"
+        )
+        prev += f" UNION ALL SELECT query_id, neighbor_id FROM s{t}"
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST({t} AS BIGINT) AS mmr_rank,\n"
+        f"  floor(CAST(dq AS DOUBLE)/1000000000000.0*100000 + 0.5)/100000.0 AS relevance,\n"
+        f"  floor(CAST(score AS DOUBLE)/10000000000000.0*100000 + 0.5)/100000.0 AS mmr_score\n"
+        f"FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
+           {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+  ) WHERE uq[1] IS NOT NULL
+), qv AS (SELECT * FROM b WHERE {QUERY_FILTER}),
+probes AS (
+  SELECT vec_id, uq, unnest({H.srp_probe_buckets_duck("bucket")}) AS pb FROM qv
+),
+ap AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_intdot_duck("q.uq", "e.uq")} AS dq, e.uq AS uq
+  FROM probes q JOIN b e ON q.pb = e.bucket AND q.vec_id != e.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, dq, uq FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY dq DESC, neighbor_id) AS rn FROM ap
+  ) WHERE rn <= {MMR_CAND}
+),
+pdots AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j, {intdot_cc} AS d
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+{",".join(steps)}
+{finals}
+"""
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+@query("mmr_diverse_topk", oracle=_MMR_ORACLE)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K}: SRP multi-probe LSH candidates
+    (same broadcast probe-side explode + single bucket equi-join as
+    ann_lsh_topk — the corpus never shuffles), top-{MMR_CAND} by exact
+    integer dot per query, then the greedy λ=0.7 MMR selection runs
+    per query group in one Arrow-batched applyInPandas kernel.
+
+    Scale shape: the iterative part touches only (q × {MMR_CAND})
+    rows — candidate generation is the only corpus-sized pass, and the
+    re-rank group is absolutely bounded, so the pandas kernel is
+    O(k·N·dim) per query regardless of corpus size. The greedy chain
+    is integer-exact (int64 dots, ×10 λ domain), replayed step-for-
+    step by the oracle's unrolled {MMR_K}-stage SQL."""
+    e = (
+        H.with_quantized_unit(
+            load_table_parallel(spark, sf_dir, "embeddings"),
+            "embedding",
+            "uq",
+            drop_zero_norm=True,
+        )
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+    )
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uq").alias("q_uq"),
+        F.explode(H.srp_probe_buckets_expr("bucket")).alias("pb"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, (F.col("pb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_intdot_spark("q_uq", "uq")).alias("dq"),
+            "uq",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dq").desc(), F.col("neighbor_id"))
+    cand = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .select("query_id", "neighbor_id", "dq", "uq")
+    )
+    return cand.groupBy("query_id").applyInPandas(
+        _mmr_rerank,
+        schema=(
+            "query_id long, neighbor_id long, mmr_rank long, "
+            "relevance double, mmr_score double"
+        ),
+    )

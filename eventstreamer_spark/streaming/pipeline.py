@@ -1077,3 +1077,146 @@ def q_stream_static_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static Bloom membership probe: live ingest against the
+# bounded-memory filter instead of the full corpus index
+# ---------------------------------------------------------------------------
+
+def _bloom_stream_oracle() -> str:
+    # per-doc decisions, chunking-invariant: the shared batch chain
+    from eventstreamer_spark.operators.dedup import _BLOOM_STREAM_ORACLE
+
+    return _BLOOM_STREAM_ORACLE
+
+
+@query("stream_bloom_probe", oracle=_bloom_stream_oracle())
+def q_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of bloom_dedup_probe: incoming documents
+    arrive as three micro-batches and probe the STATIC packed-word
+    Bloom filter (built once, localCheckpointed — the bounded-memory
+    artifact a 100 TB ingest keeps resident instead of joining every
+    batch against the corpus digest table the way
+    stream_static_ingest_dedup must). Every incoming doc gets a live
+    keep/maybe-duplicate signal plus the exact-truth flag the audit
+    tier adds; the oracle replays the identical filter recipe
+    (shared _BLOOM_CHAIN WITH-parts) so decisions are per-doc and
+    micro-batch-boundary-invariant.
+
+    Join shape: the stream side explodes BLOOM_K positions per doc and
+    equi-joins the static word table on word id — the static side is
+    <= m/32 fixed-width rows regardless of batch count, and the
+    per-batch state is the doc-grain bool_and aggregation only (no
+    cross-batch state at all: the filter is immutable during serving;
+    compaction-time refresh is the delta-index recipe)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        _bloom_positions,
+    )
+    from eventstreamer_spark.session import configure
+    from eventstreamer_spark.sources.tables import load_table
+
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = BLOOM_BITS_PER_KEY * docs.count()  # sizes the static filter
+    corpus = docs.select(F.md5(F.col("text").cast("binary")).alias("digest"))
+    words = (
+        corpus.select(
+            F.explode(F.expr(_bloom_positions("spark", "digest", m))).alias("pos")
+        )
+        .distinct()
+        .select(
+            F.expr("pos DIV 32").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mb"),
+        )
+        .groupBy("w")
+        .agg(F.sum("mb").alias("bits"))
+        .localCheckpoint(eager=True)  # the resident filter artifact
+    )
+    cdig = (
+        corpus.distinct()
+        .withColumn("is_dup_", F.lit(True))
+        .localCheckpoint(eager=True)  # audit-tier truth side only
+    )
+
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 3000000).alias("batch_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 4000000).alias("batch_id"),
+                F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+            )
+        )
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_bloomstream_")
+    try:
+        staging = f"{chunk_dir}/_stage"
+        batch.withColumn("b", (F.col("batch_id") % 3).cast("int")).repartition(
+            "b"
+        ).write.mode("overwrite").partitionBy("b").parquet(staging)
+        base = 1_600_000_000
+        for i in range(3):
+            parts = sorted(glob.glob(f"{staging}/b={i}/part-*.parquet"))
+            for j, p in enumerate(parts):  # tolerate 0..n parts per residue
+                dest = f"{chunk_dir}/chunk-{i:03d}-{j:02d}.parquet"
+                shutil.move(p, dest)
+                os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(chunk_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        sdig = stream.select(
+            "batch_id", F.md5(F.col("text").cast("binary")).alias("digest")
+        )
+        spos = (
+            sdig.join(cdig, "digest", "left")
+            .select(
+                "batch_id",
+                F.coalesce("is_dup_", F.lit(False)).alias("is_dup"),
+                F.explode(
+                    F.expr(_bloom_positions("spark", "digest", m))
+                ).alias("pos"),
+            )
+        )
+        probed = (
+            spos.join(words, F.expr("pos DIV 32") == F.col("w"), "left")
+            .groupBy("batch_id", "is_dup")
+            .agg(
+                F.expr(
+                    "bool_and(bits IS NOT NULL AND "
+                    "(bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) != 0)"
+                ).alias("bloom_hit")
+            )
+        )
+        run_to_memory(probed, "bloom_probe_sink", mode="update")
+        t = spark.table("bloom_probe_sink")
+        # a doc's position rows live in one chunk, so one final emission
+        # per key; if a partial ever re-emitted, the bool_and can only
+        # tighten — keep the conservative (false-first) row
+        from pyspark.sql import Window as W
+
+        return (
+            t.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("batch_id", "is_dup").orderBy(
+                        F.col("bloom_hit").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -98,7 +98,9 @@ QUERIES: tuple[str, ...] = (
     "bpe_fertility_by_lang", "cluster_balanced_sample", "stream_ann_topk",
     # round-9 additions
     "ivfadc_residual_topk", "paragraph_dedup_rewrite",
-    "sampled_centroid_training",
+    "sampled_centroid_training", "bloom_dedup_probe",
+    "mmr_diverse_topk", "classifier_calibration_audit",
+    "stream_bloom_probe",
 )
 
 # name -> (max factor, reason)

@@ -1289,3 +1289,80 @@ def test_bpe_fertility_rowlocal_segmentation(spark):
     plan = physical_plan(df)
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "EvalPython"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_bloom_probe_plan_and_invariants(spark):
+    """The Bloom membership probe joins packed words on the word-id
+    equi-key (broadcast at this sf, no cartesian beyond the 1-row
+    report join) and the filter must produce ZERO false negatives by
+    construction."""
+    from eventstreamer_spark.operators.dedup import q_bloom_dedup_probe
+
+    df = q_bloom_dedup_probe(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    row = df.collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_bloom_hit >= row.n_true_dup  # one-sided error only
+    assert 0 < row.bits_set <= row.m_bits
+
+
+def test_mmr_bounded_rerank_plan(spark):
+    """MMR candidates come from the broadcast LSH probe join (no
+    cartesian; FlatMapGroupsInPandas is the bounded per-query
+    kernel), and each query emits at most MMR_K ranked rows whose
+    rank-1 entry equals its top relevance candidate."""
+    from eventstreamer_spark.operators.similarity import (
+        MMR_K,
+        q_mmr_diverse_topk,
+    )
+
+    df = q_mmr_diverse_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+    for qid, rs in per.items():
+        assert len(rs) <= MMR_K
+        assert sorted(r.mmr_rank for r in rs) == list(range(1, len(rs) + 1))
+        r1 = next(r for r in rs if r.mmr_rank == 1)
+        assert r1.relevance == max(r.relevance for r in rs)
+
+
+def test_calibration_audit_shares_classifier_build(spark):
+    """The calibration audit rides the classifier's checkpointed
+    feature table (checkpoint scan present) and sums to a sane ECE:
+    every weighted gap is >= 0 and the bins partition the corpus."""
+    from eventstreamer_spark.operators.quality import (
+        q_classifier_calibration_audit,
+    )
+    from eventstreamer_spark.sources.tables import load_table
+
+    df = q_classifier_calibration_audit(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the shared checkpointed feats
+    rows = df.collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.weighted_gap >= 0 and r.abs_gap >= 0 for r in rows)
+    assert sum(r.weighted_gap for r in rows) < 0.5  # ECE sanity bound
+
+
+def test_stream_bloom_probe_matches_batch_filter(spark):
+    """The live probe and the batch report must agree: the stream's
+    per-doc hits aggregate to exactly the batch report's counts (same
+    filter words, same batch construction — shared _BLOOM_CHAIN)."""
+    from eventstreamer_spark.operators.dedup import q_bloom_dedup_probe
+    from eventstreamer_spark.streaming.pipeline import q_stream_bloom_probe
+
+    rows = q_stream_bloom_probe(spark, SF_DIR).collect()
+    rep = q_bloom_dedup_probe(spark, SF_DIR).collect()[0]
+    assert len(rows) == rep.n_batch
+    assert sum(r.bloom_hit for r in rows) == rep.n_bloom_hit
+    assert sum(r.bloom_hit and not r.is_dup for r in rows) == rep.n_false_pos
+    assert all(r.bloom_hit for r in rows if r.is_dup)  # no false negatives
