@@ -1648,10 +1648,10 @@ def _intdot_spark(a: str, b: str) -> str:
 
 
 def _intdot_duck(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> ({a})[i] * ({b})[i]))"
-    )
+    # native list_dot_product (the fast form, see hashing gotchas) is
+    # EXACT here: every product is <= 1e12 and the sum <= 6.4e13, both
+    # below 2^53, so the double arithmetic carries the integers intact
+    return f"CAST(list_dot_product({a}, {b}) AS BIGINT)"
 
 
 def _mmr_rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1702,7 +1702,7 @@ def _mmr_rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
 def _mmr_oracle() -> str:
     intdot_cc = _intdot_duck("a.uq", "b.uq")
     steps = [
-        "s1 AS (SELECT query_id, neighbor_id, dq, 7*dq AS score FROM ("
+        "s1 AS MATERIALIZED (SELECT query_id, neighbor_id, dq, 7*dq AS score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY dq DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1)"
     ]
@@ -1713,7 +1713,7 @@ def _mmr_oracle() -> str:
             f"m{t} AS (SELECT pp.query_id, pp.i AS neighbor_id, max(pp.d) AS mx\n"
             f"  FROM pdots pp JOIN p{t} s ON pp.query_id = s.query_id AND pp.j = s.neighbor_id\n"
             f"  GROUP BY pp.query_id, pp.i),\n"
-            f"s{t} AS (SELECT query_id, neighbor_id, dq, score FROM (\n"
+            f"s{t} AS MATERIALIZED (SELECT query_id, neighbor_id, dq, score FROM (\n"
             f"  SELECT c.query_id, c.neighbor_id, c.dq, 7*c.dq - 3*m.mx AS score,\n"
             f"         row_number() OVER (PARTITION BY c.query_id\n"
             f"           ORDER BY 7*c.dq - 3*m.mx DESC, c.neighbor_id) AS rn\n"
