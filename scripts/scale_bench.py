@@ -100,7 +100,7 @@ QUERIES: tuple[str, ...] = (
     "ivfadc_residual_topk", "paragraph_dedup_rewrite",
     "sampled_centroid_training", "bloom_dedup_probe",
     "mmr_diverse_topk", "classifier_calibration_audit",
-    "stream_bloom_probe",
+    "stream_bloom_probe", "kmv_distinct_audit",
 )
 
 # name -> (max factor, reason)

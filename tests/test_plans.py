@@ -1366,3 +1366,15 @@ def test_stream_bloom_probe_matches_batch_filter(spark):
     assert sum(r.bloom_hit for r in rows) == rep.n_bloom_hit
     assert sum(r.bloom_hit and not r.is_dup for r in rows) == rep.n_false_pos
     assert all(r.bloom_hit for r in rows if r.is_dup)  # no false negatives
+
+
+def test_kmv_sketch_take_ordered_plan(spark):
+    """The k smallest hashes must come from TakeOrdered (partial
+    per-partition top-k, k rows moving) — a global Sort here would be
+    the 100 TB cliff the sketch exists to avoid."""
+    from eventstreamer_spark.operators.audit import q_kmv_distinct_audit
+
+    df = q_kmv_distinct_audit(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
