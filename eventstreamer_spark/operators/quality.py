@@ -564,3 +564,124 @@ def q_classifier_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFram
             / 1000000.0
         ).alias("weighted_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic recalibration: the monotone probability map PAV would fit
+# ---------------------------------------------------------------------------
+
+# The remediation the calibration audit calls for: fit the isotonic
+# (monotone nondecreasing) regression of observed label rate on score
+# bin. Computed via the minimax closed form of PAV (Robertson/Wright/
+# Dykstra: iso(b) = max_{i<=b} min_{j>=b} pooled_rate(i..j)), which is
+# PURELY relational — interval aggregates + a min and a max pass over
+# the fixed {B}-bin table — so no sequential pool-merging loop exists
+# to replay, and both engines compute the identical map from identical
+# integer (sum_y, sum_n) interval sums. Everything after the scoring
+# scan runs on <= B rows: the fit itself is scale-free by construction
+# (B is fixed while n grows), which is exactly why production
+# recalibration is cheap at 100 TB.
+
+
+def _iso_parts() -> str:
+    """WITH-parts appended after the classifier chain: decile bins →
+    interval pooled rates → minimax isotonic fit."""
+    return f"""
+binagg AS (
+  SELECT CAST(LEAST((GREATEST(s.score_e6, 0) * 10) // 1000000, {_CALIB_BINS - 1})
+              AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS sn, CAST(sum(l.y) AS BIGINT) AS sy
+  FROM lab l JOIN scores s ON l.doc_id = s.doc_id
+  GROUP BY 1
+),
+iv AS (
+  SELECT a.bin AS i, b.bin AS j
+  FROM binagg a JOIN binagg b ON a.bin <= b.bin
+),
+pooled AS (
+  SELECT iv.i, iv.j,
+         CAST(sum(g.sy) AS DOUBLE) / CAST(sum(g.sn) AS DOUBLE) AS rate
+  FROM iv JOIN binagg g ON g.bin BETWEEN iv.i AND iv.j
+  GROUP BY iv.i, iv.j
+),
+mn AS (
+  SELECT b.bin, p.i, min(p.rate) AS mrate
+  FROM pooled p JOIN binagg b ON p.i <= b.bin AND p.j >= b.bin
+  GROUP BY b.bin, p.i
+),
+iso AS (SELECT bin, max(mrate) AS c FROM mn GROUP BY bin)
+"""
+
+
+_ISO_ORACLE = f"""
+WITH RECURSIVE {_QC_CHAIN_SQL},
+{_iso_parts()}
+SELECT g.bin, g.sn AS n_docs,
+       floor(CAST(g.sy AS DOUBLE) * 1000000 / g.sn + 0.5) / 1000000.0 AS frac_pos,
+       floor(i.c * 1000000 + 0.5) / 1000000.0 AS calibrated
+FROM binagg g JOIN iso i ON g.bin = i.bin
+"""
+
+
+@query("isotonic_calibration_map", oracle=_ISO_ORACLE)
+def q_isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration map for the trained ridge classifier:
+    per decile bin, the monotone-nondecreasing calibrated probability
+    PAV would assign, via the minimax identity
+    iso(b) = max over i<=b of min over j>=b of pooled rate(i..j) —
+    closed-form, loop-free, and exact from integer interval sums.
+
+    Scale shape: one scoring scan (the classifier's shared
+    checkpointed features + literal weights), one 10-key aggregation,
+    then every remaining operator touches at most B^2 = 100 rows —
+    the fit is O(B^3) on a constant B regardless of corpus size. The
+    interval build is a bounded non-equi self-join of the 10-row bin
+    table (BroadcastNestedLoop on purpose — there is nothing to hash
+    on and the sides are constant-size)."""
+    feats, lab = _doc_features(spark, sf_dir)
+    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    scored = ridge_scores(spark, sf_dir, w, feats=feats)
+    binagg = (
+        lab.join(scored, "doc_id")
+        .select(
+            F.expr(
+                f"CAST(LEAST((GREATEST(score_e6, 0) * 10) DIV 1000000, "
+                f"{_CALIB_BINS - 1}) AS BIGINT)"
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sn"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .localCheckpoint(eager=False)  # <= B rows; feeds 3 tiny consumers
+    )
+    a = binagg.select(F.col("bin").alias("i"))
+    b = binagg.select(F.col("bin").alias("j"))
+    iv = a.join(F.broadcast(b), F.col("i") <= F.col("j"))
+    pooled = (
+        iv.join(F.broadcast(binagg), F.col("bin").between(F.col("i"), F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            (F.sum("sy").cast("double") / F.sum("sn").cast("double")).alias("rate")
+        )
+    )
+    mn = (
+        pooled.join(
+            F.broadcast(binagg.select(F.col("bin"))),
+            (F.col("i") <= F.col("bin")) & (F.col("j") >= F.col("bin")),
+        )
+        .groupBy("bin", "i")
+        .agg(F.min("rate").alias("mrate"))
+    )
+    iso = mn.groupBy("bin").agg(F.max("mrate").alias("c"))
+    return binagg.join(iso, "bin").select(
+        "bin",
+        F.col("sn").alias("n_docs"),
+        (
+            F.floor(F.col("sy").cast("double") * 1000000 / F.col("sn") + F.lit(0.5))
+            / 1000000.0
+        ).alias("frac_pos"),
+        (F.floor(F.col("c") * 1000000 + F.lit(0.5)) / 1000000.0).alias("calibrated"),
+    )

@@ -1378,3 +1378,24 @@ def test_kmv_sketch_take_ordered_plan(spark):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_isotonic_map_is_monotone_and_consistent(spark):
+    """The fitted map must be nondecreasing in bin (the isotonic
+    contract) and agree with the calibration audit's per-bin observed
+    rates; the bounded self-joins must not devolve into a
+    CartesianProduct node."""
+    from eventstreamer_spark.operators.quality import (
+        q_classifier_calibration_audit,
+        q_isotonic_calibration_map,
+    )
+
+    df = q_isotonic_calibration_map(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = sorted(df.collect(), key=lambda r: r.bin)
+    for a, b in zip(rows, rows[1:]):
+        assert a.calibrated <= b.calibrated, (a, b)
+    aud = {r.bin: r.frac_pos for r in q_classifier_calibration_audit(spark, SF_DIR).collect()}
+    for r in rows:
+        assert aud[r.bin] == r.frac_pos
