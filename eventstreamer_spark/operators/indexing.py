@@ -836,3 +836,141 @@ def q_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-domain LM shift matrix (per-source bigram models, all-pairs eval)
+# ---------------------------------------------------------------------------
+
+# The data-cartography diagnostic behind domain-weighting methods
+# (DSIR's target/raw LM ratio generalized to every source pair): train
+# one add-1 bigram LM PER SOURCE, score every source's bigram stream
+# under every model, and report the k x k mean-NLL matrix. The
+# diagonal is each domain's self-fit; an off-diagonal close to its
+# column's diagonal means the train source transfers to the eval
+# source (near-duplicate domains), a large gap means domain shift the
+# mixture weights must respect. Unseen-pair smoothing differs from the
+# corpus LM: eval bigrams absent from the train model score
+# ln(ca + V) - ln(1) via LEFT joins with 0-coalesce.
+
+_DSHIFT_ORACLE = f"""
+WITH tk AS (SELECT source, {_TOKS_D} AS t FROM documents),
+bg AS (
+  SELECT source, t[i] AS prefix, t[i + 1] AS next_token
+  FROM tk, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+),
+ebg AS (
+  SELECT source, prefix, next_token, CAST(count(*) AS BIGINT) AS n_occ
+  FROM bg GROUP BY 1, 2, 3
+),
+cab AS (
+  SELECT source AS ts, prefix, next_token, CAST(sum(n_occ) AS BIGINT) AS cab
+  FROM ebg GROUP BY 1, 2, 3
+),
+ca AS (
+  SELECT source AS ts, prefix, CAST(sum(n_occ) AS BIGINT) AS ca
+  FROM ebg GROUP BY 1, 2
+),
+vs AS (
+  SELECT source AS ts, CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT source, unnest({_TOKS_D}) AS word FROM documents) GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source AS ts FROM documents),
+scored AS (
+  SELECT e.source AS eval_source, s.ts AS train_source, e.n_occ,
+         CAST(round(ln(COALESCE(c.ca, 0) + v.vsz) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(COALESCE(a.cab, 0) + 1) * 1000000, 0) AS BIGINT) AS nll_e6
+  FROM ebg e
+  CROSS JOIN srcs s
+  LEFT JOIN cab a ON a.ts = s.ts AND a.prefix = e.prefix
+                 AND a.next_token = e.next_token
+  LEFT JOIN ca c ON c.ts = s.ts AND c.prefix = e.prefix
+  JOIN vs v ON v.ts = s.ts
+)
+SELECT train_source, eval_source,
+       CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       floor(sum(n_occ * nll_e6) * 1.0 / sum(n_occ) + 0.5) / 1000000.0
+         AS mean_nll
+FROM scored GROUP BY 1, 2
+"""
+
+
+@query("domain_shift_matrix", oracle=_DSHIFT_ORACLE)
+def q_domain_shift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k x k cross-domain perplexity matrix: per-source add-1 bigram
+    LMs, every source's bigram stream scored under every model (mean
+    NLL in micro-nats, occurrence-weighted). See the module comment
+    for why the diagonal/off-diagonal structure is the domain-mixing
+    signal.
+
+    Scale shape: bigram counts aggregate per (source, pair) FIRST
+    (map-side combine; one row per distinct pair per source), the
+    model tables derive from that same aggregate (no second corpus
+    scan except the per-source vocab pass), and the all-models scoring
+    is the distinct-pair table crossed with the k-row broadcast source
+    list joined back on (source, pair) equi-keys — fanout k, never
+    n x n. The k x k result is one final aggregation."""
+    d = load_table_parallel(spark, sf_dir, "documents").select("source", "text")
+    tk = d.select("source", F.expr(_TOKS_S).alias("t"))
+    bg = tk.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+                "i -> struct(element_at(t, i + 1) AS prefix, "
+                "element_at(t, i + 2) AS next_token)) ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("source", "p.prefix", "p.next_token")
+    ebg = (
+        bg.groupBy("source", "prefix", "next_token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .localCheckpoint(eager=False)  # model AND eval sides read it
+    )
+    cab = ebg.select(
+        F.col("source").alias("ts"), "prefix", "next_token",
+        F.col("n_occ").alias("cab"),
+    )
+    ca = (
+        ebg.groupBy(F.col("source").alias("ts"), "prefix")
+        .agg(F.sum("n_occ").cast("long").alias("ca"))
+    )
+    vs = (
+        tk.select("source", F.explode("t").alias("word"))
+        .groupBy(F.col("source").alias("ts"))
+        .agg(F.countDistinct("word").cast("long").alias("vsz"))
+    )
+    srcs = d.select("source").distinct().select(F.col("source").alias("ts"))
+    scored = (
+        ebg.crossJoin(F.broadcast(srcs))
+        .join(
+            cab,
+            ["ts", "prefix", "next_token"],
+            "left",
+        )
+        .join(ca, ["ts", "prefix"], "left")
+        .join(F.broadcast(vs), "ts")
+        .select(
+            F.col("source").alias("eval_source"),
+            F.col("ts").alias("train_source"),
+            "n_occ",
+            (
+                F.round(
+                    F.log(F.coalesce("ca", F.lit(0)) + F.col("vsz")) * 1000000, 0
+                ).cast("long")
+                - F.round(F.log(F.coalesce("cab", F.lit(0)) + 1) * 1000000, 0).cast(
+                    "long"
+                )
+            ).alias("nll_e6"),
+        )
+    )
+    return scored.groupBy("train_source", "eval_source").agg(
+        F.sum("n_occ").cast("long").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum(F.col("n_occ") * F.col("nll_e6")) * F.lit(1.0) / F.sum("n_occ")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("mean_nll"),
+    )

@@ -101,7 +101,7 @@ QUERIES: tuple[str, ...] = (
     "sampled_centroid_training", "bloom_dedup_probe",
     "mmr_diverse_topk", "classifier_calibration_audit",
     "stream_bloom_probe", "kmv_distinct_audit",
-    "isotonic_calibration_map",
+    "isotonic_calibration_map", "domain_shift_matrix",
 )
 
 # name -> (max factor, reason)

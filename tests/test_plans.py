@@ -1399,3 +1399,20 @@ def test_isotonic_map_is_monotone_and_consistent(spark):
     aud = {r.bin: r.frac_pos for r in q_classifier_calibration_audit(spark, SF_DIR).collect()}
     for r in rows:
         assert aud[r.bin] == r.frac_pos
+
+
+def test_domain_shift_matrix_structure(spark):
+    """k x k coverage, no cartesian (the all-models scoring is a
+    broadcast source-list fanout + equi-joins), and the self-fit
+    signal is real: averaged over eval sources, the diagonal NLL is
+    below the off-diagonal mean."""
+    from eventstreamer_spark.operators.indexing import q_domain_shift_matrix
+
+    df = q_domain_shift_matrix(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = df.collect()
+    srcs = {r.train_source for r in rows}
+    assert len(rows) == len(srcs) ** 2
+    diag = [r.mean_nll for r in rows if r.train_source == r.eval_source]
+    off = [r.mean_nll for r in rows if r.train_source != r.eval_source]
+    assert sum(diag) / len(diag) < sum(off) / len(off)
