@@ -2135,3 +2135,132 @@ def q_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability (PSI) drift audit between corpus halves
+# ---------------------------------------------------------------------------
+
+# The drift monitor every production ingest runs between yesterday's
+# corpus and today's: bin a per-doc signal, compare the two
+# populations' bin shares, report the population stability index
+# PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref). Here the split is the
+# deterministic doc_id parity (standing in for the time axis the
+# fixture lacks), the signal is token count in fixed 60-token bands,
+# and shares are Laplace-smoothed ((n_b+1)/(n+B)) so an empty bin
+# contributes a finite term instead of ±inf. Each bin's term rounds to
+# integer nano-units BEFORE the final sum, so the PSI total is an
+# exact integer sum in both engines — no float-summation order to
+# drift (the same discipline as every e6-domain aggregate here).
+
+_PSI_BINS = 10
+
+
+def _psi_bin(engine: str, ntoks: str) -> str:
+    # fixed 60-token bands, clamped. INTEGER division spelled per
+    # engine (duck // vs spark DIV) — a float divide + CAST would bin
+    # differently, because DuckDB's double->BIGINT cast rounds while
+    # Spark's truncates.
+    op = "//" if engine == "duck" else "DIV"
+    return f"LEAST(({ntoks}) {op} 60, {_PSI_BINS - 1})"
+
+
+_PSI_ORACLE = f"""
+WITH nt AS (
+  SELECT doc_id, CAST(len({_TOKS_D}) AS BIGINT) AS n_toks FROM documents
+),
+halves AS (
+  SELECT doc_id % 2 AS half,
+         CAST({_psi_bin("duck", "n_toks")} AS BIGINT) AS bin
+  FROM nt
+),
+cnt0 AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM halves GROUP BY bin
+),
+cnt AS (
+  SELECT s.bin, COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+  FROM (SELECT CAST(unnest(generate_series(0, {_PSI_BINS - 1})) AS BIGINT) AS bin) s
+  LEFT JOIN cnt0 c ON s.bin = c.bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cnt
+),
+terms AS (
+  SELECT c.bin, c.n_ref, c.n_cur,
+         (c.n_ref + 1.0) / (t.t_ref + {_PSI_BINS}.0) AS p_ref,
+         (c.n_cur + 1.0) / (t.t_cur + {_PSI_BINS}.0) AS p_cur
+  FROM cnt c, tot t
+)
+SELECT bin, n_ref, n_cur,
+       floor(p_ref * 1000000 + 0.5) / 1000000.0 AS share_ref,
+       floor(p_cur * 1000000 + 0.5) / 1000000.0 AS share_cur,
+       CAST(round((p_cur - p_ref) * ln(p_cur / p_ref) * 1000000000, 0) AS BIGINT)
+         / 1000000000.0 AS psi_term
+FROM terms
+"""
+
+
+@query("population_drift_audit", oracle=_PSI_ORACLE)
+def q_population_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift audit between the two doc_id-parity halves of the
+    corpus: per fixed 60-token length band, both halves' counts,
+    Laplace-smoothed shares, and the PSI term whose column sum IS the
+    population stability index (rule of thumb: < 0.1 stable, > 0.25
+    investigate — the parity split should sit near 0, making this the
+    null-calibration row a real deployment compares drift against).
+
+    Scale shape: one tokenize-count scan, one {_PSI_BINS}-key
+    conditional-count aggregation (both halves in a single pass — no
+    self-join of the corpus), a broadcast 1-row total. Terms round to
+    integer nano-units per bin before any total, so cross-engine
+    equality is exact."""
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.expr(
+            f"CAST({_psi_bin('spark', f'size({_TOKS_S})')} AS BIGINT)"
+        ).alias("bin"),
+    )
+    cnt0 = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    # full bin spine: empty bins still carry their Laplace mass, so
+    # the share columns each sum to exactly 1 and no term is dropped
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    cnt = spine.join(cnt0, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0).cast("long")).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + F.lit(1.0)) / (F.col("t_ref") + F.lit(float(_PSI_BINS)))).alias("p_ref"),
+        ((F.col("n_cur") + F.lit(1.0)) / (F.col("t_cur") + F.lit(float(_PSI_BINS)))).alias("p_cur"),
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.floor(F.col("p_ref") * 1000000 + F.lit(0.5)) / 1000000.0).alias("share_ref"),
+        (F.floor(F.col("p_cur") * 1000000 + F.lit(0.5)) / 1000000.0).alias("share_cur"),
+        (
+            F.round(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref"))
+                * 1000000000,
+                0,
+            ).cast("long")
+            / 1000000000.0
+        ).alias("psi_term"),
+    )

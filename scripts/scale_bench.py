@@ -102,6 +102,7 @@ QUERIES: tuple[str, ...] = (
     "mmr_diverse_topk", "classifier_calibration_audit",
     "stream_bloom_probe", "kmv_distinct_audit",
     "isotonic_calibration_map", "domain_shift_matrix",
+    "population_drift_audit",
 )
 
 # name -> (max factor, reason)

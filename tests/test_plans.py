@@ -1416,3 +1416,19 @@ def test_domain_shift_matrix_structure(spark):
     diag = [r.mean_nll for r in rows if r.train_source == r.eval_source]
     off = [r.mean_nll for r in rows if r.train_source != r.eval_source]
     assert sum(diag) / len(diag) < sum(off) / len(off)
+
+
+def test_population_drift_null_calibration(spark):
+    """The doc_id-parity split is the null case: PSI must land firmly
+    in the 'stable' band (< 0.1), shares must each sum to ~1, and the
+    plan needs no corpus self-join (single conditional-count pass)."""
+    from eventstreamer_spark.operators.audit import q_population_drift_audit
+
+    df = q_population_drift_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = df.collect()
+    psi = sum(r.psi_term for r in rows)
+    assert 0 <= psi < 0.1, psi
+    assert len(rows) == 10  # full spine, empty bins included
+    assert abs(sum(r.share_ref for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_cur for r in rows) - 1.0) < 1e-4
