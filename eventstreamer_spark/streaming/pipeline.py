@@ -1220,3 +1220,175 @@ def q_stream_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: per-micro-batch PSI against a static reference
+# ---------------------------------------------------------------------------
+
+def _stream_drift_oracle() -> str:
+    from eventstreamer_spark.operators.audit import _PSI_BINS, _psi_bin
+    from eventstreamer_spark.operators.audit import _TOKS_D as _T
+
+    # chunk-exact replay: reference = even docs; odd docs arrive in
+    # chunks keyed (doc_id // 2) % 3; per-chunk PSI over the shared
+    # spine with per-chunk Laplace totals
+    return f"""
+WITH nt AS (
+  SELECT doc_id, CAST({_psi_bin("duck", f"len({_T})")} AS BIGINT) AS bin
+  FROM documents
+),
+ref AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM nt WHERE doc_id % 2 = 0
+  GROUP BY bin
+),
+tref AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref FROM ref),
+cur AS (
+  SELECT (doc_id // 2) % 3 AS chunk, bin, CAST(count(*) AS BIGINT) AS n_cur
+  FROM nt WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+tcur AS (SELECT chunk, CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cur GROUP BY chunk),
+spine AS (
+  SELECT t.chunk, s.bin
+  FROM (SELECT CAST(unnest(generate_series(0, {_PSI_BINS - 1})) AS BIGINT) AS bin) s,
+       (SELECT DISTINCT chunk FROM cur) t
+),
+terms AS (
+  SELECT sp.chunk,
+         (COALESCE(r.n_ref, 0) + 1.0) / (tr.t_ref + {_PSI_BINS}.0) AS p_ref,
+         (COALESCE(c.n_cur, 0) + 1.0) / (tc.t_cur + {_PSI_BINS}.0) AS p_cur
+  FROM spine sp
+  LEFT JOIN ref r ON sp.bin = r.bin
+  LEFT JOIN cur c ON sp.chunk = c.chunk AND sp.bin = c.bin
+  JOIN tcur tc ON tc.chunk = sp.chunk
+  CROSS JOIN tref tr
+)
+SELECT CAST(t.chunk AS BIGINT) AS chunk, tc.t_cur AS n_docs,
+       CAST(sum(CAST(round((t.p_cur - t.p_ref) * ln(t.p_cur / t.p_ref)
+                           * 1000000000, 0) AS BIGINT)) AS BIGINT)
+         / 1000000000.0 AS psi
+FROM terms t JOIN tcur tc ON tc.chunk = t.chunk
+GROUP BY t.chunk, tc.t_cur
+"""
+
+
+@query("stream_drift_monitor", oracle=_stream_drift_oracle())
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """population_drift_audit's live twin: the odd-doc_id half of the
+    corpus arrives as three micro-batches (chunk = (doc_id // 2) % 3),
+    each batch's token-length bin counts aggregate in-stream (keyed
+    state = chunks x {10} bins, absolutely bounded), and the per-batch
+    PSI against the STATIC even-half reference is assembled from the
+    sink counts over the full bin spine — the monitor a production
+    ingest keeps on every arriving batch, with the same
+    integer-nano-unit term discipline as the batch audit (exact
+    cross-engine equality, shared _psi_bin rule).
+
+    State story: unlike the sessionization streams there is no
+    watermark here because the aggregation key space is constant
+    (chunk, bin) — state cannot grow with data, only with bins."""
+    import glob
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.operators.audit import _PSI_BINS, _psi_bin
+    from eventstreamer_spark.operators.audit import _TOKS_S as _TS
+    from eventstreamer_spark.session import configure
+    from eventstreamer_spark.sources.tables import load_table
+
+    configure(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    binned = docs.select(
+        "doc_id",
+        F.expr(f"CAST({_psi_bin('spark', f'size({_TS})')} AS BIGINT)").alias("bin"),
+    )
+    ref = (
+        binned.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+        .localCheckpoint(eager=True)  # the static reference profile
+    )
+    cur_docs = binned.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "bin", (F.expr("doc_id DIV 2") % 3).cast("long").alias("chunk")
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_drift_")
+    try:
+        staging = f"{chunk_dir}/_stage"
+        cur_docs.withColumn("b", F.col("chunk").cast("int")).repartition(
+            "b"
+        ).write.mode("overwrite").partitionBy("b").parquet(staging)
+        base = 1_600_000_000
+        for i in range(3):
+            parts = sorted(glob.glob(f"{staging}/b={i}/part-*.parquet"))
+            for j, p in enumerate(parts):
+                dest = f"{chunk_dir}/chunk-{i:03d}-{j:02d}.parquet"
+                shutil.move(p, dest)
+                os.utime(dest, (base + i * 60, base + i * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        schema = spark.read.parquet(chunk_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        counts = stream.groupBy("chunk", "bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cur")
+        )
+        run_to_memory(counts, "drift_sink", mode="update")
+        t = spark.table("drift_sink")
+        # one emission per (chunk, bin) — a chunk lives in one trigger;
+        # keep the max defensively (counts only ever grow within a key)
+        cur = t.groupBy("chunk", "bin").agg(F.max("n_cur").alias("n_cur"))
+
+        tref = ref.agg(F.sum("n_ref").cast("long").alias("t_ref"))
+        tcur = cur.groupBy("chunk").agg(F.sum("n_cur").cast("long").alias("t_cur"))
+        # the chunk domain is static (3 residues) — building the spine
+        # from ranges avoids a self-join back into the sink lineage
+        # (which trips Spark's conflicting-attribute check); chunks
+        # with no docs fall out at the inner tcur join
+        spine = (
+            spark.range(3)
+            .select(F.col("id").cast("long").alias("chunk"))
+            .crossJoin(
+                F.broadcast(
+                    spark.range(_PSI_BINS).select(
+                        F.col("id").cast("long").alias("bin")
+                    )
+                )
+            )
+        )
+        terms = (
+            spine.join(F.broadcast(ref), "bin", "left")
+            .join(cur, ["chunk", "bin"], "left")
+            .join(F.broadcast(tcur), "chunk")
+            .crossJoin(F.broadcast(tref))
+            .select(
+                "chunk",
+                "t_cur",
+                (
+                    (F.coalesce("n_ref", F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_ref") + F.lit(float(_PSI_BINS)))
+                ).alias("p_ref"),
+                (
+                    (F.coalesce("n_cur", F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_cur") + F.lit(float(_PSI_BINS)))
+                ).alias("p_cur"),
+            )
+        )
+        return terms.groupBy("chunk", "t_cur").agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("p_cur") - F.col("p_ref"))
+                        * F.log(F.col("p_cur") / F.col("p_ref"))
+                        * 1000000000,
+                        0,
+                    ).cast("long")
+                ).cast("long")
+                / 1000000000.0
+            ).alias("psi")
+        ).select("chunk", F.col("t_cur").alias("n_docs"), "psi")
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -102,7 +102,7 @@ QUERIES: tuple[str, ...] = (
     "mmr_diverse_topk", "classifier_calibration_audit",
     "stream_bloom_probe", "kmv_distinct_audit",
     "isotonic_calibration_map", "domain_shift_matrix",
-    "population_drift_audit",
+    "population_drift_audit", "stream_drift_monitor",
 )
 
 # name -> (max factor, reason)

@@ -1432,3 +1432,15 @@ def test_population_drift_null_calibration(spark):
     assert len(rows) == 10  # full spine, empty bins included
     assert abs(sum(r.share_ref for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.share_cur for r in rows) - 1.0) < 1e-4
+
+
+def test_stream_drift_monitor_bounded_state(spark):
+    """Per-batch PSI rows for every non-empty chunk; bounded keyed
+    state (chunk x bin); each PSI in a sane band for the parity-split
+    null case at micro-batch sample sizes."""
+    from eventstreamer_spark.streaming.pipeline import q_stream_drift_monitor
+
+    rows = q_stream_drift_monitor(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(0 <= r.psi < 0.5 for r in rows)
+    assert sum(r.n_docs for r in rows) > 0
