@@ -1037,3 +1037,122 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_types").over(w).cast("long").alias("cum_types"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption training pairs (T5-style denoising objective)
+# ---------------------------------------------------------------------------
+
+# The training-task generation step a pretraining pipeline runs after
+# curation: each document yields an (input, target) pair where two
+# deterministic token spans are replaced by sentinels in the input and
+# concatenated after their sentinels in the target (Raffel et al.
+# 2020 §3.1.4 layout). Span starts are md5-seeded from the doc_id —
+# reproducible shuffling-free sampling, the same determinism rule as
+# every sampler here — and the two spans are confined to disjoint
+# document halves so they can never overlap. Docs shorter than
+# {_SC_MIN} tokens are unusable for this objective and drop out.
+
+_SC_SPAN = 3  # tokens per corrupted span
+_SC_MIN = 2 * (_SC_SPAN + 2)  # each half must fit a span with slack
+
+
+def _sc_start(i: int, engine: str, half: str) -> str:
+    """1-based span start within a half of width {half}: md5(doc_id:i)
+    mod (half - span), guarded positive."""
+    seed = f"concat(CAST(doc_id AS STRING), ':{i}')" if engine == "spark" else f"(doc_id || ':{i}')"
+    if engine == "spark":
+        h = f"CAST(conv(substring(md5({seed}), 1, 12), 16, 10) AS BIGINT)"
+    else:
+        h = f"CAST('0x' || substring(md5({seed}), 1, 12) AS BIGINT)"
+    return f"(1 + ({h} % GREATEST({half} - {_SC_SPAN}, 1)))"
+
+
+def _sc_exprs(engine: str):
+    """(s0, s1) start expressions over columns doc_id / nt (token count)."""
+    half = f"(nt DIV 2)" if engine == "spark" else "(nt // 2)"
+    s0 = _sc_start(0, engine, half)
+    s1 = f"({half} + {_sc_start(1, engine, half)})"
+    return s0, s1
+
+
+_SC_ORACLE_S0, _SC_ORACLE_S1 = _sc_exprs("duck")
+
+_SC_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt FROM tk
+  WHERE len(t) >= {_SC_MIN}
+),
+pos AS (
+  SELECT doc_id, t, nt,
+         {_SC_ORACLE_S0} AS s0, {_SC_ORACLE_S1} AS s1
+  FROM base
+)
+SELECT doc_id, nt AS n_toks,
+       CAST(s0 AS BIGINT) AS span0_start, CAST(s1 AS BIGINT) AS span1_start,
+       array_to_string(list_filter(list_transform(generate_series(1, CAST(nt AS INT)),
+         i -> CASE WHEN i = s0 THEN '<extra_id_0>'
+                   WHEN i = s1 THEN '<extra_id_1>'
+                   WHEN (i > s0 AND i < s0 + {_SC_SPAN})
+                     OR (i > s1 AND i < s1 + {_SC_SPAN}) THEN NULL
+                   ELSE t[i] END), x -> x IS NOT NULL), ' ') AS input_text,
+       concat_ws(' ', '<extra_id_0>',
+         array_to_string(list_transform(generate_series(0, {_SC_SPAN - 1}),
+           j -> t[CAST(s0 + j AS INT)]), ' '),
+         '<extra_id_1>',
+         array_to_string(list_transform(generate_series(0, {_SC_SPAN - 1}),
+           j -> t[CAST(s1 + j AS INT)]), ' ')) AS target_text
+FROM pos
+"""
+
+
+@query("span_corruption_pairs", oracle=_SC_ORACLE)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pairs: per doc, two md5-seeded
+    {_SC_SPAN}-token spans (one per document half, disjoint by
+    construction) are cut from the input behind <extra_id_k>
+    sentinels and emitted as the target sequence.
+
+    Scale shape: pure row-local projection over one corpus scan —
+    tokenize, two integer start computations, one masked rebuild.
+    No shuffle, no join, no state: the generation step adds nothing
+    to the pipeline's scale envelope (it is the cheapest stage a
+    pretraining pipeline runs, and the plan shows it)."""
+    s0, s1 = _sc_exprs("spark")
+    base = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKS_S).alias("t"))
+        .withColumn("nt", F.expr("CAST(size(t) AS BIGINT)"))
+        .filter(F.col("nt") >= _SC_MIN)
+    )
+    pos = base.select(
+        "doc_id", "t", "nt",
+        F.expr(s0).alias("s0"), F.expr(s1).alias("s1"),
+    )
+    input_text = F.expr(
+        f"concat_ws(' ', filter(transform(sequence(1, CAST(nt AS INT)), "
+        f"i -> CASE WHEN i = s0 THEN '<extra_id_0>' "
+        f"WHEN i = s1 THEN '<extra_id_1>' "
+        f"WHEN (i > s0 AND i < s0 + {_SC_SPAN}) "
+        f"OR (i > s1 AND i < s1 + {_SC_SPAN}) THEN NULL "
+        f"ELSE element_at(t, i) END), x -> x IS NOT NULL))"
+    )
+    target_text = F.expr(
+        f"concat_ws(' ', '<extra_id_0>', "
+        f"concat_ws(' ', transform(sequence(0, {_SC_SPAN - 1}), "
+        f"j -> element_at(t, CAST(s0 + j AS INT)))), "
+        f"'<extra_id_1>', "
+        f"concat_ws(' ', transform(sequence(0, {_SC_SPAN - 1}), "
+        f"j -> element_at(t, CAST(s1 + j AS INT)))))"
+    )
+    return pos.select(
+        "doc_id",
+        F.col("nt").alias("n_toks"),
+        F.col("s0").cast("long").alias("span0_start"),
+        F.col("s1").cast("long").alias("span1_start"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

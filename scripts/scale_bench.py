@@ -103,6 +103,7 @@ QUERIES: tuple[str, ...] = (
     "stream_bloom_probe", "kmv_distinct_audit",
     "isotonic_calibration_map", "domain_shift_matrix",
     "population_drift_audit", "stream_drift_monitor",
+    "span_corruption_pairs",
 )
 
 # name -> (max factor, reason)

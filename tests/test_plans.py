@@ -1444,3 +1444,19 @@ def test_stream_drift_monitor_bounded_state(spark):
     assert len(rows) == 3
     assert all(0 <= r.psi < 0.5 for r in rows)
     assert sum(r.n_docs for r in rows) > 0
+
+
+def test_span_corruption_rowlocal_plan(spark):
+    """Pure projection: no Exchange at all (row-local generation),
+    and the invariant that input + target token multisets reassemble
+    the original document."""
+    from eventstreamer_spark.operators.text import q_span_corruption_pairs
+    from eventstreamer_spark.plans import count_exchanges
+
+    df = q_span_corruption_pairs(spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    r = df.orderBy("doc_id").first()
+    inp = [t for t in r.input_text.split(" ") if not t.startswith("<extra_id_")]
+    tgt = [t for t in r.target_text.split(" ") if not t.startswith("<extra_id_")]
+    assert len(inp) + len(tgt) == r.n_toks
+    assert len(tgt) == 6  # two 3-token spans
