@@ -1816,3 +1816,162 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "relevance double, mmr_score double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index staleness: the recall price of not retraining after ingest
+# ---------------------------------------------------------------------------
+
+# The production ANN maintenance question: after a batch lands, you
+# re-ASSIGN new vectors to the existing (stale) centroids — O(batch)
+# — but retraining the codebook is an O(corpus) rebuild you schedule
+# rarely. This audit measures what that deferral costs: centroids
+# trained on the 80% base vs retrained on the full corpus, the FULL
+# corpus assigned to both, the same nprobe search run against both
+# index layouts, recall@k scored against the exact top-k. The gap
+# between the two rows is the staleness price at +25% ingest.
+
+_STALE_BASE_PRED = "vec_id % 5 != 4"  # the 80% base; 5k+4 is the new batch
+
+
+def _stale_search_duck(pref: str) -> str:
+    """Per-variant probe-search WITH-parts over the shared full-corpus
+    ``fembq`` and the ``{pref}cent`` centroid table; final CTE
+    ``{pref}top`` = (query_id, neighbor_id)."""
+    qcos_c = H.qcosine_duck("e.uq", "c.cq")
+    return f"""{pref}centq AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM {pref}cent
+),
+{pref}fsc AS (
+  SELECT e.vec_id, e.uq, c.c_label, round({qcos_c}, 5) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({qcos_c}, 5) DESC, c.c_label) AS rn
+  FROM fembq e CROSS JOIN {pref}centq c
+),
+{pref}asg AS (SELECT vec_id, uq, c_label FROM {pref}fsc WHERE rn = 1),
+{pref}prb AS (
+  SELECT vec_id AS query_id, uq AS q_uq, c_label
+  FROM {pref}fsc WHERE {QUERY_FILTER} AND rn <= {NPROBE}
+),
+{pref}prs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({H.qcosine_duck("p.q_uq", "a.uq")}, 5) AS cosine
+  FROM {pref}prb p JOIN {pref}asg a
+    ON p.c_label = a.c_label AND a.vec_id != p.query_id
+),
+{pref}top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM {pref}prs
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+_STALE_SRC = "(SELECT * FROM embeddings WHERE vec_id % 5 != 4) AS base_src"
+# BOTH variants use k = ceil(sqrt(n_full)): with adaptive per-slice k
+# the stale index would have fewer cells, a larger scan fraction at
+# fixed nprobe, and recall differences would conflate staleness with
+# scan budget (measured: 16-cell stale BEAT 23-cell retrained 0.40 vs
+# 0.26 before this was pinned). Equal k isolates the training-set
+# effect, which is the question the audit asks.
+_STALE_SEED = _ADAPTIVE_SEED_DUCK
+
+
+def _stale_variant_row(pref: str, name: str) -> str:
+    return f"""SELECT '{name}' AS variant,
+  (SELECT CAST(count(*) AS BIGINT) FROM {pref}cent) AS n_cells,
+  (SELECT CAST(count(*) AS BIGINT) FROM {pref}top t JOIN btr b
+     ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id) AS n_hit,
+  (SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth"""
+
+
+_STALENESS_ORACLE = f"""
+WITH {_ivf_centroids_duck(seed=_STALE_SEED, pref="st", src=_STALE_SRC)},
+{_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK, pref="fr")},
+fembq AS (SELECT vec_id, uq FROM frembq),
+{_stale_search_duck("st")},
+{_stale_search_duck("fr")},
+btr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({H.qcosine_duck("q.uq", "e2.uq")}, 5) DESC, e2.vec_id)
+             AS rank
+    FROM (SELECT * FROM fembq WHERE {QUERY_FILTER}) q
+    JOIN fembq e2 ON q.vec_id != e2.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT variant, n_cells, n_hit, n_truth,
+       floor(n_hit * 1000000.0 / n_truth + 0.5) / 1000000.0 AS recall_at_k
+FROM ({_stale_variant_row("st", "stale")}
+      UNION ALL
+      {_stale_variant_row("fr", "retrained")})
+"""
+
+
+@query("ivf_staleness_audit", oracle=_STALENESS_ORACLE)
+def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-vs-retrained IVF recall audit (see the section comment):
+    'stale' = adaptive-⌈√n⌉ centroids trained on the 80% base with the
+    20% batch only ASSIGNED (the O(batch) maintenance path);
+    'retrained' = the full-corpus rebuild. Both serve the same nprobe
+    search over the full corpus; recall@{TOP_K} against the exact
+    top-k quantifies the deferral price.
+
+    Scale shape: both Lloyd builds are the standard two-shuffle
+    iteration on their training slice; the searches are broadcast
+    probe joins touching nprobe/k of the corpus; the quantized full
+    corpus materializes ONCE behind a checkpoint and feeds training,
+    both assignments, both searches, and the truth kernel. The exact
+    ground truth is O(q·n) BY CONTRACT — audit tier, like every
+    recall report here (x10-capped in the scale harness)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.expr(_STALE_BASE_PRED))
+    kf = int(math.ceil(math.sqrt(e.count())))  # one k for both variants
+    kb = kf
+    embq_full = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    embq_base = embq_full.filter(F.expr(_STALE_BASE_PRED))
+    cent_stale = ivf_centroids_iterated(
+        base.withColumn("label", F.col("vec_id") % F.lit(kb)), embq=embq_base
+    )
+    cent_fresh = ivf_centroids_iterated(
+        e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq=embq_full
+    )
+    truth = brute_topk(embq_full).select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+
+    def variant(cent: DataFrame, name: str) -> DataFrame:
+        found = ivf_topk(e, embq_full, cent=cent).select("query_id", "neighbor_id")
+        hit = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        cells = cent.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        return (
+            hit.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(cells))
+            .select(
+                F.lit(name).alias("variant"),
+                "n_cells",
+                "n_hit",
+                "n_truth",
+                (
+                    F.floor(
+                        F.col("n_hit") * F.lit(1000000.0) / F.col("n_truth")
+                        + F.lit(0.5)
+                    )
+                    / 1000000.0
+                ).alias("recall_at_k"),
+            )
+        )
+
+    return variant(cent_stale, "stale").unionByName(variant(cent_fresh, "retrained"))

@@ -1460,3 +1460,18 @@ def test_span_corruption_rowlocal_plan(spark):
     tgt = [t for t in r.target_text.split(" ") if not t.startswith("<extra_id_")]
     assert len(inp) + len(tgt) == r.n_toks
     assert len(tgt) == 6  # two 3-token spans
+
+
+def test_ivf_staleness_equal_k_contract(spark):
+    """Both variants must index into the SAME number of cells (the
+    equal-k pin that keeps scan fraction out of the comparison), with
+    sane recall bounds and no cartesian in the composed plan."""
+    from eventstreamer_spark.operators.similarity import q_ivf_staleness_audit
+
+    df = q_ivf_staleness_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = {r.variant: r for r in df.collect()}
+    assert set(rows) == {"stale", "retrained"}
+    assert rows["stale"].n_cells == rows["retrained"].n_cells
+    for r in rows.values():
+        assert 0 <= r.recall_at_k <= 1 and r.n_truth > 0
