@@ -1975,3 +1975,178 @@ def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return variant(cent_stale, "stale").unionByName(variant(cent_fresh, "retrained"))
+
+
+# ---------------------------------------------------------------------------
+# nprobe sweep: the recall / scan-cost Pareto curve from ONE build
+# ---------------------------------------------------------------------------
+
+# The tuning table every IVF deployment reads before picking nprobe:
+# recall@k and scanned-candidate count at nprobe = 1, 2, 4, 8 — from
+# a SINGLE centroid build and a SINGLE corpus probe join (candidates
+# gathered once at the deepest level and tagged with their probe
+# rank; each sweep level is then a filter + re-rank over that bounded
+# pair table, not another corpus pass).
+
+_SWEEP_LEVELS = (1, 2, 4, 8)
+
+
+def _sweep_duck() -> str:
+    levels = ", ".join(f"({p})" for p in _SWEEP_LEVELS)
+    qcos_c = H.qcosine_duck("e.uq", "c.cq")
+    return f"""
+WITH {_ivf_centroids_duck(seed=_ADAPTIVE_SEED_DUCK)},
+fembq AS (SELECT vec_id, uq FROM embq),
+centq AS (
+  SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
+),
+fsc AS (
+  SELECT e.vec_id, e.uq, c.c_label, round({qcos_c}, 5) AS cosine,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({qcos_c}, 5) DESC, c.c_label) AS rn
+  FROM fembq e CROSS JOIN centq c
+),
+asg AS (SELECT vec_id, uq, c_label FROM fsc WHERE rn = 1),
+prb AS (
+  SELECT vec_id AS query_id, uq AS q_uq, c_label, rn AS probe_rn
+  FROM fsc WHERE {QUERY_FILTER} AND rn <= {max(_SWEEP_LEVELS)}
+),
+cand AS MATERIALIZED (
+  SELECT p.query_id, p.probe_rn, a.vec_id AS neighbor_id,
+         round({H.qcosine_duck("p.q_uq", "a.uq")}, 5) AS cosine
+  FROM prb p JOIN asg a
+    ON p.c_label = a.c_label AND a.vec_id != p.query_id
+),
+lv AS (SELECT * FROM (VALUES {levels}) AS t(nprobe)),
+leveled AS (
+  SELECT l.nprobe, c.query_id, c.neighbor_id, c.cosine
+  FROM cand c JOIN lv l ON c.probe_rn <= l.nprobe
+),
+topk AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY nprobe, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM leveled
+  ) WHERE rank <= {TOP_K}
+),
+btr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({H.qcosine_duck("q.uq", "e2.uq")}, 5) DESC, e2.vec_id)
+             AS rank
+    FROM (SELECT * FROM fembq WHERE {QUERY_FILTER}) q
+    JOIN fembq e2 ON q.vec_id != e2.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+scans AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM leveled GROUP BY nprobe
+),
+hits AS (
+  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hit
+  FROM topk t JOIN btr b
+    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY t.nprobe
+)
+SELECT CAST(s.nprobe AS BIGINT) AS nprobe, s.n_candidates,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       (SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth,
+       floor(COALESCE(h.n_hit, 0) * 1000000.0
+             / (SELECT count(*) FROM btr) + 0.5) / 1000000.0 AS recall_at_k
+FROM scans s LEFT JOIN hits h ON s.nprobe = h.nprobe
+"""
+
+
+_SWEEP_ORACLE = _sweep_duck()
+
+
+@query("ivf_nprobe_sweep", oracle=_SWEEP_ORACLE)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} and scanned-candidate count at nprobe ∈
+    {_SWEEP_LEVELS} — the Pareto table that prices the recall/scan
+    trade before a deployment pins nprobe.
+
+    Scale shape: ONE adaptive-⌈√n⌉ build, ONE probe join at the
+    deepest level with each candidate tagged by its probe rank; the
+    four sweep levels are filters + re-ranks over that bounded pair
+    table (a broadcast 4-row level join), never additional corpus
+    passes. Exact ground truth is the audit-tier O(q·n) contract
+    shared by every recall report (x10-capped in the harness)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kf = int(math.ceil(math.sqrt(e.count())))
+    embq = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        .localCheckpoint(eager=False)
+    )
+    cent = ivf_centroids_iterated(
+        e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq=embq
+    )
+    scored = _score_centroids(embq, cent, max_rank=max(_SWEEP_LEVELS)).localCheckpoint(
+        eager=False
+    )
+    asg = scored.filter(F.col("rn") == 1).select("vec_id", "uq", "c_label")
+    prb = scored.filter(
+        F.expr(QUERY_FILTER) & (F.col("rn") <= max(_SWEEP_LEVELS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uq").alias("q_uq"),
+        "c_label",
+        F.col("rn").alias("probe_rn"),
+    )
+    cand = (
+        F.broadcast(prb)
+        .join(asg, (prb["c_label"] == asg["c_label"]) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            "probe_rn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(H.qcosine_expr("q_uq", "uq"), 5).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # four sweep levels re-read it
+    )
+    lv = spark.createDataFrame([(p,) for p in _SWEEP_LEVELS], "nprobe long")
+    leveled = cand.join(F.broadcast(lv), F.col("probe_rn") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        leveled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    truth = brute_topk(embq).select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+    scans = leveled.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        scans.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            "n_truth",
+            (
+                F.floor(
+                    F.coalesce("n_hit", F.lit(0).cast("long"))
+                    * F.lit(1000000.0)
+                    / F.col("n_truth")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("recall_at_k"),
+        )
+    )

@@ -103,7 +103,7 @@ QUERIES: tuple[str, ...] = (
     "stream_bloom_probe", "kmv_distinct_audit",
     "isotonic_calibration_map", "domain_shift_matrix",
     "population_drift_audit", "stream_drift_monitor",
-    "span_corruption_pairs", "ivf_staleness_audit",
+    "span_corruption_pairs", "ivf_staleness_audit", "ivf_nprobe_sweep",
 )
 
 # name -> (max factor, reason)
@@ -118,6 +118,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "funnel_recall_at_k": (10, "exact brute-force ground truth plus two O(q x n) coarse scans by contract (recall audit tier)"),
     "stream_ann_topk": (10, "complete-mode memory sink holds every query's gathered candidates during the gate run; production serving emits per-batch and keeps no cross-batch state"),
     "ivf_staleness_audit": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the two IVF searches it scores scale separately"),
+    "ivf_nprobe_sweep": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the swept searches scale separately"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and

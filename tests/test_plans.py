@@ -1475,3 +1475,18 @@ def test_ivf_staleness_equal_k_contract(spark):
     assert rows["stale"].n_cells == rows["retrained"].n_cells
     for r in rows.values():
         assert 0 <= r.recall_at_k <= 1 and r.n_truth > 0
+
+
+def test_nprobe_sweep_monotone_single_build(spark):
+    """Recall and scan cost must both rise monotonically with nprobe,
+    from ONE candidate join (the level fanout is a broadcast 4-row
+    join over the checkpointed pair table, no extra corpus pass)."""
+    from eventstreamer_spark.operators.similarity import q_ivf_nprobe_sweep
+
+    df = q_ivf_nprobe_sweep(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = sorted(df.collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates < b.n_candidates
+        assert a.recall_at_k <= b.recall_at_k
