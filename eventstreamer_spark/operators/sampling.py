@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.registry import query
-from eventstreamer_spark.sources.tables import load_table
+from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
 TRAIN_MAX = "cc"  # first 2 md5 hex chars < 'cc' → train  (204/256)
 VAL_MAX = "e6"  # < 'e6' → val (26/256), else test (26/256)
@@ -778,4 +778,103 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "hard_rank",
         "n_cluster",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sharded writer skew audit
+# ---------------------------------------------------------------------------
+
+# The writer-balance question every sharded output answers before a
+# 1000-executor run: hash docs into W shards and measure how uneven
+# the shard token totals come out — max/mean is the straggler factor
+# (the slowest writer's overwork), CV the overall dispersion (theory
+# for iid docs: CV ≈ sqrt((1 + cv_len²) / docs_per_shard), so a
+# measured CV far above that means hot keys, not bad luck). Exact
+# integer shard totals in both engines; the derived ratios use one
+# fixed double-formula order so they match bit-for-bit.
+
+SHARD_W = 64
+
+
+def _shard_id(engine: str) -> str:
+    if engine == "spark":
+        return (
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+            f" AS BIGINT) % {SHARD_W}"
+        )
+    return (
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+        f" % {SHARD_W}"
+    )
+
+
+_SHARD_SKEW_ORACLE = f"""
+WITH sh AS (
+  SELECT {_shard_id("duck")} AS shard,
+         CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS toks
+  FROM sh GROUP BY shard
+)
+SELECT CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(min(toks) AS BIGINT) AS min_shard_tokens,
+       CAST(max(toks) AS BIGINT) AS max_shard_tokens,
+       CAST(floor(CAST(sum(toks) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_shard_tokens,
+       floor(CAST(max(toks) AS DOUBLE) * count(*) * 1000000
+             / CAST(sum(toks) AS DOUBLE) + 0.5) / 1000000.0 AS straggler_ratio,
+       floor(sqrt(CAST(sum(toks * toks) AS DOUBLE) / count(*)
+                  - (CAST(sum(toks) AS DOUBLE) / count(*))
+                    * (CAST(sum(toks) AS DOUBLE) / count(*)))
+             * count(*) * 1000000 / CAST(sum(toks) AS DOUBLE) + 0.5)
+         / 1000000.0 AS cv
+FROM per
+"""
+
+
+@query("shard_skew_audit", oracle=_SHARD_SKEW_ORACLE)
+def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-shard skew for an md5 hash split into {SHARD_W} shards:
+    one row with shard token extrema, the straggler factor
+    (max/mean), and the CV of shard totals — the balance report read
+    before committing to a shard count at scale.
+
+    Scale shape: one {SHARD_W}-key aggregation with map-side combine,
+    then a 1-group reduce over {SHARD_W} rows. All shard totals are
+    exact integers; the ratio/CV doubles use a single fixed formula
+    order (population variance from Σx and Σx², both int64-exact) so
+    the engines agree exactly."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.expr(_shard_id("spark")).alias("shard"),
+            F.size(H.tokens_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("toks"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    stoks = F.sum("toks").cast("double")
+    mean = stoks / cnt
+    var = F.sum(F.col("toks") * F.col("toks")).cast("double") / cnt - mean * mean
+    return per.agg(
+        cnt.cast("long").alias("n_shards"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("toks").cast("long").alias("min_shard_tokens"),
+        F.max("toks").cast("long").alias("max_shard_tokens"),
+        F.floor(mean + F.lit(0.5)).cast("long").alias("mean_shard_tokens"),
+        (
+            F.floor(F.max("toks").cast("double") * cnt * 1000000 / stoks + F.lit(0.5))
+            / 1000000.0
+        ).alias("straggler_ratio"),
+        (
+            F.floor(F.sqrt(var) * cnt * 1000000 / stoks + F.lit(0.5)) / 1000000.0
+        ).alias("cv"),
     )

@@ -104,6 +104,7 @@ QUERIES: tuple[str, ...] = (
     "isotonic_calibration_map", "domain_shift_matrix",
     "population_drift_audit", "stream_drift_monitor",
     "span_corruption_pairs", "ivf_staleness_audit", "ivf_nprobe_sweep",
+    "shard_skew_audit",
 )
 
 # name -> (max factor, reason)

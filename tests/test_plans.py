@@ -1490,3 +1490,16 @@ def test_nprobe_sweep_monotone_single_build(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.n_candidates < b.n_candidates
         assert a.recall_at_k <= b.recall_at_k
+
+
+def test_shard_skew_audit_sanity(spark):
+    """One aggregation pass, full shard coverage, internally
+    consistent extrema (min <= mean <= max, straggler = max/mean)."""
+    from eventstreamer_spark.operators.sampling import q_shard_skew_audit
+
+    df = q_shard_skew_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    r = df.collect()[0]
+    assert r.min_shard_tokens <= r.mean_shard_tokens <= r.max_shard_tokens
+    assert r.straggler_ratio >= 1.0
+    assert 0 <= r.cv < 2.0
