@@ -974,3 +974,143 @@ def q_domain_shift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mean_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Robertson–Spärck Jones / Okapi)
+# ---------------------------------------------------------------------------
+
+# The lexical complement to the ANN family: more-like-this retrieval
+# where each query doc's 4 RAREST tokens (min df, the discriminative
+# ones) probe the inverted postings and candidates score under
+# Okapi BM25 (k1 = 1.2, b = 0.75). Per-(term, doc) contributions are
+# integer-rounded to 1e-6 BEFORE the per-doc sum — the house rule
+# that removes float-summation order from the cross-engine contract —
+# and only docs sharing a query term are ever touched (the lexical
+# WHO-prune; the corpus never scans per query).
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_QTERMS = 4
+BM25_TOP = 10
+_BM25_QPRED = "doc_id % 100 = 0"
+
+
+def _bm25_term_e6(engine: str) -> str:
+    """Integer-rounded BM25 contribution of one (term, doc) row.
+    Columns: tf, dlen (doc tokens), df, with scalars n_docs & avglen.
+    Identical text in both engines (ln/round exist in both)."""
+    idf = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    tfn = (
+        f"(tf * ({BM25_K1} + 1.0)) / "
+        f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dlen / avglen))"
+    )
+    expr = f"round(({idf}) * ({tfn}) * 1000000, 0)"
+    return f"CAST({expr} AS BIGINT)"
+
+
+_BM25_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen FROM tk),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dlen) AS DOUBLE) / count(*) AS avglen
+  FROM dl
+),
+qt AS (
+  SELECT doc_id AS query_id, tok FROM (
+    SELECT f.doc_id, f.tok,
+           row_number() OVER (PARTITION BY f.doc_id ORDER BY d.df, f.tok) AS rn
+    FROM tf f JOIN df d ON f.tok = d.tok
+    WHERE f.doc_id % 100 = 0
+  ) WHERE rn <= {BM25_QTERMS}
+),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         {_bm25_term_e6("duck")} AS term_e6
+  FROM qt q
+  JOIN tf f ON q.tok = f.tok AND f.doc_id != q.query_id
+  JOIN dl l ON f.doc_id = l.doc_id
+  JOIN df d ON q.tok = d.tok
+  CROSS JOIN stats s
+  -- the shared term generator references tf/dlen/df/n_docs/avglen as
+  -- bare names; each resolves uniquely from f/l/d/s here
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(term_e6) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score_e6 / 1000000.0 AS bm25, rank
+FROM ranked WHERE rank <= {BM25_TOP}
+"""
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 more-like-this top-{BM25_TOP} (see section comment).
+
+    Scale shape: tf/df/doc-length tables are the standard index-build
+    aggregations (one shuffle each, map-side combined); the query side
+    is a bounded (queries x {BM25_QTERMS}) term table that BROADCASTS
+    into the postings equi-join on token, so scoring touches only the
+    postings of query terms — never a corpus scan per query. The
+    1-row (N, avglen) stats broadcast; per-doc scores aggregate
+    integer contributions."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.expr(_TOKS_S).alias("t"))
+    tf = (
+        tk.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df, query terms, postings
+    )
+    dl = tk.select("doc_id", F.size("t").cast("long").alias("dlen"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avglen"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    qt = (
+        tf.filter(F.expr(_BM25_QPRED))
+        .join(df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_QTERMS)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+    )
+    contrib = (
+        F.broadcast(qt)
+        .join(tf, (qt["tok"] == tf["tok"]) & (F.col("doc_id") != F.col("query_id")))
+        .drop(tf["tok"])
+        .join(dl, "doc_id")
+        .join(df, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_bm25_term_e6("spark")).alias("term_e6"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("term_e6").cast("long").alias("score_e6")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("score_e6") / F.lit(1000000.0)).alias("bm25"),
+            "rank",
+        )
+    )

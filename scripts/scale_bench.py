@@ -104,7 +104,7 @@ QUERIES: tuple[str, ...] = (
     "isotonic_calibration_map", "domain_shift_matrix",
     "population_drift_audit", "stream_drift_monitor",
     "span_corruption_pairs", "ivf_staleness_audit", "ivf_nprobe_sweep",
-    "shard_skew_audit",
+    "shard_skew_audit", "bm25_topk",
 )
 
 # name -> (max factor, reason)

@@ -1503,3 +1503,22 @@ def test_shard_skew_audit_sanity(spark):
     assert r.min_shard_tokens <= r.mean_shard_tokens <= r.max_shard_tokens
     assert r.straggler_ratio >= 1.0
     assert 0 <= r.cv < 2.0
+
+
+def test_bm25_probe_only_plan(spark):
+    """The query-term table must broadcast into the postings join (no
+    cartesian, BroadcastHashJoin present) and ranks must be dense per
+    query with positive scores for rank-1 hits."""
+    from eventstreamer_spark.operators.indexing import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    per = {}
+    for r in df.collect():
+        per.setdefault(r.query_id, []).append(r)
+    assert per
+    for qid, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert max(x.bm25 for x in rs) == next(x.bm25 for x in rs if x.rank == 1)
