@@ -1089,12 +1089,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(df, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BM25_QTERMS)
-        .select(F.col("doc_id").alias("query_id"), "tok")
+        # distinct key name: qt shares tf's lineage, and a qt.tok ==
+        # tf.tok predicate would resolve to the same attribute (Spark
+        # logs 'trivially true equals predicate' and rewrites it)
+        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
     )
     contrib = (
         F.broadcast(qt)
-        .join(tf, (qt["tok"] == tf["tok"]) & (F.col("doc_id") != F.col("query_id")))
-        .drop(tf["tok"])
+        .join(tf, (F.col("qtok") == tf["tok"]) & (F.col("doc_id") != F.col("query_id")))
+        .drop("qtok")
         .join(dl, "doc_id")
         .join(df, "tok")
         .crossJoin(F.broadcast(stats))
