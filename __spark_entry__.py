@@ -234,6 +234,28 @@ _GREEN_R8 = frozenset({
     'interevent_gap_stats',
 })
 
+# r09 (all 50 rows hash-green, CORRECTNESS_r09.json): the 17 round-9
+# additions + the stalest r4/r5-era greens that window re-proved.
+_GREEN_R9 = frozenset({
+    'activity_histogram', 'anti_join_no_big_orders', 'asof_join_events_orders',
+    'band_range_join', 'bloom_dedup_probe', 'bm25_topk', 'broadcast_dim_join',
+    'classifier_calibration_audit', 'correlation_stats', 'cube_lineitem',
+    'decile_value_share', 'distinct_pairs', 'domain_shift_matrix',
+    'event_transition_matrix', 'exact_percentiles', 'first_touch_attribution',
+    'funnel_analysis', 'gini_value_concentration', 'grouping_sets_events',
+    'isotonic_calibration_map', 'ivf_nprobe_sweep', 'ivf_staleness_audit',
+    'ivfadc_residual_topk', 'json_extraction', 'kmv_distinct_audit',
+    'latest_event_per_user', 'left_outer_join_orders', 'median_abs_deviation',
+    'mmr_diverse_topk', 'ntile_customer_balance', 'paragraph_dedup_rewrite',
+    'pivot_event_values', 'population_drift_audit', 'pricing_summary',
+    'rollup_orders', 'salted_skew_join', 'sampled_centroid_training',
+    'scalar_functions', 'semi_join_big_spenders', 'set_operations',
+    'shard_skew_audit', 'span_corruption_pairs', 'star_join_revenue',
+    'stream_bloom_probe', 'stream_drift_monitor', 'topk_customers',
+    'topk_per_group', 'trimmed_mean_stats', 'window_analytics_extended',
+    'window_functions_orders',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -245,6 +267,7 @@ for _round, _names in (
     (6, _GREEN_R6),
     (7, _GREEN_R7),
     (8, _GREEN_R8),
+    (9, _GREEN_R9),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round

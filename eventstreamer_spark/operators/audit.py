@@ -2085,9 +2085,9 @@ FROM kth, ex
 def q_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch over the corpus 3-shingle universe
     (the minhash feature domain), audited:
-    the k = {KMV_K} smallest 48-bit md5 prefixes of the DISTINCT
+    the k = 256 smallest 48-bit md5 prefixes of the DISTINCT
     tokens give estimate (k-1)/u_k, reported beside the exact distinct
-    count with the measured relative error (theory: ~1/sqrt(k-2) ≈ 6%%
+    count with the measured relative error (theory: ~1/sqrt(k-2) ≈ 6%
     at one sigma).
 
     Scale shape: the distinct pass is one hash aggregation with

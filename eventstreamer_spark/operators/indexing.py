@@ -889,7 +889,8 @@ scored AS (
 )
 SELECT train_source, eval_source,
        CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
-       floor(sum(n_occ * nll_e6) * 1.0 / sum(n_occ) + 0.5) / 1000000.0
+       floor(sum(CAST(n_occ AS DOUBLE) * CAST(nll_e6 AS DOUBLE))
+             / sum(n_occ) + 0.5) / 1000000.0
          AS mean_nll
 FROM scored GROUP BY 1, 2
 """
@@ -901,7 +902,10 @@ def q_domain_shift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     LMs, every source's bigram stream scored under every model (mean
     NLL in micro-nats, occurrence-weighted). See the module comment
     for why the diagonal/off-diagonal structure is the domain-mixing
-    signal.
+    signal. The occurrence-weighted NLL sum accumulates in the DOUBLE
+    domain in BOTH engines (int64 n_occ*nll_e6 would wrap silently in
+    Spark past ~4.6e11 bigrams per source pair while DuckDB widens;
+    below 2^53 the double terms and sums are still exact).
 
     Scale shape: bigram counts aggregate per (source, pair) FIRST
     (map-side combine; one row per distinct pair per source), the
@@ -968,7 +972,8 @@ def q_domain_shift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_occ").cast("long").alias("n_bigrams"),
         (
             F.floor(
-                F.sum(F.col("n_occ") * F.col("nll_e6")) * F.lit(1.0) / F.sum("n_occ")
+                F.sum(F.col("n_occ").cast("double") * F.col("nll_e6").cast("double"))
+                / F.sum("n_occ")
                 + F.lit(0.5)
             )
             / 1000000.0

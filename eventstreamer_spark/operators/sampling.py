@@ -827,7 +827,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_shards,
        CAST(floor(CAST(sum(toks) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_shard_tokens,
        floor(CAST(max(toks) AS DOUBLE) * count(*) * 1000000
              / CAST(sum(toks) AS DOUBLE) + 0.5) / 1000000.0 AS straggler_ratio,
-       floor(sqrt(CAST(sum(toks * toks) AS DOUBLE) / count(*)
+       floor(sqrt(sum(CAST(toks AS DOUBLE) * CAST(toks AS DOUBLE)) / count(*)
                   - (CAST(sum(toks) AS DOUBLE) / count(*))
                     * (CAST(sum(toks) AS DOUBLE) / count(*)))
              * count(*) * 1000000 / CAST(sum(toks) AS DOUBLE) + 0.5)
@@ -838,16 +838,19 @@ FROM per
 
 @query("shard_skew_audit", oracle=_SHARD_SKEW_ORACLE)
 def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Writer-shard skew for an md5 hash split into {SHARD_W} shards:
+    """Writer-shard skew for an md5 hash split into 64 shards:
     one row with shard token extrema, the straggler factor
     (max/mean), and the CV of shard totals — the balance report read
     before committing to a shard count at scale.
 
-    Scale shape: one {SHARD_W}-key aggregation with map-side combine,
-    then a 1-group reduce over {SHARD_W} rows. All shard totals are
+    Scale shape: one 64-key aggregation with map-side combine,
+    then a 1-group reduce over 64 rows. All shard totals are
     exact integers; the ratio/CV doubles use a single fixed formula
-    order (population variance from Σx and Σx², both int64-exact) so
-    the engines agree exactly."""
+    order (population variance from Σx and Σx², with toks cast to
+    DOUBLE before squaring in BOTH engines — int64 x*x would wrap
+    silently in Spark past ~3e9 tokens/shard while DuckDB raises;
+    below 2^53 the double terms and the 64-row sum are still exact)
+    so the engines agree exactly."""
     d = load_table_parallel(spark, sf_dir, "documents")
     per = (
         d.select(
@@ -863,7 +866,8 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     stoks = F.sum("toks").cast("double")
     mean = stoks / cnt
-    var = F.sum(F.col("toks") * F.col("toks")).cast("double") / cnt - mean * mean
+    toks_d = F.col("toks").cast("double")
+    var = F.sum(toks_d * toks_d) / cnt - mean * mean
     return per.agg(
         cnt.cast("long").alias("n_shards"),
         F.sum("n_docs").cast("long").alias("n_docs"),

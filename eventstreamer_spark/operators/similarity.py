@@ -1767,7 +1767,7 @@ _MMR_ORACLE = _mmr_oracle()
 
 @query("mmr_diverse_topk", oracle=_MMR_ORACLE)
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-{MMR_K}: SRP multi-probe LSH candidates
+    """MMR-diversified top-8: SRP multi-probe LSH candidates
     (same broadcast probe-side explode + single bucket equi-join as
     ann_lsh_topk — the corpus never shuffles), top-{MMR_CAND} by exact
     integer dot per query, then the greedy λ=0.7 MMR selection runs
@@ -1778,7 +1778,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank group is absolutely bounded, so the pandas kernel is
     O(k·N·dim) per query regardless of corpus size. The greedy chain
     is integer-exact (int64 dots, ×10 λ domain), replayed step-for-
-    step by the oracle's unrolled {MMR_K}-stage SQL."""
+    step by the oracle's unrolled 8-stage SQL."""
     e = (
         H.with_quantized_unit(
             load_table_parallel(spark, sf_dir, "embeddings"),
@@ -1917,7 +1917,7 @@ def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     'stale' = adaptive-⌈√n⌉ centroids trained on the 80% base with the
     20% batch only ASSIGNED (the O(batch) maintenance path);
     'retrained' = the full-corpus rebuild. Both serve the same nprobe
-    search over the full corpus; recall@{TOP_K} against the exact
+    search over the full corpus; recall@10 against the exact
     top-k quantifies the deferral price.
 
     Scale shape: both Lloyd builds are the standard two-shuffle
@@ -2064,7 +2064,7 @@ _SWEEP_ORACLE = _sweep_duck()
 
 @query("ivf_nprobe_sweep", oracle=_SWEEP_ORACLE)
 def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} and scanned-candidate count at nprobe ∈
+    """Recall@10 and scanned-candidate count at nprobe ∈
     {_SWEEP_LEVELS} — the Pareto table that prices the recall/scan
     trade before a deployment pins nprobe.
 

@@ -1277,7 +1277,7 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """population_drift_audit's live twin: the odd-doc_id half of the
     corpus arrives as three micro-batches (chunk = (doc_id // 2) % 3),
     each batch's token-length bin counts aggregate in-stream (keyed
-    state = chunks x {10} bins, absolutely bounded), and the per-batch
+    state = chunks x 10 bins, absolutely bounded), and the per-batch
     PSI against the STATIC even-half reference is assembled from the
     sink counts over the full bin spine — the monitor a production
     ingest keeps on every arriving batch, with the same
