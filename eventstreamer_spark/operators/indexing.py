@@ -1080,9 +1080,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk.select("doc_id", F.explode("t").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds df, query terms, postings
+        # EAGER: feeds df, query terms, AND the postings join — the lazy
+        # variant re-entered the tokenize+explode+agg chain per consumer
+        # (the same lazy-ckpt pattern measured losing in corpus_build)
+        .localCheckpoint(eager=True)
     )
-    dl = tk.select("doc_id", F.size("t").cast("long").alias("dlen"))
+    # dlen == sum of term frequencies, so doc lengths come from the
+    # checkpointed postings — the corpus never tokenizes a second time
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1096,16 +1101,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_QTERMS)
         # distinct key name: qt shares tf's lineage, and a qt.tok ==
         # tf.tok predicate would resolve to the same attribute (Spark
-        # logs 'trivially true equals predicate' and rewrites it)
-        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
+        # logs 'trivially true equals predicate' and rewrites it).
+        # df rides along: it is a function of the token alone, so the
+        # postings side never needs its own df join.
+        .select(
+            F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"), "df"
+        )
+        # the 1-row (n_docs, avglen) stats ride the same broadcast: one
+        # blocking build-side job instead of two
+        .crossJoin(stats)
     )
     contrib = (
         F.broadcast(qt)
         .join(tf, (F.col("qtok") == tf["tok"]) & (F.col("doc_id") != F.col("query_id")))
         .drop("qtok")
         .join(dl, "doc_id")
-        .join(df, "tok")
-        .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", F.expr(_bm25_term_e6("spark")).alias("term_e6"))
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(

@@ -667,20 +667,25 @@ def q_sampled_centroid_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
-    k = int(math.ceil(math.sqrt(e.count())))
-    embq = (
-        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+    # quantize WITHOUT the zero-norm drop so the checkpointed count
+    # equals the raw count the oracle's ceil(sqrt(count(*))) uses; the
+    # count() sizes k in the same action that materializes the lazy
+    # checkpoint (the former separate e.count() parquet-scan job), and
+    # the sampled slice filters the SAME checkpoint instead of paying a
+    # second tokenize/quantize pass (row-local quantization commutes
+    # with the filter; the Lloyd TRAINING still re-runs in full — the
+    # bench-honesty line covers training, not re-quantization)
+    embq_all = (
+        H.with_quantized_unit(e, "embedding", "uq")
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
+    k = int(math.ceil(math.sqrt(embq_all.count())))
+    embq = embq_all.filter(F.expr("uq[0] IS NOT NULL"))
     seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
     cent_f = ivf_centroids_for(spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}")
     train = e.filter(F.expr(_SAMPLED_TRAIN_PRED))
-    embq_s = (
-        H.with_quantized_unit(train, "embedding", "uq", drop_zero_norm=True)
-        .select("vec_id", "uq")
-        .localCheckpoint(eager=False)
-    )
+    embq_s = embq.filter(F.expr(_SAMPLED_TRAIN_PRED))
     seeded_s = train.withColumn("label", F.col("vec_id") % F.lit(k))
     cent_s = ivf_centroids_iterated(seeded_s, embq=embq_s)
     cos5 = F.expr("CAST(round(cosine * 100000, 0) AS BIGINT)")
@@ -690,7 +695,11 @@ def q_sampled_centroid_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = _score_centroids(embq, cent_s).select(
         "vec_id", F.col("c_label").alias("cs"), cos5.alias("c5s")
     )
-    tr = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    # train-slice count from the checkpoint, not a fresh parquet scan
+    # (embq_all keeps every raw row, so the counts agree exactly)
+    tr = embq_all.filter(F.expr(_SAMPLED_TRAIN_PRED)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
 
     def f6(col):
         return F.floor(col + F.lit(0.5)) / F.lit(1000000.0)
@@ -1931,50 +1940,84 @@ def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.filter(F.expr(_STALE_BASE_PRED))
-    kf = int(math.ceil(math.sqrt(e.count())))  # one k for both variants
-    kb = kf
-    embq_full = (
-        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+    # quantize WITHOUT the zero-norm drop so the checkpointed row count
+    # equals the raw table count the oracle's ceil(sqrt(count(*))) uses;
+    # the count() below materializes the lazy checkpoint AND sizes k in
+    # the same action (the former separate e.count() parquet-scan job)
+    embq_all = (
+        H.with_quantized_unit(e, "embedding", "uq")
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
+    kf = int(math.ceil(math.sqrt(embq_all.count())))  # one k for both variants
+    kb = kf
+    # numpy kernels downstream cannot take NULL elements — the filter
+    # mirrors with_quantized_unit(drop_zero_norm=True) post-checkpoint
+    embq_full = embq_all.filter(F.expr("uq[0] IS NOT NULL"))
     embq_base = embq_full.filter(F.expr(_STALE_BASE_PRED))
-    cent_stale = ivf_centroids_iterated(
-        base.withColumn("label", F.col("vec_id") % F.lit(kb)), embq=embq_base
+
+    # Each variant's converged k-row centroid table is COLLECTED once
+    # and re-created as a literal DataFrame (the driver-sized k×dim
+    # collect every distributed k-means build performs — same contract
+    # as ivf_centroids_for's memo, but per-invocation so both TRAINING
+    # runs still execute in full). Without this, every consumer of the
+    # centroid chain (the search's scoring collect, the cell count)
+    # re-ran the final Lloyd aggregation from the checkpoint.
+    def built(seeded: DataFrame, embq_t: DataFrame) -> tuple[DataFrame, int]:
+        chain = ivf_centroids_iterated(seeded, embq=embq_t)
+        rows = chain.collect()
+        return spark.createDataFrame(rows, chain.schema), len(rows)
+
+    cent_stale, n_cells_stale = built(
+        base.withColumn("label", F.col("vec_id") % F.lit(kb)), embq_base
     )
-    cent_fresh = ivf_centroids_iterated(
-        e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq=embq_full
+    cent_fresh, n_cells_fresh = built(
+        e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq_full
     )
     truth = brute_topk(embq_full).select("query_id", "neighbor_id").localCheckpoint(
         eager=False
     )
 
-    def variant(cent: DataFrame, name: str) -> DataFrame:
-        found = ivf_topk(e, embq_full, cent=cent).select("query_id", "neighbor_id")
-        hit = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_hit")
-        )
-        tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-        cells = cent.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    # ONE assembly job: both searches union under a variant tag, ONE
+    # truth join grouped by variant, and the shared n_truth rides a
+    # 1-row broadcast (the former shape ran 2 hit aggs + 4
+    # broadcast-build jobs).
+    def found(cent: DataFrame, name: str) -> DataFrame:
         return (
-            hit.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(cells))
-            .select(
-                F.lit(name).alias("variant"),
-                "n_cells",
-                "n_hit",
-                "n_truth",
-                (
-                    F.floor(
-                        F.col("n_hit") * F.lit(1000000.0) / F.col("n_truth")
-                        + F.lit(0.5)
-                    )
-                    / 1000000.0
-                ).alias("recall_at_k"),
-            )
+            ivf_topk(e, embq_full, cent=cent)
+            .select("query_id", "neighbor_id")
+            .withColumn("variant", F.lit(name))
         )
 
-    return variant(cent_stale, "stale").unionByName(variant(cent_fresh, "retrained"))
+    hits = (
+        truth.join(
+            found(cent_stale, "stale").unionByName(found(cent_fresh, "retrained")),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    cells = spark.createDataFrame(
+        [("stale", n_cells_stale), ("retrained", n_cells_fresh)],
+        "variant string, n_cells long",
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        cells.join(hits, "variant")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            "n_cells",
+            "n_hit",
+            "n_truth",
+            (
+                F.floor(
+                    F.col("n_hit") * F.lit(1000000.0) / F.col("n_truth") + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("recall_at_k"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2077,12 +2120,16 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
-    kf = int(math.ceil(math.sqrt(e.count())))
-    embq = (
-        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+    # k sizes from the count() that also materializes the quantization
+    # checkpoint (all-rows quantize == the oracle's raw count; the
+    # zero-norm drop happens post-checkpoint — see ivf_staleness_audit)
+    embq_all = (
+        H.with_quantized_unit(e, "embedding", "uq")
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
+    kf = int(math.ceil(math.sqrt(embq_all.count())))
+    embq = embq_all.filter(F.expr("uq[0] IS NOT NULL"))
     cent = ivf_centroids_iterated(
         e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq=embq
     )
