@@ -1461,16 +1461,18 @@ def pq_search_parts(
     return e, qlut, codes
 
 
-def _adc_rank_topk(pairs: DataFrame) -> DataFrame:
+def _adc_rank_topk(pairs: DataFrame, k: int = PQ_TOP_K) -> DataFrame:
     """(query_id, neighbor_id, sl, cvec) candidate pairs -> ADC-scored
-    per-query top-k (the shared tail of the full scan and IVF-PQ)."""
+    per-query top-k (the shared tail of the full scan and IVF-PQ).
+    ``k`` widens the cut for shortlist consumers (the exact re-rank
+    keeps the coarse top-RERANK_M)."""
     dists = pairs.select(
         "query_id", "neighbor_id", F.expr(_ADC_DIST_S).alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= PQ_TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
 
@@ -1642,8 +1644,11 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (query, probed cell): the query's residual against THAT cell's
 # centroid, scored against the shared residual codebook.
 
-_IVFADC_RES_ORACLE = f"""
-WITH {_PQS_PART},
+# The full residual chain through `riranked` (every candidate ranked
+# by residual-ADC distance) — shared by the standalone top-k oracle,
+# the re-rank oracle (top-M shortlist) and the recall grid, so the
+# coarse stage cannot drift between them.
+_IVFADC_RES_CHAIN = f"""{_PQS_PART},
 {_ivf_cent_duck(seed=_SQRT_SEED_DUCK)},
 centqf AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
@@ -1718,19 +1723,31 @@ riranked AS (
            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
          ) AS BIGINT) AS rank
   FROM ridists
-)
+)"""
+
+_IVFADC_RES_ORACLE = f"""
+WITH {_IVFADC_RES_CHAIN}
 SELECT query_id, neighbor_id, adc_dist, rank
 FROM riranked WHERE rank <= {PQ_TOP_K}
 """
 
 
 def ivfadc_residual_topk(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = False
-) -> DataFrame:
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool = False,
+    k: int = PQ_TOP_K,
+    with_fullv: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Residual-encoded IVFADC search; see q_ivfadc_residual_topk for
     semantics. ``checkpoint=True`` hides the build behind lazy
     localCheckpoints so a composing consumer's plan (the recall audit)
-    stays Generate-free and never replays the build."""
+    stays Generate-free and never replays the build. ``k`` widens the
+    per-query cut for shortlist consumers; ``with_fullv=True`` also
+    returns the (vec_id, v64) exact integer component arrays the
+    re-rank stage scores against — gathered from the SAME ``sub``
+    component pass as the residual build, so coarse and refine stages
+    read one corpus decomposition."""
     import math
 
     from eventstreamer_spark.operators.similarity import (
@@ -1744,9 +1761,11 @@ def ivfadc_residual_topk(
         .select("vec_id", "uq")
         .localCheckpoint(eager=False)
     )
-    k = int(math.ceil(math.sqrt(e.count())))
-    seeded = e.withColumn("label", F.col("vec_id") % F.lit(k))
-    cent = ivf_centroids_for(spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{k}")
+    kcells = int(math.ceil(math.sqrt(e.count())))
+    seeded = e.withColumn("label", F.col("vec_id") % F.lit(kcells))
+    cent = ivf_centroids_for(
+        spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{kcells}"
+    )
     scored = _score_centroids(embq, cent, max_rank=_IVF_NPROBE).localCheckpoint(
         eager=False
     )
@@ -1854,7 +1873,17 @@ def ivfadc_residual_topk(
     pairs = cand.join(F.broadcast(qclut), ["query_id", "c_label"]).select(
         "query_id", "neighbor_id", "sl", "cvec"
     )
-    return _adc_rank_topk(pairs)
+    top = _adc_rank_topk(pairs, k=k)
+    if not with_fullv:
+        return top
+    fullv = sub.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, p, v6))), e -> e.v6)"
+        ).alias("v64")
+    )
+    if checkpoint:
+        fullv = fullv.localCheckpoint(eager=False)
+    return top, fullv
 
 
 @query("ivfadc_residual_topk", oracle=_IVFADC_RES_ORACLE)
@@ -1881,6 +1910,116 @@ def q_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical chain: shared _PQS_PART + IVF CTEs + the parameterized
     _pq_train_duck trainer on (rpqs, rpqv)."""
     return ivfadc_residual_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# PQ shortlist -> exact re-rank: the refinement stage (Jégou §V)
+# ---------------------------------------------------------------------------
+
+# The one standard retrieval stage the ladder was missing (VERDICT r9
+# item 2): the compressed index answers cheaply but coarsely, so a
+# production search takes the IVFADC coarse top-m (m = RERANK_M ≈ 4×k)
+# and re-ranks those m survivors with FULL-precision distances — the
+# refinement step of Jégou, Douze & Schmid 2011 (§V / the "re-rank
+# with source coding" follow-up). Recall@1 recovers most of what the
+# 4-bit codes lost while the exact math touches only q·m vectors,
+# never the corpus.
+
+RERANK_M = 4 * PQ_TOP_K  # coarse survivors per query
+
+# Exact integer L2 between two gathered v6 component arrays —
+# identical fold in both engines (exact int64: |v6| <= ~1e6 so the
+# 64-dim sum of squared diffs stays far below 2^63).
+_RERANK_L2_S = (
+    "CAST(aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), "
+    "0L, (acc, z) -> acc + z) AS BIGINT)"
+)
+_RERANK_L2_D = (
+    f"CAST(list_sum(list_transform(generate_series(1, {H.EMB_DIM}), "
+    "i -> (q.v64[i] - n.v64[i]) * (q.v64[i] - n.v64[i]))) AS BIGINT)"
+)
+
+# Shared rerank WITH-parts over the residual chain's `riranked` and the
+# component table `pqs` (both in scope wherever _IVFADC_RES_CHAIN is).
+_RERANK_PARTS = f"""rshort AS (
+  SELECT query_id, neighbor_id FROM riranked WHERE rank <= {RERANK_M}
+),
+fullv AS MATERIALIZED (
+  SELECT vec_id, list(v6 ORDER BY s, p) AS v64 FROM pqs GROUP BY vec_id
+),
+rrd AS (
+  SELECT s.query_id, s.neighbor_id, {_RERANK_L2_D} AS exact_l2
+  FROM rshort s
+  JOIN fullv q ON q.vec_id = s.query_id
+  JOIN fullv n ON n.vec_id = s.neighbor_id
+),
+rrk AS (
+  SELECT query_id, neighbor_id, exact_l2,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY exact_l2, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM rrd
+)"""
+
+_PQ_RERANK_ORACLE = f"""
+WITH {_IVFADC_RES_CHAIN},
+{_RERANK_PARTS}
+SELECT query_id, neighbor_id, exact_l2, rank
+FROM rrk WHERE rank <= {PQ_TOP_K}
+"""
+
+
+def _pq_exact_rerank(short: DataFrame, fullv: DataFrame) -> DataFrame:
+    """Coarse shortlist (query_id, neighbor_id) + exact component
+    arrays (vec_id, v64) -> full-precision integer-L2 top-k. The
+    bounded q×m shortlist BROADCASTS into both fullv equi-joins, so
+    the corpus vectors never shuffle for the refine stage."""
+    qv = fullv.alias("qf").select(
+        F.col("vec_id").alias("query_id"), F.col("v64").alias("qv")
+    )
+    nv = fullv.alias("nf").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v64").alias("nv")
+    )
+    exact = (
+        F.broadcast(short.select("query_id", "neighbor_id"))
+        .join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", F.expr(_RERANK_L2_S).alias("exact_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_l2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "exact_l2", "rank")
+    )
+
+
+@query("pq_rerank_topk", oracle=_PQ_RERANK_ORACLE)
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC coarse top-{m} -> full-precision exact re-rank top-k:
+    the refinement stage of Jégou et al. 2011 §V that completes the
+    compression ladder (build -> compress -> serve -> tune -> REFINE).
+    The residual-ADC search keeps its {m}-deep shortlist instead of
+    cutting at k, then the m survivors re-score with the exact int64
+    L2 between full-precision v6 component arrays and the final top-k
+    ranks on the exact distance — compressed codes decide WHO to look
+    at, full precision decides the ORDER.
+
+    Scale shape: the coarse stage is ivfadc_residual_topk's plan
+    unchanged (broadcast LUTs/codebooks, cell-key candidate join, no
+    q·n term); the refine stage broadcasts the bounded q×m shortlist
+    into two fullv equi-joins (at 100 TB: the full-precision vector
+    store keyed by id — the paper keeps it on disk beside the codes),
+    so exact math touches q·m rows and the corpus never shuffles.
+    Exactness: v6 arrays are gathered from the SAME component pass as
+    the residual build; L2 is an exact int64 fold; ranking ties break
+    (exact_l2, neighbor_id); the oracle replays the shared
+    _IVFADC_RES_CHAIN plus the rerank parts verbatim. pq_recall_at_k
+    measures the lift on the 'pq_rerank' grid row.""".format(m=RERANK_M)
+    short, fullv = ivfadc_residual_topk(
+        spark, sf_dir, k=RERANK_M, with_fullv=True
+    )
+    return _pq_exact_rerank(short, fullv)
 
 
 # ---------------------------------------------------------------------------
@@ -1930,14 +2069,43 @@ FROM (
             AND b.rank = 1) AS hits_at_1,
          (SELECT count(*) FROM brute) AS total,
          (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+  UNION ALL
+  SELECT 'pq_rerank' AS method,
+         (SELECT count(*) FROM rerank i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM rerank i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
 )
 """
+
+# ONE nested evaluation of the residual chain serves BOTH residual
+# rows (DuckDB forbids an inner WITH alias shadowing an outer CTE, so
+# the chain cannot sit at the top level beside the other nested
+# chains): the block emits coarse ranks and rerank ranks stage-tagged,
+# and the grid rows cut it — the same one-build sharing the Spark side
+# does, so neither engine pays the residual build twice.
+_RES_BOTH_SQL = f"""WITH {_IVFADC_RES_CHAIN},
+{_RERANK_PARTS}
+SELECT 'coarse' AS stage, query_id, neighbor_id, rank FROM riranked
+UNION ALL
+SELECT 'rerank' AS stage, query_id, neighbor_id, rank FROM rrk"""
 
 _PQ_RECALL_ORACLE = f"""
 WITH brute AS ({_ANN_BRUTE_ORACLE}),
 adc AS ({_ADC_ORACLE}),
 ivfpq AS ({_IVFPQ_ORACLE}),
-ivfadc AS ({_IVFADC_RES_ORACLE})
+resboth AS MATERIALIZED ({_RES_BOTH_SQL}),
+ivfadc AS (
+  SELECT query_id, neighbor_id FROM resboth
+  WHERE stage = 'coarse' AND rank <= {PQ_TOP_K}
+),
+rerank AS (
+  SELECT query_id, neighbor_id FROM resboth
+  WHERE stage = 'rerank' AND rank <= {PQ_TOP_K}
+)
 {_PQ_RECALL_TAIL}
 """
 
@@ -1986,8 +2154,15 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = ivf_pq_topk(spark, sf_dir, parts=parts)
     # the residual point on the same grid — its own build (residual
     # codes cannot share the raw-code artifacts) behind checkpoints so
-    # the composed plan stays Generate-free
-    ivfadc = ivfadc_residual_topk(spark, sf_dir, checkpoint=True)
+    # the composed plan stays Generate-free. ONE build serves both
+    # residual rows: the RERANK_M-deep shortlist cuts at k for the
+    # 'ivfadc_res' row and feeds the exact re-rank for 'pq_rerank'.
+    shortm, fullv = ivfadc_residual_topk(
+        spark, sf_dir, checkpoint=True, k=RERANK_M, with_fullv=True
+    )
+    shortm = shortm.localCheckpoint(eager=False)  # two consumers below
+    ivfadc = shortm.filter(F.col("rank") <= PQ_TOP_K)
+    rerank = _pq_exact_rerank(shortm, fullv)
 
     def method_hits(name: str, df: DataFrame) -> DataFrame:
         return (
@@ -2006,6 +2181,7 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         method_hits("pq_adc", adc)
         .unionByName(method_hits("ivf_pq", ivfpq))
         .unionByName(method_hits("ivfadc_res", ivfadc))
+        .unionByName(method_hits("pq_rerank", rerank))
     )
 
     def ratio6(num: str, den: str):

@@ -105,6 +105,8 @@ QUERIES: tuple[str, ...] = (
     "population_drift_audit", "stream_drift_monitor",
     "span_corruption_pairs", "ivf_staleness_audit", "ivf_nprobe_sweep",
     "shard_skew_audit", "bm25_topk",
+    # round-10 additions
+    "pq_rerank_topk",
 )
 
 # name -> (max factor, reason)

@@ -1522,3 +1522,35 @@ def test_bm25_probe_only_plan(spark):
     for qid, rs in per.items():
         assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
         assert max(x.bm25 for x in rs) == next(x.bm25 for x in rs if x.rank == 1)
+
+
+def test_pq_rerank_refine_stage(spark):
+    """The refinement stage (Jégou §V): rerank output pairs must be a
+    subset of the coarse RERANK_M shortlist, each query's rank-1 row
+    must carry that query's minimal exact_l2 (catches a swapped qv/nv
+    join), ranks are dense, and the refine joins broadcast (no
+    cartesian; the corpus never shuffles for the exact stage)."""
+    from eventstreamer_spark.operators.audit import (
+        RERANK_M,
+        ivfadc_residual_topk,
+        q_pq_rerank_topk,
+    )
+
+    df = q_pq_rerank_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    rows = df.collect()
+    assert rows
+    short = ivfadc_residual_topk(spark, SF_DIR, k=RERANK_M)
+    allowed = {(r.query_id, r.neighbor_id) for r in short.collect()}
+    per = {}
+    for r in rows:
+        assert (r.query_id, r.neighbor_id) in allowed
+        per.setdefault(r.query_id, []).append(r)
+    for qid, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert min(x.exact_l2 for x in rs) == next(
+            x.exact_l2 for x in rs if x.rank == 1
+        )
