@@ -235,6 +235,139 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# SRP angle calibration: is the sign-bit Hamming distance an angle?
+# ---------------------------------------------------------------------------
+
+# The estimator audit for the SRP-LSH family (the exact analog of
+# minhash_jaccard_calibration for the embedding side): Goemans &
+# Williamson / Charikar give P(sign bit differs) = θ/π, so a pair's
+# 8-bit Hamming distance h implies cos(π·h/8). Per Hamming bucket the
+# report compares that implied cosine against the measured mean exact
+# cosine — the drift check that validates every SRP probe/band route
+# before it prunes a 100 TB corpus.
+
+# round(cos(π·h/8)·1e6) for h = 0..N_PLANES — identical literals in
+# both engines; no trig enters the cross-engine contract.
+_SRP_IMPLIED_COS_E6 = (
+    1000000, 923880, 707107, 382683, 0, -382683, -707107, -923880, -1000000,
+)
+
+_SRP_CAL_QFILTER = "vec_id % 100 = 0"
+
+_SRP_HAM_D = (
+    "CAST(list_sum(list_transform(generate_series(1, 8), "
+    "i -> CASE WHEN substring(q.bucket, i, 1) != substring(e.bucket, i, 1) "
+    "THEN 1 ELSE 0 END)) AS BIGINT)"
+)
+
+_SRP_CAL_ORACLE = f"""
+WITH b AS (
+  SELECT * FROM (
+    SELECT vec_id, {H.quantized_unit_duck("embedding")} AS uq,
+           {H.srp_bucket_duck("embedding")} AS bucket FROM embeddings
+  ) WHERE uq[1] IS NOT NULL
+),
+q AS (SELECT * FROM b WHERE {_SRP_CAL_QFILTER}),
+pairs AS (
+  SELECT {_SRP_HAM_D} AS hamming,
+         CAST(round(round({H.qcosine_duck("q.uq", "e.uq")}, 5) * 100000, 0)
+              AS BIGINT) * 10 AS cos_e6
+  FROM q JOIN b e ON q.vec_id != e.vec_id
+),
+sc AS (
+  SELECT hamming, cos_e6,
+         ([{", ".join(str(c) for c in _SRP_IMPLIED_COS_E6)}])[hamming + 1]
+           AS implied_e6
+  FROM pairs
+)
+SELECT hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(implied_e6 AS DOUBLE) / 1000000.0 AS implied_cos,
+       floor(sum(cos_e6) * 1.0 / count(*) + 0.5) / 1000000.0 AS avg_exact_cos,
+       floor(sum(abs(implied_e6 - cos_e6)) * 1.0 / count(*) + 0.5) / 1000000.0
+         AS mean_abs_err
+FROM sc GROUP BY hamming, implied_e6
+"""
+
+
+@query("srp_angle_calibration", oracle=_SRP_CAL_ORACLE)
+def q_srp_angle_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Hamming-bucket SRP estimator calibration: the implied
+    cosine cos(π·h/planes) vs the measured mean exact cosine and the
+    mean absolute error — the angle-estimator twin of the MinHash
+    jaccard calibration, validating the sign-bit geometry every SRP
+    probe/band prefilter leans on (the ann_recall_at_k docstring's
+    binomial-envelope argument, now as a per-bucket measured table).
+
+    Plan shape: the query subset broadcasts against the corpus (the
+    exact-cosine pass is O(q·n) BY CONTRACT — audit tier like every
+    calibration, x10-capped in the harness); Hamming distance is a
+    row-local 8-char compare; the report is one ≤9-key aggregation.
+    Exactness: implied cosines are inlined integer literals (no trig
+    cross-engine), exact cosines are the rounded-to-5 integer kernel,
+    and both means divide exact integer sums once."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    b = (
+        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    q = b.filter(F.expr(_SRP_CAL_QFILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uq").alias("q_uq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    ham = F.expr(
+        "CAST(aggregate(sequence(1, 8), 0, (acc, i) -> acc + "
+        "IF(substring(q_bucket, i, 1) != substring(bucket, i, 1), 1, 0)) AS BIGINT)"
+    )
+    implied = "array({})".format(", ".join(f"{c}L" for c in _SRP_IMPLIED_COS_E6))
+    pairs = (
+        F.broadcast(q)
+        .join(b, F.col("query_id") != F.col("vec_id"))
+        .select(
+            ham.alias("hamming"),
+            # round AGAIN at 0 decimals before the cast: Spark's cast
+            # truncates while DuckDB's rounds (the binning trap), and
+            # round5*1e5 can sit an ulp under its integer
+            (
+                F.round(F.round(H.qcosine_expr("q_uq", "uq"), 5) * 100000, 0).cast(
+                    "long"
+                )
+                * 10
+            ).alias("cos_e6"),
+        )
+        .withColumn(
+            "implied_e6",
+            F.expr(f"element_at({implied}, CAST(hamming + 1 AS INT))"),
+        )
+    )
+    return (
+        pairs.groupBy("hamming", "implied_e6")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cos_e6").alias("_sc"),
+            F.sum(F.abs(F.col("implied_e6") - F.col("cos_e6"))).alias("_se"),
+        )
+        .select(
+            "hamming",
+            "n_pairs",
+            (F.col("implied_e6").cast("double") / F.lit(1000000.0)).alias(
+                "implied_cos"
+            ),
+            (
+                F.floor(F.col("_sc") * F.lit(1.0) / F.col("n_pairs") + F.lit(0.5))
+                / 1000000.0
+            ).alias("avg_exact_cos"),
+            (
+                F.floor(F.col("_se") * F.lit(1.0) / F.col("n_pairs") + F.lit(0.5))
+                / 1000000.0
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding norm profile (per generating label)
 # ---------------------------------------------------------------------------
 

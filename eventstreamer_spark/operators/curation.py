@@ -1047,3 +1047,118 @@ def q_gumbel_topk_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging: quality-ordered sources packed into token-budget stages
+# ---------------------------------------------------------------------------
+
+# The curriculum-learning assignment every staged pre-training run
+# makes: sources ranked by mean quality score, then greedily packed
+# into N equal token-budget stages (highest quality trains last in
+# the anti-curriculum, first in the curriculum — the ASSIGNMENT is
+# the same; only the consumption order flips). Deterministic: the
+# rank is (mean quality desc, source) and a source belongs to the
+# stage its FIRST token falls in — the sequence_packing rule applied
+# at source grain.
+
+N_CURRICULUM_STAGES = 3
+
+
+def _curriculum_oracle() -> str:
+    from eventstreamer_spark.operators.text import QUALITY_DUCK
+
+    toks = H.TOKENS_DUCK.format(col="text")
+    n = N_CURRICULUM_STAGES
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round({QUALITY_DUCK} * 10, 0) AS BIGINT)) AS BIGINT) AS sq
+  FROM documents GROUP BY source
+),
+o AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sq * 100000.0 / n_docs + 0.5) AS BIGINT) AS meanq_e6
+  FROM per
+),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (
+             ORDER BY meanq_e6 DESC, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+  FROM o
+)
+SELECT source, n_docs, n_tokens,
+       meanq_e6 / 1000000.0 AS mean_quality,
+       CAST(LEAST(((cum - n_tokens) * {n}) // total, {n - 1}) + 1 AS BIGINT)
+         AS stage,
+       floor(cum * 1000000.0 / total + 0.5) / 1000000.0 AS cum_token_share
+FROM c
+"""
+
+
+@query("curriculum_stage_assignment", oracle=_curriculum_oracle())
+def q_curriculum_stage_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered curriculum staging: per source, mean rule-based
+    quality (the shared text.py score), token mass, and the 1..N stage
+    the source packs into when sources are consumed in (quality desc,
+    source) order against equal token budgets — first-token rule, so
+    the assignment is a pure function of the running sum.
+
+    Plan shape: one per-source aggregation over row-local token/quality
+    projections (map-side combined), then two window passes over the
+    HANDFUL of source rows (the k-row table every mixture query here
+    ends in — driver-sized by construction). Quality sums are exact
+    integers in the q10 domain; the stage boundary is integer division
+    (`DIV`/`//`); only the reported mean/share divide once."""
+    from pyspark.sql import Window
+
+    from eventstreamer_spark.operators.text import QUALITY_SPARK
+    from eventstreamer_spark.sources.tables import load_table
+
+    n = N_CURRICULUM_STAGES
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.size(H.tokens_expr("text")).cast("long").alias("n_tok"),
+            F.expr(f"CAST(round({QUALITY_SPARK} * 10, 0) AS BIGINT)").alias("q10"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("q10").cast("long").alias("sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("sq") * F.lit(100000.0) / F.col("n_docs") + F.lit(0.5))
+            .cast("long")
+            .alias("meanq_e6"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("meanq_e6").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = per.withColumn("cum", F.sum("n_tokens").over(w_cum).cast("long")).withColumn(
+        "total", F.sum("n_tokens").over(w_all).cast("long")
+    )
+    return c.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("meanq_e6") / F.lit(1000000.0)).alias("mean_quality"),
+        F.expr(
+            f"CAST(LEAST(((cum - n_tokens) * {n}) DIV total, {n - 1}) + 1 AS BIGINT)"
+        ).alias("stage"),
+        (
+            F.floor(F.col("cum") * F.lit(1000000.0) / F.col("total") + F.lit(0.5))
+            / 1000000.0
+        ).alias("cum_token_share"),
+    )

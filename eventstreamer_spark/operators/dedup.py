@@ -76,6 +76,120 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup savings report: what the exact pass actually buys
+# ---------------------------------------------------------------------------
+
+# The report every corpus build reads after the dedup pass: cluster
+# sizes bucketed into bands, duplicate doc/token totals per band, and
+# each band's share of the corpus token mass — i.e. how many training
+# tokens the keep-one rule reclaims and where they hide (a few huge
+# clusters vs a long tail of pairs). Runs on the same deterministic
+# duplicate-bearing input as exact_dedup so the bands are non-trivial.
+
+_SAVINGS_BAND_D = (
+    "CASE WHEN n_copies = 1 THEN '1' WHEN n_copies = 2 THEN '2' "
+    "WHEN n_copies <= 4 THEN '3-4' WHEN n_copies <= 8 THEN '5-8' "
+    "ELSE '9+' END"
+)
+
+_DEDUP_SAVINGS_ORACLE = f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+per AS (
+  SELECT md5(text) AS content_hash,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(len({H.TOKENS_DUCK.format(col="text")})) AS BIGINT) AS n_tokens
+  FROM doubled GROUP BY md5(text)
+),
+tot AS (
+  SELECT CAST(sum(n_copies * n_tokens) AS BIGINT) AS total_tokens FROM per
+)
+SELECT {_SAVINGS_BAND_D} AS size_band,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_docs,
+       CAST(sum((n_copies - 1) * n_tokens) AS BIGINT) AS dup_tokens,
+       floor(sum((n_copies - 1) * n_tokens) * 1000000.0 / total_tokens + 0.5)
+         / 1000000.0 AS dup_token_share
+FROM per, tot
+GROUP BY 1, total_tokens
+"""
+
+
+@query("dedup_savings_report", oracle=_DEDUP_SAVINGS_ORACLE)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size-banded dedup savings: per band, cluster/doc/dup
+    counts, reclaimed duplicate tokens, and the band's share of the
+    corpus token mass — the "what did dedup buy" report that decides
+    whether the pass pays for itself at 100 TB.
+
+    Plan shape: one digest aggregation (the exact_dedup shuffle,
+    map-side combined; tokens counted row-local before the group so
+    the shuffle carries one int per row, and min() collapses the
+    per-copy identical counts), then a 5-key band aggregation; the
+    1-row corpus total rides a broadcast. All counts exact integers;
+    only the final share divides."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    per = (
+        doubled.select(
+            F.md5(F.col("text").cast("binary")).alias("content_hash"),
+            F.size(H.tokens_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("n_copies") * F.col("n_tokens")).cast("long").alias("total_tokens")
+    )
+    band = F.expr(
+        "CASE WHEN n_copies = 1 THEN '1' WHEN n_copies = 2 THEN '2' "
+        "WHEN n_copies <= 4 THEN '3-4' WHEN n_copies <= 8 THEN '5-8' "
+        "ELSE '9+' END"
+    )
+    return (
+        per.select(
+            band.alias("size_band"),
+            "n_copies",
+            "n_tokens",
+            ((F.col("n_copies") - 1) * F.col("n_tokens")).alias("dup_toks"),
+        )
+        .groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).cast("long").alias("n_dup_docs"),
+            F.sum("dup_toks").cast("long").alias("dup_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "size_band",
+            "n_clusters",
+            "n_docs",
+            "n_dup_docs",
+            "dup_tokens",
+            (
+                F.floor(
+                    F.col("dup_tokens") * F.lit(1000000.0) / F.col("total_tokens")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("dup_token_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 

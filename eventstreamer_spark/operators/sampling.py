@@ -176,6 +176,106 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Packing efficiency audit: what pack-then-slice costs per shard
+# ---------------------------------------------------------------------------
+
+# The two losses every packer trades between: the final chunk's
+# padding (tail waste) and documents straddling a context boundary
+# (whose attention gets truncated mid-doc by the slice). Both are
+# exact integer functions of the same per-shard running sum
+# sequence_packing already computes, reported per language shard so a
+# shard-count decision can read them directly.
+
+_PACK_AUDIT_ORACLE = f"""
+WITH sized AS (
+  SELECT lang, doc_id,
+         CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS start_tok
+  FROM sized
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(ceil(sum(n_tokens) * 1.0 / {CONTEXT_TOKENS}) AS BIGINT) AS n_chunks,
+       CAST(ceil(sum(n_tokens) * 1.0 / {CONTEXT_TOKENS}) * {CONTEXT_TOKENS}
+            - sum(n_tokens) AS BIGINT) AS tail_waste_tokens,
+       floor((CAST(ceil(sum(n_tokens) * 1.0 / {CONTEXT_TOKENS}) AS BIGINT)
+              * {CONTEXT_TOKENS} - sum(n_tokens)) * 1000000.0
+             / (CAST(ceil(sum(n_tokens) * 1.0 / {CONTEXT_TOKENS}) AS BIGINT)
+                * {CONTEXT_TOKENS}) + 0.5) / 1000000.0 AS waste_share,
+       CAST(sum(CASE WHEN n_tokens > 0
+                      AND start_tok // {CONTEXT_TOKENS}
+                          != (start_tok + n_tokens - 1) // {CONTEXT_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_docs,
+       floor(sum(CASE WHEN n_tokens > 0
+                       AND start_tok // {CONTEXT_TOKENS}
+                           != (start_tok + n_tokens - 1) // {CONTEXT_TOKENS}
+                      THEN 1 ELSE 0 END) * 1000000.0 / count(*) + 0.5)
+         / 1000000.0 AS straddle_share
+FROM pos
+GROUP BY lang
+"""
+
+
+@query("packing_efficiency_audit", oracle=_PACK_AUDIT_ORACLE)
+def q_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing losses for the sequence_packing recipe: the
+    final chunk's padding (tail waste = chunks·C − tokens) and the
+    count/share of documents straddling a context boundary (split
+    across training sequences by the slice — the attention-truncation
+    cost that decides between pack-then-slice and padded batching).
+
+    Plan shape: sequence_packing's plan exactly — one shuffle on the
+    shard key, one window running sum, one aggregate. Straddle tests
+    are integer division (`DIV`/`//`, never float-divide-then-cast —
+    the binning trap noted in SURVEY §8f); shares floor-round at 1e-6
+    from exact integer numerators."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(H.tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = sized.withColumn(
+        "start_tok", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    straddle = F.expr(
+        f"CASE WHEN n_tokens > 0 AND start_tok DIV {CONTEXT_TOKENS} "
+        f"!= (start_tok + n_tokens - 1) DIV {CONTEXT_TOKENS} THEN 1 ELSE 0 END"
+    )
+    chunks = F.ceil(F.sum("n_tokens") * F.lit(1.0) / F.lit(CONTEXT_TOKENS)).cast(
+        "long"
+    )
+
+    def share6(num, den):
+        return F.floor(num * F.lit(1000000.0) / den + F.lit(0.5)) / F.lit(1000000.0)
+
+    return pos.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        chunks.alias("n_chunks"),
+        (chunks * CONTEXT_TOKENS - F.sum("n_tokens")).cast("long").alias(
+            "tail_waste_tokens"
+        ),
+        share6(
+            chunks * CONTEXT_TOKENS - F.sum("n_tokens"), chunks * CONTEXT_TOKENS
+        ).alias("waste_share"),
+        F.sum(straddle).cast("long").alias("n_straddle_docs"),
+        share6(F.sum(straddle), F.count(F.lit(1))).alias("straddle_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Source mixture weights (data-mixing recipe)
 # ---------------------------------------------------------------------------
 

@@ -536,6 +536,170 @@ def ivf_topk(e: DataFrame, embq: DataFrame, cent: DataFrame | None = None) -> Da
 
 
 # ---------------------------------------------------------------------------
+# Graded retrieval evaluation: nDCG@k + MRR over the ANN retrievers
+# ---------------------------------------------------------------------------
+
+# Recall@k treats every exact-top-k member as equally valuable; the
+# standard graded measure weights POSITION on both sides: a retrieved
+# item's gain is (k+1 − exact_rank) — 10 for the true nearest
+# neighbor down to 1 for the k-th — and its contribution discounts by
+# 1/log2(retrieved_rank + 1) (Järvelin & Kekäläinen 2002). MRR adds
+# the navigational read: the reciprocal rank of the FIRST relevant
+# hit. Together they complete the eval story the recall grids start:
+# recall says WHETHER the retriever finds truth, nDCG says WHERE it
+# puts it.
+
+# Discount table round(1e6 / log2(rank+1)) for ranks 1..TOP_K — the
+# SAME integer literals inlined in both engines, so no transcendental
+# function enters the cross-engine contract. IDCG is a constant
+# (every query has a full exact top-k): sum of gain·discount over the
+# ideal ordering.
+_NDCG_DISC_E6 = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_IDCG_E6 = sum(
+    (TOP_K + 1 - i) * _NDCG_DISC_E6[i - 1] for i in range(1, TOP_K + 1)
+)
+
+_NDCG_TAIL = f"""
+m AS (
+  SELECT 'exact' AS method, query_id, neighbor_id, rank FROM brute
+  UNION ALL
+  SELECT 'srp_lsh' AS method, query_id, neighbor_id, rank FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id, rank FROM ivf
+),
+per AS (
+  SELECT m.method, m.query_id,
+         CAST(sum(COALESCE({TOP_K} + 1 - b.rank, 0)
+                  * ([{", ".join(str(d) for d in _NDCG_DISC_E6)}])[m.rank])
+              AS BIGINT) AS dcg_e6,
+         min(CASE WHEN b.rank IS NOT NULL THEN m.rank END) AS first_rel
+  FROM m LEFT JOIN brute b
+    ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT method, query_id,
+         CAST(floor(dcg_e6 * 1000000.0 / {_NDCG_IDCG_E6} + 0.5) AS BIGINT)
+           AS ndcg_e6,
+         CAST(CASE WHEN first_rel IS NULL THEN 0
+                   ELSE floor(1000000.0 / first_rel + 0.5) END AS BIGINT)
+           AS rr_e6
+  FROM per
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM brute)
+SELECT method, n AS n_queries,
+       floor(sum(ndcg_e6) * 1.0 / n + 0.5) / 1000000.0 AS mean_ndcg_at_k,
+       floor(sum(rr_e6) * 1.0 / n + 0.5) / 1000000.0 AS mean_mrr
+FROM pq, nq GROUP BY method, n
+"""
+
+_GRADED_EVAL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+lsh AS ({_LSH_ORACLE}),
+ivf AS ({_IVF_SEARCH_ORACLE}),
+{_NDCG_TAIL}
+"""
+
+
+@query("graded_retrieval_eval", oracle=_GRADED_EVAL_ORACLE)
+def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k and MRR for the two approximate ANN retrievers against
+    the exact cosine top-k, plus the 'exact' sanity row (nDCG = MRR =
+    1 by construction — the anchor that pins the metric itself).
+    Graded gain = (k+1 − exact_rank); discount = the inlined integer
+    1e6/log2(rank+1) table; IDCG is the constant ideal sum since every
+    query has a full exact top-k.
+
+    Scale shape: same as ann_recall_at_k — ONE prepared corpus
+    (quantized + SRP buckets, checkpointed) feeds the brute truth and
+    both retrievers; per-query DCG is one aggregation over ≤ 3·q·k
+    joined rows (the bounded retrieved lists, never a corpus term);
+    the exact truth is the audit-tier O(q·n) contract shared by every
+    recall/eval report. Exactness: gains, discounts, DCG and the
+    1e-6-scaled nDCG/RR are integers in both engines; only the final
+    fixed-order mean divides."""
+    raw = load_table_parallel(spark, sf_dir, "embeddings")
+    prepared = (
+        H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    brute = (
+        brute_topk(prepared.select("vec_id", "uq"))
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=False)
+    )
+    methods = (
+        brute.select(F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank")
+        .unionByName(
+            lsh_topk(prepared).select(
+                F.lit("srp_lsh").alias("method"), "query_id", "neighbor_id", "rank"
+            )
+        )
+        .unionByName(
+            ivf_topk(
+                raw,
+                prepared.select("vec_id", "uq"),
+                cent=ivf_centroids_for(
+                    spark, sf_dir, e=raw, embq=prepared.select("vec_id", "uq")
+                ),
+            ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
+        )
+    )
+    disc = "array({})".format(", ".join(f"{d}L" for d in _NDCG_DISC_E6))
+    truth = brute.select(
+        "query_id", "neighbor_id", F.col("rank").alias("truth_rank")
+    )
+    per = (
+        methods.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.lit(TOP_K + 1) - F.col("truth_rank"), F.lit(0))
+                * F.expr(f"element_at({disc}, CAST(rank AS INT))")
+            )
+            .cast("long")
+            .alias("dcg_e6"),
+            F.min(
+                F.when(F.col("truth_rank").isNotNull(), F.col("rank"))
+            ).alias("first_rel"),
+        )
+    )
+    pq = per.select(
+        "method",
+        "query_id",
+        F.floor(
+            F.col("dcg_e6") * F.lit(1000000.0) / F.lit(_NDCG_IDCG_E6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ndcg_e6"),
+        F.when(F.col("first_rel").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.lit(1000000.0) / F.col("first_rel") + F.lit(0.5)).cast("long")
+        )
+        .alias("rr_e6"),
+    )
+    nq = brute.agg(F.countDistinct("query_id").cast("long").alias("n"))
+
+    def mean6(col: str):
+        return F.floor(F.sum(col) * F.lit(1.0) / F.col("n") + F.lit(0.5)) / F.lit(
+            1000000.0
+        )
+
+    return (
+        pq.crossJoin(F.broadcast(nq))
+        .groupBy("method", F.col("n").alias("n_queries"))
+        .agg(
+            mean6("ndcg_e6").alias("mean_ndcg_at_k"),
+            mean6("rr_e6").alias("mean_mrr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Adaptive-k IVF (k = ⌈√n⌉ — the scale rule the fixed-k build documents)
 # ---------------------------------------------------------------------------
 

@@ -106,7 +106,9 @@ QUERIES: tuple[str, ...] = (
     "span_corruption_pairs", "ivf_staleness_audit", "ivf_nprobe_sweep",
     "shard_skew_audit", "bm25_topk",
     # round-10 additions
-    "pq_rerank_topk",
+    "pq_rerank_topk", "graded_retrieval_eval", "dedup_savings_report",
+    "packing_efficiency_audit", "srp_angle_calibration",
+    "curriculum_stage_assignment",
 )
 
 # name -> (max factor, reason)
@@ -122,6 +124,8 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "stream_ann_topk": (10, "complete-mode memory sink holds every query's gathered candidates during the gate run; production serving emits per-batch and keeps no cross-batch state"),
     "ivf_staleness_audit": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the two IVF searches it scores scale separately"),
     "ivf_nprobe_sweep": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the swept searches scale separately"),
+    "graded_retrieval_eval": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the retrievers it grades scale separately"),
+    "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and
