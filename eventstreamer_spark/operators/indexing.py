@@ -1063,17 +1063,16 @@ FROM ranked WHERE rank <= {BM25_TOP}
 """
 
 
-@query("bm25_topk", oracle=_BM25_ORACLE)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 more-like-this top-{BM25_TOP} (see section comment).
-
-    Scale shape: tf/df/doc-length tables are the standard index-build
-    aggregations (one shuffle each, map-side combined); the query side
-    is a bounded (queries x {BM25_QTERMS}) term table that BROADCASTS
-    into the postings equi-join on token, so scoring touches only the
-    postings of query terms — never a corpus scan per query. The
-    1-row (N, avglen) stats broadcast; per-doc scores aggregate
-    integer contributions."""
+def bm25_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf postings, dl doc lengths, qt query-term table): the shared
+    BM25 index build — eager-checkpointed postings feed doc lengths,
+    document frequencies and the query-term selection; qt carries df
+    and the 1-row (n_docs, avglen) stats so consumers never join the
+    corpus-wide df table on the postings side. Shared by the batch
+    retrieval and the streaming serving twin so index and serving
+    cannot drift."""
     d = load_table_parallel(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("t"))
     tf = (
@@ -1111,6 +1110,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blocking build-side job instead of two
         .crossJoin(stats)
     )
+    return tf, dl, qt
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 more-like-this top-{BM25_TOP} (see section comment).
+
+    Scale shape: tf/df/doc-length tables are the standard index-build
+    aggregations (one shuffle each, map-side combined); the query side
+    is a bounded (queries x {BM25_QTERMS}) term table that BROADCASTS
+    into the postings equi-join on token, so scoring touches only the
+    postings of query terms — never a corpus scan per query. The
+    1-row (N, avglen) stats ride the query-term broadcast; per-doc
+    scores aggregate integer contributions."""
+    tf, dl, qt = bm25_parts(spark, sf_dir)
     contrib = (
         F.broadcast(qt)
         .join(tf, (F.col("qtok") == tf["tok"]) & (F.col("doc_id") != F.col("query_id")))
@@ -1132,3 +1146,108 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_STREAM_BM25_CHUNKS = 3
+
+
+@query("stream_bm25_topk", oracle=_BM25_ORACLE)
+def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 SERVING: the query-term table arrives as a LIVE STREAM
+    (three micro-batches) answered against the static postings index —
+    the deploy shape of bm25_topk, extending the serving family
+    (classifier, CMS, ANN, Bloom, drift) with lexical retrieval.
+
+    Plan: the static side is the eager-checkpointed postings table
+    with doc lengths attached ONCE (tf ⋈ dl, materialized before the
+    stream starts — the index build); each micro-batch's query terms
+    (carrying df and the corpus stats, exactly bm25_topk's broadcast
+    payload) stream-static join the postings on the token key, term
+    contributions compute row-locally, and the ONLY streaming state is
+    the per-(query, doc) integer score aggregation (complete mode,
+    bounded by query-term postings — never the corpus). The final
+    top-k ranks as a batch window over the sink, how a serving tier
+    ranks a request's gathered candidates. At 100 TB the static side
+    is the token-bucketed postings table and the stream side stays
+    per-request-sized.
+
+    Oracle: the batch BM25 oracle VERBATIM — the union of the three
+    micro-batches covers the whole query subset and the index is
+    static, so serving and batch can never drift (the same
+    stream==batch discipline as stream_ann_topk)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from eventstreamer_spark.streaming.pipeline import run_to_memory
+
+    tf, dl, qt = bm25_parts(spark, sf_dir)
+    # the served index: postings with doc length attached, materialized
+    # once before the stream starts (tf is already an eager checkpoint;
+    # the join result is the static side of every micro-batch join)
+    post = tf.join(dl, "doc_id").localCheckpoint(eager=True)
+
+    chunk_dir = tempfile.mkdtemp(prefix="es_bm25stream_")
+    try:
+        staging = f"{chunk_dir}/_stage"
+        qt.withColumn(
+            "bb", (F.col("query_id") % _STREAM_BM25_CHUNKS).cast("int")
+        ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(staging)
+        # 0..n part files per residue class tolerated (the stream_ann
+        # contract): each part becomes a chunk; empty residues skip.
+        base = 1_600_000_000
+        chunk_files: list[str] = []
+        for i in range(_STREAM_BM25_CHUNKS):
+            for j, part in enumerate(
+                sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
+            ):
+                dest = f"{chunk_dir}/chunk-{i:03d}-{j:02d}.parquet"
+                shutil.move(part, dest)
+                chunk_files.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not chunk_files:
+            raise ValueError(
+                "stream_bm25_topk: no query documents at this scale factor"
+            )
+        for k, dest in enumerate(chunk_files):
+            os.utime(dest, (base + k * 60, base + k * 60))
+
+        schema = spark.read.parquet(chunk_files[0]).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        contrib = (
+            stream.join(
+                post,
+                (stream["qtok"] == post["tok"])
+                & (post["doc_id"] != stream["query_id"]),
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                F.expr(_bm25_term_e6("spark")).alias("term_e6"),
+            )
+        )
+        scored = contrib.groupBy("query_id", "doc_id").agg(
+            F.sum("term_e6").cast("long").alias("score_e6")
+        )
+        run_to_memory(scored, "bm25_stream_sink", mode="complete")
+        t = spark.table("bm25_stream_sink")
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("score_e6").desc(), F.col("doc_id")
+        )
+        return (
+            t.withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= BM25_TOP)
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("score_e6") / F.lit(1000000.0)).alias("bm25"),
+                "rank",
+            )
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -108,7 +108,7 @@ QUERIES: tuple[str, ...] = (
     # round-10 additions
     "pq_rerank_topk", "graded_retrieval_eval", "dedup_savings_report",
     "packing_efficiency_audit", "srp_angle_calibration",
-    "curriculum_stage_assignment",
+    "curriculum_stage_assignment", "stream_bm25_topk",
 )
 
 # name -> (max factor, reason)

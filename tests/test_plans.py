@@ -1554,3 +1554,30 @@ def test_pq_rerank_refine_stage(spark):
         assert min(x.exact_l2 for x in rs) == next(
             x.exact_l2 for x in rs if x.rank == 1
         )
+
+
+def test_stream_bm25_matches_batch(spark):
+    """The streaming BM25 serving twin must agree with the batch
+    retrieval row-for-row (same index, same query terms — the
+    stream==batch discipline every serving twin here pins), and ranks
+    must be dense per query."""
+    from eventstreamer_spark.operators.indexing import (
+        q_bm25_topk,
+        q_stream_bm25_topk,
+    )
+
+    batch = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in q_bm25_topk(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in q_stream_bm25_topk(spark, SF_DIR).collect()
+    }
+    assert batch == stream
+    assert batch
+    per = {}
+    for qid, _, _, rank in stream:
+        per.setdefault(qid, []).append(rank)
+    for qid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
