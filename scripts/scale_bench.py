@@ -126,6 +126,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "ivf_nprobe_sweep": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the swept searches scale separately"),
     "graded_retrieval_eval": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the retrievers it grades scale separately"),
     "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
+    "stream_bm25_topk": (10, "complete-mode memory sink holds every query's gathered (query, doc) scores during the gate run; production serving emits per-batch and keeps no cross-batch state"),
 }
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and
