@@ -1229,13 +1229,16 @@ def test_ivfadc_residual_plan(spark):
 
 
 def test_pq_recall_includes_residual_point(spark):
-    """The recall grid reports all three compressed retrievers; the
-    residual build rides behind checkpoints so the composed plan
-    stays Generate-free (same invariant as the shared raw build)."""
+    """The recall grid reports all four compressed retrieval points
+    (round 10 added the exact re-rank row); the residual build rides
+    behind checkpoints so the composed plan stays Generate-free (same
+    invariant as the shared raw build)."""
     from eventstreamer_spark.operators.audit import q_pq_recall_at_k
 
     rows = q_pq_recall_at_k(spark, SF_DIR).collect()
-    assert {r.method for r in rows} == {"pq_adc", "ivf_pq", "ivfadc_res"}
+    assert {r.method for r in rows} == {
+        "pq_adc", "ivf_pq", "ivfadc_res", "pq_rerank",
+    }
 
 
 def test_paragraph_rewrite_band_candidates_only(spark):
