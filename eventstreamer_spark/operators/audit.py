@@ -235,6 +235,202 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# MinHash band tuning: the (bands × rows) Pareto table from ONE build
+# ---------------------------------------------------------------------------
+
+# The dedup-side twin of ivf_nprobe_sweep: before a 100 TB dedup run
+# pins its LSH banding, it reads how candidate volume and detection
+# trade as the 12-hash signature splits into (6×2, 4×3, 3×4, 2×6)
+# bands — steeper S-curves (more rows per band) cut candidates but
+# miss borderline pairs. All four configs band the SAME signature
+# table in one tagged explode + one (cfg, key) self-join; truth =
+# exact 3-gram jaccard ≥ 0.5 over the DISTINCT union of candidate
+# pairs (recall is relative to pairs ANY config surfaces — the
+# standard tuning-table scope; an all-pairs truth is the O(n²) the
+# banding exists to avoid, and the 6×2 config's ~0.82 capture at
+# j=0.5 makes the union a tight proxy).
+
+_TUNING_CONFIGS = ((6, 2), (4, 3), (3, 4), (2, 6))
+_TUNING_JTHR = "0.5"
+
+
+def _tuning_keys(engine: str) -> str:
+    """Array-of-(cfg, key) literal over a `sig` column: every config's
+    band keys, salted with the config tag so keys never collide across
+    configs. Identical construction in both engines."""
+    entries = []
+    for b, r in _TUNING_CONFIGS:
+        for i in range(b):
+            if engine == "spark":
+                elems = ", ".join(
+                    f"element_at(sig, {i * r + j + 1})" for j in range(r)
+                )
+                key = f"md5(concat_ws('|', {elems}, 'b{b}r{r}band{i}'))"
+                entries.append(f"named_struct('cfg', 'b{b}r{r}', 'key', {key})")
+            else:
+                elems = ", ".join(f"sig[{i * r + j + 1}]" for j in range(r))
+                key = f"md5(concat_ws('|', {elems}, 'b{b}r{r}band{i}'))"
+                entries.append(f"struct_pack(cfg := 'b{b}r{r}', key := {key})")
+    body = ", ".join(entries)
+    return f"array({body})" if engine == "spark" else f"[{body}]"
+
+
+_TUNING_CFG_VALUES = ", ".join(
+    f"('b{b}r{r}', CAST({b} AS BIGINT), CAST({r} AS BIGINT))"
+    for b, r in _TUNING_CONFIGS
+)
+
+_BAND_TUNING_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {H.TOKENS_DUCK.format(col="text")} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.shingles_from_tokens_duck("toks")} AS sh FROM tk
+), sig AS (
+  SELECT doc_id, {H.minhash_sig_duck("sh")} AS sig FROM sh
+), k2 AS (
+  SELECT doc_id, e.cfg AS cfg, e.key AS key
+  FROM (SELECT doc_id, unnest({_tuning_keys("duck")}) AS e FROM sig)
+), cand AS (
+  SELECT DISTINCT a.cfg, b.doc_id AS doc_a, a.doc_id AS doc_b
+  FROM k2 a JOIN k2 b ON a.cfg = b.cfg AND a.key = b.key
+   AND b.doc_id < a.doc_id
+), pu AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+ex AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+           AS ej
+  FROM pu p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
+),
+tr AS (SELECT doc_a, doc_b FROM ex WHERE ej >= {_TUNING_JTHR}),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+percfg AS (
+  SELECT c.cfg,
+         CAST(count(*) AS BIGINT) AS n_cands,
+         CAST(count(*) FILTER (WHERE t.doc_a IS NOT NULL) AS BIGINT) AS n_true
+  FROM cand c LEFT JOIN tr t
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY c.cfg
+)
+SELECT s.cfg, s.bands, s.rows_per_band,
+       COALESCE(p.n_cands, 0) AS n_candidate_pairs,
+       COALESCE(p.n_true, 0) AS n_true_pairs,
+       CASE WHEN COALESCE(p.n_cands, 0) = 0 THEN 0.0
+            ELSE floor(p.n_true * 1000000.0 / p.n_cands + 0.5) / 1000000.0
+       END AS precision,
+       CASE WHEN n_truth = 0 THEN 0.0
+            ELSE floor(COALESCE(p.n_true, 0) * 1000000.0 / n_truth + 0.5)
+                 / 1000000.0
+       END AS recall
+FROM (VALUES {_TUNING_CFG_VALUES}) AS s(cfg, bands, rows_per_band)
+LEFT JOIN percfg p ON p.cfg = s.cfg
+CROSS JOIN tt
+"""
+
+
+@query("minhash_band_tuning", oracle=_BAND_TUNING_ORACLE)
+def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding Pareto table (the dedup twin of
+    ivf_nprobe_sweep): candidate volume, exact-jaccard-verified true
+    pairs, precision and recall for every (bands × rows) split of the
+    12-hash MinHash signature — read before pinning the banding of a
+    100 TB dedup run.
+
+    Plan shape: ONE signature build (the shared minhash chain), ONE
+    tagged explode emitting every config's salted band keys, ONE
+    (cfg, key) self-equi-join — never an all-pairs pass; exact
+    jaccard computes once per DISTINCT candidate pair (the bounded
+    union across configs) and joins back per config. The 4-row config
+    spine keeps empty configs visible at 0. Recall is relative to the
+    union-of-configs truth (the O(n²) ground truth is what banding
+    exists to avoid — scope documented in the section comment)."""
+    from eventstreamer_spark.operators.dedup import _minhash_docs
+
+    sig = _minhash_docs(spark, sf_dir)
+    k2 = sig.select(
+        "doc_id", F.explode(F.expr(_tuning_keys("spark"))).alias("e")
+    ).select("doc_id", F.col("e.cfg").alias("cfg"), F.col("e.key").alias("key"))
+    cand = (
+        k2.alias("a")
+        .join(
+            k2.alias("b"),
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pair union + per-config counts
+    )
+    sh = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", H.tokens_expr("text").alias("toks"))
+        .select("doc_id", H.shingles_from_tokens_expr("toks").alias("sh"))
+    )
+    pu = cand.select("doc_a", "doc_b").distinct()
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ex = (
+        F.broadcast(pu)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("ej"),
+        )
+    )
+    tr = ex.filter(F.col("ej") >= float(_TUNING_JTHR)).select("doc_a", "doc_b")
+    tt = tr.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    percfg = (
+        cand.join(tr.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cands"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_true"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(f"b{b}r{r}", b, r) for b, r in _TUNING_CONFIGS],
+        "cfg string, bands long, rows_per_band long",
+    )
+    return (
+        spine.join(percfg, "cfg", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "cfg",
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_candidate_pairs"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true_pairs"),
+            F.when(F.coalesce("n_cands", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.col("n_true") * F.lit(1000000.0) / F.col("n_cands") + F.lit(0.5)
+                )
+                / 1000000.0
+            )
+            .alias("precision"),
+            F.when(F.col("n_truth") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.coalesce("n_true", F.lit(0)) * F.lit(1000000.0)
+                    / F.col("n_truth")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            )
+            .alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SRP angle calibration: is the sign-bit Hamming distance an angle?
 # ---------------------------------------------------------------------------
 

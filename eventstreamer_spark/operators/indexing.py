@@ -1251,3 +1251,191 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Domain excess-loss reweighting (DoReMi-style mixture weights)
+# ---------------------------------------------------------------------------
+
+# Xie et al. 2023 (DoReMi) upweights the domains a domain-AGNOSTIC
+# model underfits: per source, score its bigram stream under the
+# GLOBAL corpus LM and under its OWN LM; the positive excess
+# nll_global − nll_self is the domain's "hard for the generic model"
+# signal, and the mixture weight is each source's share of total
+# excess. The relational specialization of domain_shift_matrix's
+# diagonal: only 2 scores per source instead of k — the global model
+# derives from the SAME (source, pair) aggregate by summing out the
+# source key.
+
+_EXCESS_ORACLE = f"""
+WITH tk AS (SELECT source, {_TOKS_D} AS t FROM documents),
+bg AS (
+  SELECT source, t[i] AS prefix, t[i + 1] AS next_token
+  FROM tk, unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+),
+ebg AS (
+  SELECT source, prefix, next_token, CAST(count(*) AS BIGINT) AS n_occ
+  FROM bg GROUP BY 1, 2, 3
+),
+gab AS (
+  SELECT prefix, next_token, CAST(sum(n_occ) AS BIGINT) AS cab
+  FROM ebg GROUP BY 1, 2
+),
+ga AS (
+  SELECT prefix, CAST(sum(n_occ) AS BIGINT) AS ca FROM ebg GROUP BY 1
+),
+gv AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT unnest({_TOKS_D}) AS word FROM documents)
+),
+sa AS (
+  SELECT source, prefix, CAST(sum(n_occ) AS BIGINT) AS ca
+  FROM ebg GROUP BY 1, 2
+),
+sv AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT source, unnest({_TOKS_D}) AS word FROM documents) GROUP BY 1
+),
+scored AS (
+  SELECT e.source, e.n_occ,
+         CAST(round(ln(g.ca + gvv.vsz) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(gb.cab + 1) * 1000000, 0) AS BIGINT) AS nll_g_e6,
+         CAST(round(ln(s.ca + sv.vsz) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(e.n_occ + 1) * 1000000, 0) AS BIGINT) AS nll_s_e6
+  FROM ebg e
+  JOIN gab gb ON gb.prefix = e.prefix AND gb.next_token = e.next_token
+  JOIN ga g ON g.prefix = e.prefix
+  JOIN sa s ON s.source = e.source AND s.prefix = e.prefix
+  JOIN sv ON sv.source = e.source
+  CROSS JOIN gv gvv
+),
+per AS (
+  SELECT source,
+         CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+         CAST(floor(sum(CAST(n_occ AS DOUBLE) * CAST(nll_g_e6 AS DOUBLE))
+                    / sum(n_occ) + 0.5) AS BIGINT) AS mg_e6,
+         CAST(floor(sum(CAST(n_occ AS DOUBLE) * CAST(nll_s_e6 AS DOUBLE))
+                    / sum(n_occ) + 0.5) AS BIGINT) AS ms_e6
+  FROM scored GROUP BY source
+),
+exc AS (
+  SELECT source, n_bigrams, mg_e6, ms_e6,
+         GREATEST(mg_e6 - ms_e6, 0) AS ex_e6
+  FROM per
+),
+tot AS (SELECT CAST(sum(ex_e6) AS BIGINT) AS tex, CAST(count(*) AS BIGINT) AS k
+        FROM exc)
+SELECT source, n_bigrams,
+       mg_e6 / 1000000.0 AS nll_global,
+       ms_e6 / 1000000.0 AS nll_self,
+       ex_e6 / 1000000.0 AS excess_nll,
+       CASE WHEN tex = 0
+            THEN floor(1000000.0 / k + 0.5) / 1000000.0
+            ELSE floor(ex_e6 * 1000000.0 / tex + 0.5) / 1000000.0
+       END AS mixture_weight
+FROM exc, tot
+"""
+
+
+@query("domain_excess_reweight", oracle=_EXCESS_ORACLE)
+def q_domain_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights from bigram excess loss:
+    per source, mean NLL under the GLOBAL corpus LM vs its OWN LM
+    (both add-1-smoothed in the shared integer micro-nat domain),
+    the positive excess, and each source's share of total excess as
+    the mixture weight (uniform fallback when no source shows excess).
+
+    Scale shape: the ONE (source, prefix, next) aggregate feeds
+    everything — the global model sums out the source key, the self
+    model reuses the per-source rows, scoring is two equi-joins back
+    onto the distinct-pair table (never a corpus rescan; the
+    domain_shift_matrix plan with fanout 2 instead of k). Vocab
+    passes are the standard distinct aggregations. NLL terms are
+    integer micro-nats; the occurrence-weighted means accumulate in
+    the DOUBLE domain identically in both engines (the ADVICE-r9
+    overflow rule)."""
+    d = load_table_parallel(spark, sf_dir, "documents").select("source", "text")
+    tk = d.select("source", F.expr(_TOKS_S).alias("t"))
+    bg = tk.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+                "i -> struct(element_at(t, i + 1) AS prefix, "
+                "element_at(t, i + 2) AS next_token)) ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("source", "p.prefix", "p.next_token")
+    ebg = (
+        bg.groupBy("source", "prefix", "next_token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .localCheckpoint(eager=False)  # global + self + scoring sides
+    )
+    gab = ebg.groupBy("prefix", "next_token").agg(
+        F.sum("n_occ").cast("long").alias("cab")
+    )
+    ga = ebg.groupBy("prefix").agg(F.sum("n_occ").cast("long").alias("ca_g"))
+    gv = (
+        tk.select(F.explode("t").alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("vsz_g"))
+    )
+    sa = ebg.groupBy("source", "prefix").agg(
+        F.sum("n_occ").cast("long").alias("ca_s")
+    )
+    sv = (
+        tk.select("source", F.explode("t").alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("long").alias("vsz_s"))
+    )
+    nll = lambda ca, v, cab: (
+        F.round(F.log(F.col(ca) + F.col(v)) * 1000000, 0).cast("long")
+        - F.round(F.log(F.col(cab) + 1) * 1000000, 0).cast("long")
+    )
+    scored = (
+        ebg.join(gab.withColumnRenamed("cab", "cab_g"), ["prefix", "next_token"])
+        .join(ga, "prefix")
+        .join(sa, ["source", "prefix"])
+        .join(F.broadcast(sv), "source")
+        .crossJoin(F.broadcast(gv))
+        .select(
+            "source",
+            "n_occ",
+            nll("ca_g", "vsz_g", "cab_g").alias("nll_g_e6"),
+            nll("ca_s", "vsz_s", "n_occ").alias("nll_s_e6"),
+        )
+    )
+    wm = lambda c: (
+        F.floor(
+            F.sum(F.col("n_occ").cast("double") * F.col(c).cast("double"))
+            / F.sum("n_occ")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    per = scored.groupBy("source").agg(
+        F.sum("n_occ").cast("long").alias("n_bigrams"),
+        wm("nll_g_e6").alias("mg_e6"),
+        wm("nll_s_e6").alias("ms_e6"),
+    )
+    exc = per.withColumn(
+        "ex_e6", F.greatest(F.col("mg_e6") - F.col("ms_e6"), F.lit(0).cast("long"))
+    )
+    tot = exc.agg(
+        F.sum("ex_e6").cast("long").alias("tex"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return exc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_bigrams",
+        (F.col("mg_e6") / F.lit(1000000.0)).alias("nll_global"),
+        (F.col("ms_e6") / F.lit(1000000.0)).alias("nll_self"),
+        (F.col("ex_e6") / F.lit(1000000.0)).alias("excess_nll"),
+        F.when(
+            F.col("tex") == 0,
+            F.floor(F.lit(1000000.0) / F.col("k") + F.lit(0.5)) / 1000000.0,
+        )
+        .otherwise(
+            F.floor(F.col("ex_e6") * F.lit(1000000.0) / F.col("tex") + F.lit(0.5))
+            / 1000000.0
+        )
+        .alias("mixture_weight"),
+    )

@@ -957,3 +957,127 @@ def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (the Deequ-style pre-training gate)
+# ---------------------------------------------------------------------------
+
+# The constraint battery every ingest runs before data reaches a
+# training pipeline: completeness (NOT NULL), uniqueness (key
+# cardinality), range, set membership, date sanity — all from ONE
+# conditional-aggregation pass over the fact table — plus referential
+# integrity as one anti-join against the dimension. Each rule reports
+# rows checked, violations, and the pass share; the suite passing at
+# 0 violations is itself the regression signal (the generator emits
+# clean TPC-H data, so any nonzero row means the loader broke).
+
+_DQ_RULES_SQL = {
+    # rule name -> violation predicate over orders (engine-shared text)
+    "orderkey_not_null": "o_orderkey IS NULL",
+    "totalprice_positive": "o_totalprice IS NULL OR o_totalprice <= 0",
+    "orderstatus_in_set": "o_orderstatus NOT IN ('O', 'F', 'P')",
+    # the generator's contract window (1995-01-01 .. 2001-08-01); a
+    # violation means the loader mangled a timestamp, not "old data"
+    "orderdate_in_range": (
+        "o_orderdate < TIMESTAMP '1995-01-01 00:00:00' OR "
+        "o_orderdate > TIMESTAMP '2001-08-01 00:00:00'"
+    ),
+}
+
+
+def _dq_oracle() -> str:
+    viol = ",\n         ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS v_{name}"
+        for name, pred in _DQ_RULES_SQL.items()
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n_checked, v_{name} AS n_violations FROM agg"
+        for name in _DQ_RULES_SQL
+    )
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup,
+         {viol}
+  FROM orders
+),
+ref AS (
+  SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked,
+         CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+rows_ AS (
+  {rows}
+  UNION ALL
+  SELECT 'orderkey_unique' AS rule, n_checked, v_dup AS n_violations FROM agg
+  UNION ALL
+  SELECT 'custkey_references_customer' AS rule, n_checked, n_violations FROM ref
+)
+SELECT rule, n_checked, n_violations,
+       floor((n_checked - n_violations) * 1000000.0 / n_checked + 0.5)
+         / 1000000.0 AS pass_share
+FROM rows_
+"""
+
+
+@query("data_quality_constraints", oracle=_dq_oracle())
+def q_data_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite report over the orders fact: completeness,
+    uniqueness, value range, set membership, date sanity and
+    referential integrity against customer — one row per rule with
+    rows checked, violations, and the pass share.
+
+    Plan shape: every per-row rule folds into ONE conditional
+    aggregation over orders (count + countDistinct + 4 predicate
+    sums — a single scan with map-side partials); referential
+    integrity is one anti-join that broadcasts the smaller dimension
+    side at this shape and stays a shuffle equi-join at 100 TB. The
+    per-rule rows unpivot from the 1-row aggregate — no second scan.
+    All counts exact integers; only pass_share divides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_orderkey_unique"),
+    ]
+    for name, pred in _DQ_RULES_SQL.items():
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"v_{name}")
+        )
+    agg = o.agg(*aggs)
+    rules = list(_DQ_RULES_SQL) + ["orderkey_unique"]
+    stack = ", ".join(f"'{name}', v_{name}" for name in rules)
+    per_rule = agg.select(
+        "n_checked",
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+    ).select("rule", "n_checked", "n_violations")
+    ref = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))))
+        .select(
+            F.lit("custkey_references_customer").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return per_rule.unionByName(ref).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (
+            F.floor(
+                (F.col("n_checked") - F.col("n_violations"))
+                * F.lit(1000000.0)
+                / F.col("n_checked")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("pass_share"),
+    )

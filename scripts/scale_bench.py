@@ -109,6 +109,8 @@ QUERIES: tuple[str, ...] = (
     "pq_rerank_topk", "graded_retrieval_eval", "dedup_savings_report",
     "packing_efficiency_audit", "srp_angle_calibration",
     "curriculum_stage_assignment", "stream_bm25_topk",
+    "minhash_band_tuning", "data_quality_constraints",
+    "domain_excess_reweight",
 )
 
 # name -> (max factor, reason)

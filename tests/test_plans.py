@@ -1584,3 +1584,61 @@ def test_stream_bm25_matches_batch(spark):
         per.setdefault(qid, []).append(rank)
     for qid, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_minhash_band_tuning_table(spark):
+    """Four config rows always present (the spine keeps empty configs
+    at 0); per config true pairs never exceed candidates and both
+    shares sit in [0, 1]; no cartesian — candidates come from the
+    (cfg, key) self-equi-join only."""
+    from eventstreamer_spark.operators.audit import q_minhash_band_tuning
+
+    df = q_minhash_band_tuning(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = df.collect()
+    assert {(r.bands, r.rows_per_band) for r in rows} == {
+        (6, 2), (4, 3), (3, 4), (2, 6),
+    }
+    for r in rows:
+        assert 0 <= r.n_true_pairs <= r.n_candidate_pairs
+        assert 0.0 <= r.precision <= 1.0
+        assert 0.0 <= r.recall <= 1.0
+
+
+def test_data_quality_constraints_clean_generator(spark):
+    """The generator emits clean TPC-H data, so the structural rules
+    (key completeness/uniqueness, referential integrity) must report
+    zero violations — any nonzero row means the loader broke."""
+    from eventstreamer_spark.operators.relational import (
+        q_data_quality_constraints,
+    )
+
+    rows = {r.rule: r for r in q_data_quality_constraints(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "orderkey_not_null", "totalprice_positive", "orderstatus_in_set",
+        "orderdate_in_range", "orderkey_unique", "custkey_references_customer",
+    }
+    for rule in ("orderkey_not_null", "orderkey_unique",
+                 "custkey_references_customer"):
+        assert rows[rule].n_violations == 0, rule
+        assert rows[rule].pass_share == 1.0, rule
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+
+
+def test_domain_excess_reweight_distribution(spark):
+    """Excess NLL is clamped non-negative and the mixture weights form
+    a distribution up to per-source rounding (|sum - 1| <= k ulps at
+    1e-6); the self-fit NLL never exceeds the global-fit NLL on the
+    source's own stream (diag-below-global, the domain_shift_matrix
+    invariant specialized)."""
+    from eventstreamer_spark.operators.indexing import q_domain_excess_reweight
+
+    rows = q_domain_excess_reweight(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.excess_nll >= 0.0
+        assert r.nll_self <= r.nll_global + 1e-9
+        assert 0.0 <= r.mixture_weight <= 1.0
+    total = sum(r.mixture_weight for r in rows)
+    assert abs(total - 1.0) <= len(rows) * 1e-6 + 1e-9
