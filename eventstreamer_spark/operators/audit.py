@@ -2769,3 +2769,125 @@ def q_population_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000.0
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy audit: is the space collapsing toward a cone?
+# ---------------------------------------------------------------------------
+
+# The embedding-QC check run before any similarity machinery is
+# trusted (Ethayarajh 2019's anisotropy observation): if vectors
+# collapse toward a shared direction, the mean vector's energy
+# approaches the mean per-vector energy and every cosine inflates.
+# Reported: anisotropy = ||mean v||² / mean ||v||² (0 = isotropic,
+# 1 = fully collapsed) and the top single dimension's share of total
+# per-dimension variance (the axis-aligned poor-man's PCA read — a
+# dominant axis means one feature eats the geometry). All in the v6
+# integer domain: per-dim Σv and Σv² are exact int64; positive means
+# use integer half-up ((q + n DIV 2) DIV n — `//`/`DIV` agree for
+# positives); signed means stay exact in double below 2^53 (|Σv| ≤
+# 1e6·n, fine to ~9e9 vectors — past that the audit pre-aggregates).
+
+_ANISO_ORACLE = f"""
+WITH comp AS (
+  SELECT CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6,
+         CAST(i AS INTEGER) AS dim
+  FROM (
+    SELECT unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+per AS (
+  SELECT dim,
+         CAST(sum(v6) AS BIGINT) AS s,
+         CAST(sum(v6 * v6) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY dim
+),
+m AS (
+  SELECT dim, n,
+         CAST(floor(s * 1.0 / n + 0.5) AS BIGINT) AS mean6,
+         (q + n // 2) // n AS msq12
+  FROM per
+),
+agg AS (
+  SELECT max(n) AS n_vectors,
+         CAST(sum(msq12) AS BIGINT) AS mean_sq_norm12,
+         CAST(sum(mean6 * mean6) AS BIGINT) AS mean_vec_sq12,
+         CAST(sum(msq12 - mean6 * mean6) AS BIGINT) AS var_tot12,
+         CAST(max(msq12 - mean6 * mean6) AS BIGINT) AS var_top12
+  FROM m
+)
+SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+       mean_sq_norm12 / 1000000000000.0 AS mean_sq_norm,
+       mean_vec_sq12 / 1000000000000.0 AS mean_vec_sq_norm,
+       floor(mean_vec_sq12 * 1000000.0 / mean_sq_norm12 + 0.5) / 1000000.0
+         AS anisotropy,
+       floor(var_top12 * 1000000.0 / var_tot12 + 0.5) / 1000000.0
+         AS top_dim_var_share
+FROM agg
+"""
+
+
+@query("embedding_anisotropy_audit", oracle=_ANISO_ORACLE)
+def q_embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-space health report: anisotropy (mean-vector
+    energy over mean vector energy — the collapse metric) and the top
+    dimension's variance share (axis dominance). Near-zero anisotropy
+    and ~1/dim variance share = healthy isotropic space; drift upward
+    across snapshots is the degradation signal similarity serving
+    monitors for.
+
+    Plan shape: ONE posexplode pass into a 64-key (dim) aggregation
+    with map-side combine, then a 1-row assemble — the cheapest audit
+    in the embedding family, safe to run per snapshot at any scale.
+    Exactness: per-dim Σv/Σv² exact int64; positive means via integer
+    half-up division; only the final two shares divide."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    comp = e.select(F.posexplode("embedding").alias("i0", "x")).select(
+        F.col("i0").alias("dim"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias("v6"),
+    )
+    per = comp.groupBy("dim").agg(
+        F.sum("v6").cast("long").alias("s"),
+        F.sum(F.col("v6") * F.col("v6")).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    m = per.select(
+        "n",
+        F.floor(F.col("s") * F.lit(1.0) / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("mean6"),
+        F.expr("(q + n DIV 2) DIV n").alias("msq12"),
+    )
+    agg = m.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("msq12").cast("long").alias("mean_sq_norm12"),
+        F.sum(F.col("mean6") * F.col("mean6")).cast("long").alias("mean_vec_sq12"),
+        F.sum(F.col("msq12") - F.col("mean6") * F.col("mean6"))
+        .cast("long")
+        .alias("var_tot12"),
+        F.max(F.col("msq12") - F.col("mean6") * F.col("mean6"))
+        .cast("long")
+        .alias("var_top12"),
+    )
+    return agg.select(
+        "n_vectors",
+        (F.col("mean_sq_norm12") / F.lit(1000000000000.0)).alias("mean_sq_norm"),
+        (F.col("mean_vec_sq12") / F.lit(1000000000000.0)).alias("mean_vec_sq_norm"),
+        (
+            F.floor(
+                F.col("mean_vec_sq12") * F.lit(1000000.0) / F.col("mean_sq_norm12")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("anisotropy"),
+        (
+            F.floor(
+                F.col("var_top12") * F.lit(1000000.0) / F.col("var_tot12")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("top_dim_var_share"),
+    )

@@ -2390,3 +2390,135 @@ def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr_measured"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (the release-engineering report between versions)
+# ---------------------------------------------------------------------------
+
+# Every corpus release ships a diff against the previous snapshot:
+# docs added / removed / modified / unchanged, with the token deltas
+# that explain a training-mix shift. The v2 snapshot here derives
+# deterministically from v1 (removals at doc_id%11=3, text edits at
+# doc_id%7=2, additions as offset copies of doc_id%13=0) so the
+# operator is exercised on a non-trivial diff; the DIFF ITSELF is the
+# honest pattern — a digest-compare full outer join on the snapshot
+# key, which at 100 TB runs co-partitioned on doc_id with neither
+# side broadcast.
+
+_SNAP_EDIT_PRED = "doc_id % 7 = 2"
+_SNAP_DROP_PRED = "doc_id % 11 = 3"
+_SNAP_ADD_PRED = "doc_id % 13 = 0"
+_SNAP_ADD_OFFSET = 2000000
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT doc_id, text, CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN {_SNAP_EDIT_PRED} THEN text || ' patched' ELSE text END
+           AS text
+  FROM documents WHERE NOT ({_SNAP_DROP_PRED})
+  UNION ALL
+  SELECT doc_id + {_SNAP_ADD_OFFSET} AS doc_id, text
+  FROM documents WHERE {_SNAP_ADD_PRED}
+),
+v2t AS (
+  SELECT doc_id, text,
+         CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM v2
+),
+d AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) != md5(b.text) THEN 'modified'
+              ELSE 'unchanged' END AS status,
+         COALESCE(a.n_tokens, 0) AS t1,
+         COALESCE(b.n_tokens, 0) AS t2
+  FROM v1 a FULL OUTER JOIN v2t b ON a.doc_id = b.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t1) AS BIGINT) AS tokens_v1,
+       CAST(sum(t2) AS BIGINT) AS tokens_v2,
+       CAST(sum(t2 - t1) AS BIGINT) AS token_delta,
+       floor(count(*) * 1000000.0 / n_total + 0.5) / 1000000.0 AS doc_share
+FROM d, tot
+GROUP BY status, n_total
+"""
+
+
+@query("corpus_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: per status (added / removed /
+    modified / unchanged), doc counts, token mass in each version, the
+    token delta, and each status' share of the diffed id space — the
+    release report that explains a training-mix shift before anyone
+    retrains on the new snapshot.
+
+    Plan shape: both versions project row-locally (digest + token
+    count computed before the join so the shuffle carries fixed-width
+    columns... the full text rides only for the md5 compare, which at
+    100 TB would also be precomputed at write time); the diff is ONE
+    full outer join co-partitioned on the snapshot key; the report is
+    a 4-key aggregation with the 1-row total on a broadcast."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ntok = F.size(H.tokens_expr("text")).cast("long")
+    v1 = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("dig1"),
+        ntok.alias("t1"),
+    )
+    v2base = d.filter(~F.expr(_SNAP_DROP_PRED)).select(
+        "doc_id",
+        F.when(
+            F.expr(_SNAP_EDIT_PRED), F.concat(F.col("text"), F.lit(" patched"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2 = v2base.unionByName(
+        d.filter(F.expr(_SNAP_ADD_PRED)).select(
+            (F.col("doc_id") + _SNAP_ADD_OFFSET).alias("doc_id"), "text"
+        )
+    ).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("dig2"),
+        ntok.alias("t2"),
+    )
+    diff = v1.join(v2, "doc_id", "full_outer").select(
+        F.when(F.col("dig1").isNull(), F.lit("added"))
+        .when(F.col("dig2").isNull(), F.lit("removed"))
+        .when(F.col("dig1") != F.col("dig2"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("t1", F.lit(0)).alias("t1"),
+        F.coalesce("t2", F.lit(0)).alias("t2"),
+    )
+    tot = diff.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t1").cast("long").alias("tokens_v1"),
+            F.sum("t2").cast("long").alias("tokens_v2"),
+            F.sum(F.col("t2") - F.col("t1")).cast("long").alias("token_delta"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_docs",
+            "tokens_v1",
+            "tokens_v2",
+            "token_delta",
+            (
+                F.floor(
+                    F.col("n_docs") * F.lit(1000000.0) / F.col("n_total") + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("doc_share"),
+        )
+    )

@@ -110,7 +110,8 @@ QUERIES: tuple[str, ...] = (
     "packing_efficiency_audit", "srp_angle_calibration",
     "curriculum_stage_assignment", "stream_bm25_topk",
     "minhash_band_tuning", "data_quality_constraints",
-    "domain_excess_reweight",
+    "domain_excess_reweight", "corpus_snapshot_diff",
+    "embedding_anisotropy_audit",
 )
 
 # name -> (max factor, reason)

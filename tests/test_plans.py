@@ -1642,3 +1642,39 @@ def test_domain_excess_reweight_distribution(spark):
         assert 0.0 <= r.mixture_weight <= 1.0
     total = sum(r.mixture_weight for r in rows)
     assert abs(total - 1.0) <= len(rows) * 1e-6 + 1e-9
+
+
+def test_corpus_snapshot_diff_accounting(spark):
+    """The diff's statuses must partition the joined id space exactly:
+    added count == the %13 additions, removed == the %11 drops,
+    modified == the %7 edits surviving the drop, token deltas are 0
+    for unchanged / negative for removed / positive for added."""
+    from eventstreamer_spark.operators.dedup import q_corpus_snapshot_diff
+    from eventstreamer_spark.sources.tables import load_table
+
+    rows = {r.status: r for r in q_corpus_snapshot_diff(spark, SF_DIR).collect()}
+    assert set(rows) == {"added", "removed", "modified", "unchanged"}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    ids = [r.doc_id for r in docs]
+    assert rows["added"].n_docs == sum(1 for i in ids if i % 13 == 0)
+    assert rows["removed"].n_docs == sum(1 for i in ids if i % 11 == 3)
+    assert rows["modified"].n_docs == sum(
+        1 for i in ids if i % 7 == 2 and i % 11 != 3
+    )
+    assert rows["unchanged"].token_delta == 0
+    assert rows["removed"].token_delta < 0
+    assert rows["added"].token_delta > 0
+
+
+def test_embedding_anisotropy_bounds(spark):
+    """Anisotropy and the top-dimension variance share are true
+    shares: both in [0, 1], and on the near-isotropic synthetic space
+    the top dimension cannot dominate (share well below 0.5)."""
+    from eventstreamer_spark.operators.audit import q_embedding_anisotropy_audit
+
+    r = q_embedding_anisotropy_audit(spark, SF_DIR).collect()[0]
+    assert r.n_vectors > 0
+    assert 0.0 <= r.anisotropy <= 1.0
+    assert 0.0 <= r.top_dim_var_share <= 1.0
+    assert r.top_dim_var_share < 0.5
+    assert r.mean_vec_sq_norm <= r.mean_sq_norm + 1e-9
