@@ -2325,11 +2325,12 @@ def _pq_exact_rerank(short: DataFrame, fullv: DataFrame) -> DataFrame:
 
 @query("pq_rerank_topk", oracle=_PQ_RERANK_ORACLE)
 def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC coarse top-{m} -> full-precision exact re-rank top-k:
+    """IVFADC coarse top-40 -> full-precision exact re-rank top-k:
     the refinement stage of Jégou et al. 2011 §V that completes the
     compression ladder (build -> compress -> serve -> tune -> REFINE).
-    The residual-ADC search keeps its {m}-deep shortlist instead of
-    cutting at k, then the m survivors re-score with the exact int64
+    The residual-ADC search keeps its 40-deep (RERANK_M = 4×k)
+    shortlist instead of cutting at k, then the survivors re-score
+    with the exact int64
     L2 between full-precision v6 component arrays and the final top-k
     ranks on the exact distance — compressed codes decide WHO to look
     at, full precision decides the ORDER.
@@ -2344,7 +2345,7 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual build; L2 is an exact int64 fold; ranking ties break
     (exact_l2, neighbor_id); the oracle replays the shared
     _IVFADC_RES_CHAIN plus the rerank parts verbatim. pq_recall_at_k
-    measures the lift on the 'pq_rerank' grid row.""".format(m=RERANK_M)
+    measures the lift on the 'pq_rerank' grid row."""
     short, fullv = ivfadc_residual_topk(
         spark, sf_dir, k=RERANK_M, with_fullv=True
     )
