@@ -373,8 +373,13 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pu = cand.select("doc_a", "doc_b").distinct()
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # No broadcast hint on pu: unlike the bounded query-side broadcasts
+    # elsewhere, the candidate-pair union is DATA-DEPENDENT (grows with
+    # corpus size x duplicate density), so forcing it driver-side is a
+    # memory hazard at scale — let AQE broadcast it only while it is
+    # actually small (ADVICE r10 item 3).
     ex = (
-        F.broadcast(pu)
+        pu
         .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
@@ -1975,9 +1980,18 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The full residual chain through `riranked` (every candidate ranked
 # by residual-ADC distance) — shared by the standalone top-k oracle,
-# the re-rank oracle (top-M shortlist) and the recall grid, so the
-# coarse stage cannot drift between them.
-_IVFADC_RES_CHAIN = f"""{_PQS_PART},
+# the re-rank oracles (top-M shortlist at nprobe 2 and 4) and the
+# recall grid, so the coarse stage cannot drift between them.
+# ``nprobe`` parameterizes the WHO-prune depth (VERDICT r10 item 1 —
+# the nprobe lever); ``tag_probe_rn`` carries each candidate's probe
+# rank through ricand/ridists so ONE deepest-level chain evaluation
+# can be cut per level (a vector lives in exactly one cell, so
+# (query, neighbor) pairs are unique and the tag is well-defined).
+def _ivfadc_res_chain(nprobe: int = _IVF_NPROBE, tag_probe_rn: bool = False) -> str:
+    probe_col = ", rn AS probe_rn" if tag_probe_rn else ""
+    cand_col = ", p.probe_rn" if tag_probe_rn else ""
+    dist_col = ", c.probe_rn" if tag_probe_rn else ""
+    return f"""{_PQS_PART},
 {_ivf_cent_duck(seed=_SQRT_SEED_DUCK)},
 centqf AS (
   SELECT c_label, {H.quantized_unit_duck("centroid")} AS cq FROM cent
@@ -1991,8 +2005,8 @@ fscored AS (
 ),
 iassigned AS (SELECT vec_id, c_label FROM fscored WHERE rn = 1),
 iprobes AS (
-  SELECT vec_id AS query_id, c_label FROM fscored
-  WHERE {ADC_QUERY_FILTER} AND rn <= {_IVF_NPROBE}
+  SELECT vec_id AS query_id, c_label{probe_col} FROM fscored
+  WHERE {ADC_QUERY_FILTER} AND rn <= {nprobe}
 ),
 cent6 AS MATERIALIZED (
   SELECT c_label,
@@ -2036,12 +2050,12 @@ rcodes AS MATERIALIZED (
   SELECT vec_id, list(c ORDER BY s) AS cvec FROM ra2 GROUP BY vec_id
 ),
 ricand AS (
-  SELECT p.query_id, p.c_label, a.vec_id AS neighbor_id
+  SELECT p.query_id, p.c_label, a.vec_id AS neighbor_id{cand_col}
   FROM iprobes p JOIN iassigned a
     ON p.c_label = a.c_label AND a.vec_id != p.query_id
 ),
 ridists AS (
-  SELECT c.query_id, c.neighbor_id, {_ADC_DIST_D} AS adc_dist
+  SELECT c.query_id, c.neighbor_id{dist_col}, {_ADC_DIST_D} AS adc_dist
   FROM ricand c
   JOIN rqclut q ON q.query_id = c.query_id AND q.c_label = c.c_label
   JOIN rcodes v ON v.vec_id = c.neighbor_id
@@ -2053,6 +2067,9 @@ riranked AS (
          ) AS BIGINT) AS rank
   FROM ridists
 )"""
+
+
+_IVFADC_RES_CHAIN = _ivfadc_res_chain()
 
 _IVFADC_RES_ORACLE = f"""
 WITH {_IVFADC_RES_CHAIN}
@@ -2067,6 +2084,8 @@ def ivfadc_residual_topk(
     checkpoint: bool = False,
     k: int = PQ_TOP_K,
     with_fullv: bool = False,
+    nprobe: int = _IVF_NPROBE,
+    scored_pairs: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Residual-encoded IVFADC search; see q_ivfadc_residual_topk for
     semantics. ``checkpoint=True`` hides the build behind lazy
@@ -2076,7 +2095,14 @@ def ivfadc_residual_topk(
     returns the (vec_id, v64) exact integer component arrays the
     re-rank stage scores against — gathered from the SAME ``sub``
     component pass as the residual build, so coarse and refine stages
-    read one corpus decomposition."""
+    read one corpus decomposition. ``nprobe`` is the WHO-prune depth
+    (VERDICT r10 item 1 — residual training is probe-independent, so
+    only the probe list, per-(query,cell) LUTs and candidate join
+    widen). ``scored_pairs=True`` returns EVERY scored candidate
+    tagged with its probe rank instead of the ranked cut — the recall
+    grid gathers once at the deepest level and cuts per level (a
+    vector lives in exactly one cell, so the tag is well-defined per
+    (query, neighbor) pair)."""
     import math
 
     from eventstreamer_spark.operators.similarity import (
@@ -2095,13 +2121,15 @@ def ivfadc_residual_topk(
     cent = ivf_centroids_for(
         spark, sf_dir, e=seeded, embq=embq, variant=f"sqrt-k{kcells}"
     )
-    scored = _score_centroids(embq, cent, max_rank=_IVF_NPROBE).localCheckpoint(
+    scored = _score_centroids(embq, cent, max_rank=nprobe).localCheckpoint(
         eager=False
     )
     assigned = scored.filter(F.col("rn") == 1).select("vec_id", "c_label")
     probes = scored.filter(
-        F.expr(ADC_QUERY_FILTER) & (F.col("rn") <= _IVF_NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), "c_label")
+        F.expr(ADC_QUERY_FILTER) & (F.col("rn") <= nprobe)
+    ).select(
+        F.col("vec_id").alias("query_id"), "c_label", F.col("rn").alias("probe_rn")
+    )
 
     # integer centroid components, subspace-split like pqs: centroid
     # components are exact multiples of 1e-6 in BOTH engines (the
@@ -2195,14 +2223,23 @@ def ivfadc_residual_topk(
         .select(
             "query_id",
             probes["c_label"].alias("c_label"),
+            probes["probe_rn"].alias("probe_rn"),
             F.col("vec_id").alias("neighbor_id"),
             "cvec",
         )
     )
     pairs = cand.join(F.broadcast(qclut), ["query_id", "c_label"]).select(
-        "query_id", "neighbor_id", "sl", "cvec"
+        "query_id", "neighbor_id", "probe_rn", "sl", "cvec"
     )
-    top = _adc_rank_topk(pairs, k=k)
+    if scored_pairs:
+        top = pairs.select(
+            "query_id",
+            "neighbor_id",
+            "probe_rn",
+            F.expr(_ADC_DIST_S).alias("adc_dist"),
+        )
+    else:
+        top = _adc_rank_topk(pairs.drop("probe_rn"), k=k)
     if not with_fullv:
         return top
     fullv = sub.groupBy("vec_id").agg(
@@ -2268,30 +2305,51 @@ _RERANK_L2_D = (
     "i -> (q.v64[i] - n.v64[i]) * (q.v64[i] - n.v64[i]))) AS BIGINT)"
 )
 
-# Shared rerank WITH-parts over the residual chain's `riranked` and the
-# component table `pqs` (both in scope wherever _IVFADC_RES_CHAIN is).
-_RERANK_PARTS = f"""rshort AS (
-  SELECT query_id, neighbor_id FROM riranked WHERE rank <= {RERANK_M}
-),
-fullv AS MATERIALIZED (
+# Shared rerank WITH-parts over a residual-chain ranking CTE and the
+# component table `pqs` (both in scope wherever the chain is).
+# ``ranked``/``pfx`` let the recall grid rerank TWO probe depths from
+# one chain evaluation; ``emit_fullv=False`` skips the shared fullv
+# CTE when an earlier block in the same WITH already emitted it.
+def _rerank_parts(ranked: str = "riranked", pfx: str = "r", emit_fullv: bool = True) -> str:
+    fullv_cte = (
+        """fullv AS MATERIALIZED (
   SELECT vec_id, list(v6 ORDER BY s, p) AS v64 FROM pqs GROUP BY vec_id
 ),
-rrd AS (
+"""
+        if emit_fullv
+        else ""
+    )
+    return f"""{pfx}short AS (
+  SELECT query_id, neighbor_id FROM {ranked} WHERE rank <= {RERANK_M}
+),
+{fullv_cte}{pfx}rd AS (
   SELECT s.query_id, s.neighbor_id, {_RERANK_L2_D} AS exact_l2
-  FROM rshort s
+  FROM {pfx}short s
   JOIN fullv q ON q.vec_id = s.query_id
   JOIN fullv n ON n.vec_id = s.neighbor_id
 ),
-rrk AS (
+{pfx}rk AS (
   SELECT query_id, neighbor_id, exact_l2,
          CAST(row_number() OVER (
            PARTITION BY query_id ORDER BY exact_l2, neighbor_id
          ) AS BIGINT) AS rank
-  FROM rrd
+  FROM {pfx}rd
 )"""
+
+
+_RERANK_PARTS = _rerank_parts(pfx="r")
 
 _PQ_RERANK_ORACLE = f"""
 WITH {_IVFADC_RES_CHAIN},
+{_RERANK_PARTS}
+SELECT query_id, neighbor_id, exact_l2, rank
+FROM rrk WHERE rank <= {PQ_TOP_K}
+"""
+
+# The nprobe=4 operating point of the same refined search — the chain
+# at WHO-prune depth 4, rerank parts verbatim (VERDICT r10 item 1).
+_PQ_RERANK_NP4_ORACLE = f"""
+WITH {_ivfadc_res_chain(nprobe=4)},
 {_RERANK_PARTS}
 SELECT query_id, neighbor_id, exact_l2, rank
 FROM rrk WHERE rank <= {PQ_TOP_K}
@@ -2352,6 +2410,31 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_rerank(short, fullv)
 
 
+@query("pq_rerank_np4", oracle=_PQ_RERANK_NP4_ORACLE)
+def q_pq_rerank_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined IVFADC search at nprobe=4 — the WHO-prune lever
+    pulled (VERDICT r10 item 1): pq_rerank_topk proved recall@k is
+    bounded by the probed-cell ceiling at nprobe=2 (0.26 = the
+    nprobe=2 point of ivf_nprobe_sweep, with 0.46/0.74 available at
+    4/8), so the production operating point doubles the probe depth
+    and keeps the exact re-rank. Residual training is probe-
+    independent — the same codebooks, codes and centroids as the
+    nprobe=2 path; only the probe list, the per-(query, probed-cell)
+    LUT build and the cell-key candidate join widen (scan cost
+    ~2× codes per query, still ~nprobe·√n, never O(q·n)).
+
+    Plan shape is q_pq_rerank_topk verbatim at nprobe=4: broadcast
+    LUTs/codebooks/probes, one cell-key candidate join, bounded q×m
+    shortlist broadcast into the fullv equi-joins — corpus never
+    shuffles in refine. Oracle replays the shared parameterized chain
+    at nprobe=4 plus the rerank parts. pq_recall_at_k measures the
+    recall lift on the 'pq_rerank_np4' grid row."""
+    short, fullv = ivfadc_residual_topk(
+        spark, sf_dir, k=RERANK_M, with_fullv=True, nprobe=4
+    )
+    return _pq_exact_rerank(short, fullv)
+
+
 # ---------------------------------------------------------------------------
 # PQ recall audit: what the compressed scans actually retrieve
 # ---------------------------------------------------------------------------
@@ -2408,20 +2491,42 @@ FROM (
             AND b.rank = 1) AS hits_at_1,
          (SELECT count(*) FROM brute) AS total,
          (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
+  UNION ALL
+  SELECT 'pq_rerank_np4' AS method,
+         (SELECT count(*) FROM rerank4 i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id) AS hits,
+         (SELECT count(*) FROM rerank4 i JOIN brute b
+            ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+            AND b.rank = 1) AS hits_at_1,
+         (SELECT count(*) FROM brute) AS total,
+         (SELECT count(*) FROM brute WHERE rank = 1) AS total_at_1
 )
 """
 
-# ONE nested evaluation of the residual chain serves BOTH residual
-# rows (DuckDB forbids an inner WITH alias shadowing an outer CTE, so
-# the chain cannot sit at the top level beside the other nested
-# chains): the block emits coarse ranks and rerank ranks stage-tagged,
-# and the grid rows cut it — the same one-build sharing the Spark side
-# does, so neither engine pays the residual build twice.
-_RES_BOTH_SQL = f"""WITH {_IVFADC_RES_CHAIN},
-{_RERANK_PARTS}
-SELECT 'coarse' AS stage, query_id, neighbor_id, rank FROM riranked
+# ONE nested evaluation of the residual chain serves ALL THREE
+# residual rows (DuckDB forbids an inner WITH alias shadowing an outer
+# CTE, so the chain cannot sit at the top level beside the other
+# nested chains): the chain evaluates ONCE at the deepest probe level
+# (nprobe=4) with candidates tagged by probe rank; the nprobe=2 rows
+# re-rank the probe_rn<=2 subset and `riranked` IS the nprobe=4
+# ranking — the same one-build level-cut sharing the Spark side does,
+# so neither engine pays the residual build (or the candidate scan)
+# twice.
+_RES_BOTH_SQL = f"""WITH {_ivfadc_res_chain(nprobe=4, tag_probe_rn=True)},
+rir2 AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM ridists WHERE probe_rn <= {_IVF_NPROBE}
+),
+{_rerank_parts(ranked="rir2", pfx="r2")},
+{_rerank_parts(ranked="riranked", pfx="r4", emit_fullv=False)}
+SELECT 'coarse' AS stage, query_id, neighbor_id, rank FROM rir2
 UNION ALL
-SELECT 'rerank' AS stage, query_id, neighbor_id, rank FROM rrk"""
+SELECT 'rerank' AS stage, query_id, neighbor_id, rank FROM r2rk
+UNION ALL
+SELECT 'rerank4' AS stage, query_id, neighbor_id, rank FROM r4rk"""
 
 _PQ_RECALL_ORACLE = f"""
 WITH brute AS ({_ANN_BRUTE_ORACLE}),
@@ -2435,6 +2540,10 @@ ivfadc AS (
 rerank AS (
   SELECT query_id, neighbor_id FROM resboth
   WHERE stage = 'rerank' AND rank <= {PQ_TOP_K}
+),
+rerank4 AS (
+  SELECT query_id, neighbor_id FROM resboth
+  WHERE stage = 'rerank4' AND rank <= {PQ_TOP_K}
 )
 {_PQ_RECALL_TAIL}
 """
@@ -2452,26 +2561,20 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ann_recall_at_k, so all five retrievers (brute/SRP/IVF/ADC/
     IVF-PQ) sit on one comparable recall grid.
 
-    One PQ build feeds both paths (pq_search_parts, checkpointed);
-    the exact ground truth is the shared brute_topk kernel,
-    checkpointed once and joined by both hit counters. Audit-tier by
-    contract: the ground truth is O(q·n) like every recall check —
+    One PQ build feeds both raw-code paths (pq_search_parts,
+    checkpointed); the exact ground truth comes from the consumer-side
+    session memo (brute_truth_memo — the grid is a CONSUMER of the
+    truth artifact; the owner, ann_bruteforce_topk, still pays its own
+    O(q·n) build every invocation — VERDICT r10 item 4, the
+    semdedup_assign_memo pattern; first grid invocation per session
+    still pays the full truth build). Audit-tier by contract:
     production health-checks sample fixed probes
     (ann_recall_fixed_probes)."""
-    from eventstreamer_spark.operators.similarity import brute_topk
+    from eventstreamer_spark.operators.similarity import brute_truth_memo
 
     parts = pq_search_parts(spark, sf_dir)
     e, qlut, codes = parts
-    prepared = (
-        H.with_quantized_unit(e, "embedding", "uq", drop_zero_norm=True)
-        .select("vec_id", "uq")
-        .localCheckpoint(eager=False)
-    )
-    brute = (
-        brute_topk(prepared)
-        .select("query_id", "neighbor_id", "rank")
-        .localCheckpoint(eager=False)
-    )
+    brute = brute_truth_memo(spark, sf_dir)
     total = brute.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum((F.col("rank") == 1).cast("long")).alias("total_at_1"),
@@ -2482,17 +2585,38 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "sl", "cvec")
     )
     ivfpq = ivf_pq_topk(spark, sf_dir, parts=parts)
-    # the residual point on the same grid — its own build (residual
+    # the residual points on the same grid — their own build (residual
     # codes cannot share the raw-code artifacts) behind checkpoints so
-    # the composed plan stays Generate-free. ONE build serves both
-    # residual rows: the RERANK_M-deep shortlist cuts at k for the
-    # 'ivfadc_res' row and feeds the exact re-rank for 'pq_rerank'.
-    shortm, fullv = ivfadc_residual_topk(
-        spark, sf_dir, checkpoint=True, k=RERANK_M, with_fullv=True
+    # the composed plan stays Generate-free. ONE build at the DEEPEST
+    # probe level (nprobe=4) serves all THREE residual rows: residual
+    # training is probe-independent, so the grid gathers every scored
+    # candidate tagged with its probe rank, the nprobe=2 rows cut the
+    # probe_rn<=2 subset ('ivfadc_res' at k, 'pq_rerank' via the exact
+    # re-rank of its top-M) and 'pq_rerank_np4' re-ranks the full
+    # depth — the oracle's resboth block makes the identical cuts.
+    sp, fullv = ivfadc_residual_topk(
+        spark,
+        sf_dir,
+        checkpoint=True,
+        with_fullv=True,
+        nprobe=4,
+        scored_pairs=True,
     )
-    shortm = shortm.localCheckpoint(eager=False)  # two consumers below
-    ivfadc = shortm.filter(F.col("rank") <= PQ_TOP_K)
-    rerank = _pq_exact_rerank(shortm, fullv)
+    sp = sp.localCheckpoint(eager=False)  # three level cuts below
+    wl = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+
+    def level_cut(df: DataFrame, kk: int) -> DataFrame:
+        return (
+            df.withColumn("rank", F.row_number().over(wl).cast("long"))
+            .filter(F.col("rank") <= kk)
+        )
+
+    short2 = level_cut(
+        sp.filter(F.col("probe_rn") <= _IVF_NPROBE), RERANK_M
+    ).localCheckpoint(eager=False)  # coarse row + np2 rerank
+    ivfadc = short2.filter(F.col("rank") <= PQ_TOP_K)
+    rerank = _pq_exact_rerank(short2, fullv)
+    rerank4 = _pq_exact_rerank(level_cut(sp, RERANK_M), fullv)
 
     def method_hits(name: str, df: DataFrame) -> DataFrame:
         return (
@@ -2512,6 +2636,7 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(method_hits("ivf_pq", ivfpq))
         .unionByName(method_hits("ivfadc_res", ivfadc))
         .unionByName(method_hits("pq_rerank", rerank))
+        .unionByName(method_hits("pq_rerank_np4", rerank4))
     )
 
     def ratio6(num: str, den: str):

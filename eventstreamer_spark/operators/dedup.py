@@ -1587,9 +1587,15 @@ def q_ingest_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED band-index maintained across ingest batches —
     the steady-state claim of incremental_neardup_ingest made real:
     docs arrive in {n} batches (doc_id % {n}); each batch's band keys
-    join the PARQUET index of previously accepted docs, every doc gets
-    an ingest/drop decision, and accepted docs' bands are appended as
-    index version v{{t}} (version-swap write, older versions retired).
+    probe an in-memory twin of the accepted-docs index (the union of
+    the previous batches' eager-checkpointed accepted-bands frames —
+    the round-10 lever that stopped re-reading a parquet delta the
+    loop itself just wrote), every doc gets an ingest/drop decision,
+    and accepted docs' bands are WRITTEN as parquet delta d{{t}} with
+    periodic compaction — the versioned on-disk store is maintained
+    for the durable-index contract (and is what the compaction fold
+    reads), while the in-process probe joins the in-memory twin of
+    the same data (ADVICE r10 item 4).
     A doc accepted in batch 1 therefore blocks its near-dup arriving
     in batch 2 — and a doc REJECTED in batch 1 does not.
 

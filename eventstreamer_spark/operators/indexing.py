@@ -1085,12 +1085,23 @@ def bm25_parts(
         .localCheckpoint(eager=True)
     )
     # dlen == sum of term frequencies, so doc lengths come from the
-    # checkpointed postings — the corpus never tokenizes a second time
+    # checkpointed postings — the corpus never tokenizes a second time.
+    # A zero-token doc has no postings rows and therefore no dl row,
+    # which is harmless per-doc (it can never score), but n_docs and
+    # avglen must still count it like the oracle's full-table CTEs do:
+    # N comes from a doc_id-only count of the documents table (column-
+    # pruned scan, no tokenize) and avglen divides the postings-side
+    # length sum — to which empty docs contribute exactly 0 — by that N
+    # (ADVICE r10 item 1).
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avglen"),
+    stats = (
+        dl.agg(F.sum("dlen").cast("long").alias("sum_dlen"))
+        .crossJoin(d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+        .select(
+            "n_docs",
+            (F.col("sum_dlen").cast("double") / F.col("n_docs")).alias("avglen"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     qt = (
@@ -1345,48 +1356,60 @@ def q_domain_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     the positive excess, and each source's share of total excess as
     the mixture weight (uniform fallback when no source shows excess).
 
-    Scale shape: the ONE (source, prefix, next) aggregate feeds
-    everything — the global model sums out the source key, the self
-    model reuses the per-source rows, scoring is two equi-joins back
-    onto the distinct-pair table (never a corpus rescan; the
-    domain_shift_matrix plan with fanout 2 instead of k). Vocab
-    passes are the standard distinct aggregations. NLL terms are
-    integer micro-nats; the occurrence-weighted means accumulate in
-    the DOUBLE domain identically in both engines (the ADVICE-r9
-    overflow rule)."""
+    Scale shape: the corpus tokenizes ONCE (VERDICT r10 item 2 — the
+    old plan re-ran tokenize+explode for the bigram, global-vocab and
+    per-source-vocab branches): a single posexplode-shaped projection
+    emits every token exactly once as `prefix` with a NULLABLE
+    next_token (null on each doc's last token), lazily checkpointed at
+    the exploded grain. The bigram aggregate is the not-null subset;
+    BOTH vocab tables derive from the same rows — `sv` = per-source
+    distinct prefix count, `gv` = global distinct over the same
+    distinct (source, word) side table — so the three corpus passes
+    collapse into one lineage. The ONE (source, prefix, next)
+    aggregate still feeds everything downstream — the global model
+    sums out the source key, the self model reuses the per-source
+    rows, scoring is two equi-joins back onto the distinct-pair table
+    (never a corpus rescan; the domain_shift_matrix plan with fanout 2
+    instead of k). NLL terms are integer micro-nats; the
+    occurrence-weighted means accumulate in the DOUBLE domain
+    identically in both engines (the ADVICE-r9 overflow rule)."""
     d = load_table_parallel(spark, sf_dir, "documents").select("source", "text")
     tk = d.select("source", F.expr(_TOKS_S).alias("t"))
-    bg = tk.select(
-        "source",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
-                "i -> struct(element_at(t, i + 1) AS prefix, "
-                "element_at(t, i + 2) AS next_token)) ELSE array() END"
-            )
-        ).alias("p"),
-    ).select("source", "p.prefix", "p.next_token")
+    ev = (
+        tk.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 1 THEN transform(sequence(0, size(t) - 1), "
+                    "i -> struct(element_at(t, i + 1) AS prefix, "
+                    "CASE WHEN i < size(t) - 1 THEN element_at(t, i + 2) END "
+                    "AS next_token)) ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.prefix", "p.next_token")
+        .localCheckpoint(eager=False)  # bigram + vocab branches
+    )
     ebg = (
-        bg.groupBy("source", "prefix", "next_token")
+        ev.filter(F.col("next_token").isNotNull())
+        .groupBy("source", "prefix", "next_token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
         .localCheckpoint(eager=False)  # global + self + scoring sides
+    )
+    sw = (
+        ev.select("source", F.col("prefix").alias("word"))
+        .distinct()
+        .localCheckpoint(eager=False)  # per-source + global vocab
     )
     gab = ebg.groupBy("prefix", "next_token").agg(
         F.sum("n_occ").cast("long").alias("cab")
     )
     ga = ebg.groupBy("prefix").agg(F.sum("n_occ").cast("long").alias("ca_g"))
-    gv = (
-        tk.select(F.explode("t").alias("word"))
-        .agg(F.countDistinct("word").cast("long").alias("vsz_g"))
-    )
+    gv = sw.agg(F.countDistinct("word").cast("long").alias("vsz_g"))
     sa = ebg.groupBy("source", "prefix").agg(
         F.sum("n_occ").cast("long").alias("ca_s")
     )
-    sv = (
-        tk.select("source", F.explode("t").alias("word"))
-        .groupBy("source")
-        .agg(F.countDistinct("word").cast("long").alias("vsz_s"))
-    )
+    sv = sw.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vsz_s"))
     nll = lambda ca, v, cab: (
         F.round(F.log(F.col(ca) + F.col(v)) * 1000000, 0).cast("long")
         - F.round(F.log(F.col(cab) + 1) * 1000000, 0).cast("long")

@@ -81,6 +81,41 @@ def brute_topk(e: DataFrame) -> DataFrame:
     return _ranked_topk(pairs)
 
 
+# Session-scoped memo of the CHECKPOINTED exact ground truth for
+# CONSUMER queries (the pq_recall_at_k grid — VERDICT r10 item 4, the
+# semdedup_assign_memo pattern): the truth table is a fixed artifact
+# of (corpus, QUERY_FILTER, TOP_K), identical for every recall/eval
+# grid that reads it. The OWNER, ann_bruteforce_topk, calls
+# brute_topk() directly and re-runs its own build every invocation
+# (the bench-honesty rule: memos are for consumers, never a query's
+# own build). The value is a localCheckpointed DataFrame — rows live
+# executor-side, only the handle on the driver.
+_BRUTE_MEMO: dict[tuple[str, str], DataFrame] = BoundedMemo(maxsize=4)
+
+
+def brute_truth_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-facing exact ANN ground truth (query_id, neighbor_id,
+    rank): first call per (app, sf_dir) materializes brute_topk over
+    the zero-norm-dropped quantized corpus behind an eager
+    localCheckpoint; later calls reuse the handle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BRUTE_MEMO.get(key)
+    if hit is None:
+        prepared = H.with_quantized_unit(
+            load_table_parallel(spark, sf_dir, "embeddings"),
+            "embedding",
+            "uq",
+            drop_zero_norm=True,
+        ).select("vec_id", "uq")
+        hit = (
+            brute_topk(prepared)
+            .select("query_id", "neighbor_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+        _BRUTE_MEMO[key] = hit
+    return hit
+
+
 @query("ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a deterministic query subset (see
@@ -2166,17 +2201,23 @@ def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant string, n_cells long",
     )
     tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    # LEFT join + coalesce: a variant whose search finds zero true
+    # positives produces no `hits` group, but the oracle still emits
+    # its row with n_hit = 0 / recall 0.0 (ADVICE r10 item 2).
     return (
-        cells.join(hits, "variant")
+        cells.join(hits, "variant", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "variant",
             "n_cells",
-            "n_hit",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             "n_truth",
             (
                 F.floor(
-                    F.col("n_hit") * F.lit(1000000.0) / F.col("n_truth") + F.lit(0.5)
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    * F.lit(1000000.0)
+                    / F.col("n_truth")
+                    + F.lit(0.5)
                 )
                 / 1000000.0
             ).alias("recall_at_k"),
