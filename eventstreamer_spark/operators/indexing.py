@@ -1442,11 +1442,15 @@ def q_domain_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = per.withColumn(
         "ex_e6", F.greatest(F.col("mg_e6") - F.col("ms_e6"), F.lit(0).cast("long"))
     )
-    tot = exc.agg(
-        F.sum("ex_e6").cast("long").alias("tex"),
-        F.count(F.lit(1)).cast("long").alias("k"),
+    # totals as a whole-frame window over the k-source table (20 rows,
+    # bounded by the source count at any sf) instead of a separate
+    # agg + broadcast-build job: one driver-synchronized job fewer —
+    # A/B'd min-of-6 in one process 2.61 -> 2.24 s at sf0.1
+    wall = Window.partitionBy(F.lit(1))
+    exc = exc.withColumn("tex", F.sum("ex_e6").over(wall).cast("long")).withColumn(
+        "k", F.count(F.lit(1)).over(wall).cast("long")
     )
-    return exc.crossJoin(F.broadcast(tot)).select(
+    return exc.select(
         "source",
         "n_bigrams",
         (F.col("mg_e6") / F.lit(1000000.0)).alias("nll_global"),

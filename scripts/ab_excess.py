@@ -7,9 +7,23 @@ explode each re-run _TOKS_S from the parquet scan).
 NEW plan: the registered query — ONE tokenize+explode emitting every
 token once as `prefix` with a nullable next_token, lazily checkpointed;
 bigrams = the not-null subset, both vocab tables derive from the same
-distinct (source, word) side table.
+distinct (source, word) side table; totals via a whole-frame window
+over the 20-row exc table instead of a separate agg+broadcast job.
 Both run min-of-N in ONE process, alternating, per the measurement
 protocol (cross-process totals drift with host noise).
+
+Round-11 measured record (sf0.1, min-of-4/6, one process each window):
+  single-tokenize: 2.40 -> 2.15 s; window-total: 2.61 -> 2.24 s.
+A/B'd and LOST (do-not-retry): eager ev checkpoint (noise-level,
+2.04 vs 2.12 — consumers pipeline fine from the lazy ckpt); no ev
+checkpoint (2.10, two tokenize passes); rollup-combined vocab via an
+eager 21-row svg checkpoint (3.03 — the blocking build job costs more
+than the gv job it saves); vsz_g riding the sv broadcast via crossJoin
+(2.14 vs 2.03 — the two vocab builds already pipeline from the sw
+checkpoint). Remaining floor: three driver-synchronized jobs (sv
+broadcast build materializing ev+sw, gv broadcast build, main DAG)
+at Spark's fixed per-job cost over a ~250 k-token corpus — amortizes
+at scale (exponent 0.266, SCALING_r10).
 """
 
 from __future__ import annotations
