@@ -1173,14 +1173,18 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc lengths attached ONCE (tf ⋈ dl, materialized before the
     stream starts — the index build); each micro-batch's query terms
     (carrying df and the corpus stats, exactly bm25_topk's broadcast
-    payload) stream-static join the postings on the token key, term
-    contributions compute row-locally, and the ONLY streaming state is
-    the per-(query, doc) integer score aggregation (complete mode,
-    bounded by query-term postings — never the corpus). The final
-    top-k ranks as a batch window over the sink, how a serving tier
-    ranks a request's gathered candidates. At 100 TB the static side
-    is the token-bucketed postings table and the stream side stays
-    per-request-sized.
+    payload) join the postings on the token key, term contributions
+    compute row-locally, and each batch scores, ranks and EMITS its
+    own requests' top-k via foreachBatch (VERDICT r10 item 5): the
+    chunking is BY query (query_id % 3), so a request's terms
+    arrive in exactly one micro-batch and the serving tier holds NO
+    aggregation state between triggers — per-batch emission is the
+    production contract, and it is also what the scale harness now
+    measures (the old complete-mode gate accumulated every query's
+    gathered scores in global state, exp 0.585 in SCALING_r10 — an
+    artifact of the gate, not the serving design). At 100 TB the
+    static side is the token-bucketed postings table and the stream
+    side stays per-request-sized.
 
     Oracle: the batch BM25 oracle VERBATIM — the union of the three
     micro-batches covers the whole query subset and the index is
@@ -1191,7 +1195,7 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from eventstreamer_spark.streaming.pipeline import run_to_memory
+    from eventstreamer_spark.streaming.pipeline import run_foreach_batch
 
     tf, dl, qt = bm25_parts(spark, sf_dir)
     # the served index: postings with doc length attached, materialized
@@ -1230,35 +1234,41 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(chunk_dir)
         )
-        contrib = (
-            stream.join(
+        served: list = []
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("score_e6").desc(), F.col("doc_id")
+        )
+
+        def serve(bdf: DataFrame, _batch_id: int) -> None:
+            # one request batch: gather query-term postings, score,
+            # rank, emit — the per-request work a serving tier does;
+            # the collect is the EMISSION (bounded: <= queries x top-k
+            # rows per batch), not a driver-side compute loop
+            contrib = bdf.join(
                 post,
-                (stream["qtok"] == post["tok"])
-                & (post["doc_id"] != stream["query_id"]),
-            )
-            .select(
+                (bdf["qtok"] == post["tok"]) & (post["doc_id"] != bdf["query_id"]),
+            ).select(
                 "query_id",
                 "doc_id",
                 F.expr(_bm25_term_e6("spark")).alias("term_e6"),
             )
-        )
-        scored = contrib.groupBy("query_id", "doc_id").agg(
-            F.sum("term_e6").cast("long").alias("score_e6")
-        )
-        run_to_memory(scored, "bm25_stream_sink", mode="complete")
-        t = spark.table("bm25_stream_sink")
-        wr = Window.partitionBy("query_id").orderBy(
-            F.col("score_e6").desc(), F.col("doc_id")
-        )
-        return (
-            t.withColumn("rank", F.row_number().over(wr).cast("long"))
-            .filter(F.col("rank") <= BM25_TOP)
-            .select(
-                "query_id",
-                "doc_id",
-                (F.col("score_e6") / F.lit(1000000.0)).alias("bm25"),
-                "rank",
+            scored = contrib.groupBy("query_id", "doc_id").agg(
+                F.sum("term_e6").cast("long").alias("score_e6")
             )
+            topk = scored.withColumn(
+                "rank", F.row_number().over(wr).cast("long")
+            ).filter(F.col("rank") <= BM25_TOP)
+            served.extend(topk.collect())
+
+        run_foreach_batch(stream, serve)
+        out = spark.createDataFrame(
+            served, "query_id long, doc_id long, score_e6 long, rank long"
+        )
+        return out.select(
+            "query_id",
+            "doc_id",
+            (F.col("score_e6") / F.lit(1000000.0)).alias("bm25"),
+            "rank",
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

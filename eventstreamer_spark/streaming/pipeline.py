@@ -145,6 +145,44 @@ def run_to_memory(
     streaming engine's per-query machinery, not plan shape — batch
     twins of the same aggregations run in 0.2-0.8 s.
     """
+    return _run_gate_stream(
+        df,
+        lambda ws, ckpt: (
+            ws.outputMode(mode)
+            .format("memory")
+            .option("checkpointLocation", ckpt)
+            .queryName(name)
+            .start()
+        ),
+        nodata_batches=nodata_batches,
+    )
+
+
+def run_foreach_batch(df, fn, nodata_batches: bool = False) -> list[dict]:
+    """run_to_memory's per-batch-emission twin: drive a streaming frame
+    to completion through ``foreachBatch(fn)`` under the same gate conf
+    discipline (in-memory state provider, fresh tmpfs checkpoint,
+    minBatchesToRetain=1 — see run_to_memory). For serving-shaped
+    streams whose unit of work is the REQUEST (a micro-batch), not a
+    cross-batch key: ``fn(batch_df, batch_id)`` scores/ranks/emits each
+    batch and the stream holds NO aggregation state between triggers —
+    the artifact the scale harness measures is then the same per-batch
+    contract production runs."""
+    return _run_gate_stream(
+        df,
+        lambda ws, ckpt: (
+            ws.foreachBatch(fn).option("checkpointLocation", ckpt).start()
+        ),
+        nodata_batches=nodata_batches,
+    )
+
+
+def _run_gate_stream(df: DataFrame, start, nodata_batches: bool = False) -> list[dict]:
+    """Shared gate-run plumbing: conf save/set/restore + fresh
+    checkpoint dir + synchronous processAllAvailable, with ``start``
+    receiving (writeStream, checkpoint_dir) and returning the started
+    query. See run_to_memory's docstring for the measured rationale of
+    every conf choice."""
     import shutil
     import tempfile
 
@@ -182,13 +220,7 @@ def run_to_memory(
     q = None
     progresses: list[dict] = []
     try:
-        q = (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .option("checkpointLocation", ckpt)
-            .queryName(name)
-            .start()
-        )
+        q = start(df.writeStream, ckpt)
         q.processAllAvailable()
         # Captured before stop: per-batch state metrics (rows dropped by
         # watermark, state row counts) for tests that pin eviction.

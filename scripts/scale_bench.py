@@ -112,6 +112,8 @@ QUERIES: tuple[str, ...] = (
     "minhash_band_tuning", "data_quality_constraints",
     "domain_excess_reweight", "corpus_snapshot_diff",
     "embedding_anisotropy_audit",
+    # round-11 additions
+    "pq_rerank_np4",
 )
 
 # name -> (max factor, reason)
@@ -129,8 +131,12 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "ivf_nprobe_sweep": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the swept searches scale separately"),
     "graded_retrieval_eval": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the retrievers it grades scale separately"),
     "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
-    "stream_bm25_topk": (10, "complete-mode memory sink holds every query's gathered (query, doc) scores during the gate run; production serving emits per-batch and keeps no cross-batch state"),
 }
+# stream_bm25_topk was capped at x10 through round 10 (complete-mode
+# memory sink held every query's gathered scores during the gate run,
+# exp 0.585). The round-11 foreachBatch re-plan emits each batch's
+# top-k and keeps no cross-batch state — the measured artifact now IS
+# the per-batch production contract, so the query runs uncapped.
 # fuzzy_name_matches was capped at x10 in the first round-4 run
 # (0.9 s → 16.2 s: the replica catalog recycles part names and
 # identical names defeat blocking). After the distinct-name collapse
