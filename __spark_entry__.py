@@ -256,6 +256,30 @@ _GREEN_R9 = frozenset({
     'window_functions_orders',
 })
 
+# r10 (all 50 rows hash-green, CORRECTNESS_r10.json): the 12 round-10
+# additions + the stalest greens that window re-proved.
+_GREEN_R10 = frozenset({
+    'ann_bruteforce_topk', 'ann_lsh_topk', 'ann_recall_at_k',
+    'ann_recall_fixed_probes', 'approx_aggregates', 'bpe_apply_segmentation',
+    'bpe_learned_merges', 'bpe_token_counts', 'corpus_snapshot_diff',
+    'curriculum_stage_assignment', 'data_quality_constraints',
+    'dedup_canonical_selection', 'dedup_clusters', 'dedup_savings_report',
+    'doc_fingerprints', 'domain_excess_reweight', 'embedding_anisotropy_audit',
+    'embedding_neardup', 'embedding_neardup_prefiltered', 'exact_dedup',
+    'graded_retrieval_eval', 'hard_negative_mining',
+    'incremental_neardup_ingest', 'ivf_centroid_assign', 'ivf_topk_search',
+    'json_ingest_corrupt_audit', 'lang_id_confusion', 'minhash_band_tuning',
+    'minhash_lsh_neardup', 'mixture_temperature_weights',
+    'multimodal_decode_features', 'multimodal_frame_sample',
+    'multimodal_payload_dedup', 'neardup_prefilter_recall',
+    'ngram_jaccard_neardup', 'packing_efficiency_audit',
+    'parquet_schema_evolution', 'pq_rerank_topk', 'repetition_detection',
+    'semantic_dedup', 'simhash_neardup', 'srp_angle_calibration',
+    'stream_bm25_topk', 'stream_foreachbatch_upsert', 'stream_late_data_policy',
+    'text_stats_quality', 'tfidf_top_terms', 'time_hierarchy_rollup',
+    'token_frequencies', 'udtf_chunk_stats',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -268,6 +292,7 @@ for _round, _names in (
     (7, _GREEN_R7),
     (8, _GREEN_R8),
     (9, _GREEN_R9),
+    (10, _GREEN_R10),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
