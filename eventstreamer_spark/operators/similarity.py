@@ -604,6 +604,8 @@ m AS (
   SELECT 'srp_lsh' AS method, query_id, neighbor_id, rank FROM lsh
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id, rank FROM ivf
+  UNION ALL
+  SELECT 'pq_rerank' AS method, query_id, neighbor_id, rank FROM rerank
 ),
 per AS (
   SELECT m.method, m.query_id,
@@ -631,31 +633,50 @@ SELECT method, n AS n_queries,
 FROM pq, nq GROUP BY method, n
 """
 
-_GRADED_EVAL_ORACLE = f"""
+def _graded_eval_oracle() -> str:
+    """Lazy oracle (resolved at oracle_sql() time): the pq_rerank row
+    reuses audit's shared residual-chain rerank oracle verbatim, and
+    audit imports THIS module at load — hence the deferred compose
+    (registry's callable-oracle form)."""
+    from eventstreamer_spark.operators.audit import _PQ_RERANK_ORACLE
+
+    return f"""
 WITH brute AS ({_BRUTE_ORACLE}),
 lsh AS ({_LSH_ORACLE}),
 ivf AS ({_IVF_SEARCH_ORACLE}),
+rerank AS MATERIALIZED ({_PQ_RERANK_ORACLE}),
 {_NDCG_TAIL}
 """
 
 
-@query("graded_retrieval_eval", oracle=_GRADED_EVAL_ORACLE)
+@query("graded_retrieval_eval", oracle=_graded_eval_oracle)
 def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@k and MRR for the two approximate ANN retrievers against
-    the exact cosine top-k, plus the 'exact' sanity row (nDCG = MRR =
-    1 by construction — the anchor that pins the metric itself).
-    Graded gain = (k+1 − exact_rank); discount = the inlined integer
-    1e6/log2(rank+1) table; IDCG is the constant ideal sum since every
-    query has a full exact top-k.
+    """nDCG@k and MRR for the approximate ANN retrievers against the
+    exact cosine top-k, plus the 'exact' sanity row (nDCG = MRR = 1 by
+    construction — the anchor that pins the metric itself). Round 11
+    adds the 'pq_rerank' row (VERDICT r10 item 7): the refinement
+    stage's WHERE-does-it-rank read alongside its recall read —
+    audit's shared residual chain + exact re-rank at nprobe=2, scored
+    on this grid verbatim. Graded gain = (k+1 − exact_rank); discount
+    = the inlined integer 1e6/log2(rank+1) table; IDCG is the constant
+    ideal sum since every query has a full exact top-k.
 
     Scale shape: same as ann_recall_at_k — ONE prepared corpus
     (quantized + SRP buckets, checkpointed) feeds the brute truth and
-    both retrievers; per-query DCG is one aggregation over ≤ 3·q·k
-    joined rows (the bounded retrieved lists, never a corpus term);
-    the exact truth is the audit-tier O(q·n) contract shared by every
-    recall/eval report. Exactness: gains, discounts, DCG and the
+    the SRP/IVF retrievers; the pq_rerank row runs its own
+    checkpointed residual build (residual codes cannot share the
+    raw-vector artifacts); per-query DCG is one aggregation over
+    ≤ 4·q·k joined rows (the bounded retrieved lists, never a corpus
+    term); the exact truth is the audit-tier O(q·n) contract shared by
+    every recall/eval report. Exactness: gains, discounts, DCG and the
     1e-6-scaled nDCG/RR are integers in both engines; only the final
     fixed-order mean divides."""
+    from eventstreamer_spark.operators.audit import (
+        RERANK_M,
+        _pq_exact_rerank,
+        ivfadc_residual_topk,
+    )
+
     raw = load_table_parallel(spark, sf_dir, "embeddings")
     prepared = (
         H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
@@ -682,6 +703,14 @@ def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, sf_dir, e=raw, embq=prepared.select("vec_id", "uq")
                 ),
             ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
+        )
+    )
+    short, fullv = ivfadc_residual_topk(
+        spark, sf_dir, checkpoint=True, k=RERANK_M, with_fullv=True
+    )
+    methods = methods.unionByName(
+        _pq_exact_rerank(short, fullv).select(
+            F.lit("pq_rerank").alias("method"), "query_id", "neighbor_id", "rank"
         )
     )
     disc = "array({})".format(", ".join(f"{d}L" for d in _NDCG_DISC_E6))

@@ -24,13 +24,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None
+    # a SQL string, or a zero-arg callable resolved at oracle_sql() time —
+    # the lazy form lets a query's oracle compose SQL parts from a module
+    # that imports THIS one (e.g. similarity's graded eval reusing audit's
+    # rerank chain) without a circular module-load import
+    oracle: str | Callable[[], str] | None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a (spark, sf_dir) -> DataFrame operator + its oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -45,4 +51,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {
+        q.name: q.oracle() if callable(q.oracle) else q.oracle
+        for q in REGISTRY.values()
+        if q.oracle is not None
+    }
