@@ -2656,6 +2656,248 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OPQ-lite: variance-balanced dimension allocation for PQ subspaces
+# ---------------------------------------------------------------------------
+
+# Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013) learns
+# an orthogonal rotation R before PQ so quantization error spreads
+# evenly across subspaces. The FULL non-parametric OPQ alternates SVD
+# solves with codebook refits — float eigendecompositions that cannot
+# live in this repo's exact integer cross-engine contract (the
+# twice-deferred VERDICT item, formally resolved here): the only
+# orthogonal transforms that keep v6 components exactly representable
+# are SIGNED PERMUTATIONS. So we implement the permutation member of
+# the OPQ family — the paper's balanced dimension-allocation
+# initialization (its Fig. "OPQ_NP init" / Faiss's pre-permutation):
+# rank dimensions by a dispersion key and deal them into subspaces in
+# snake order, so each subspace receives one dim per dispersion band
+# and the per-subspace total dispersion is near-equal. The dispersion
+# key is the integer mean-absolute-deviation sum Σ|v6 − mean6(dim)| —
+# exact int64 at any realistic scale (≤ n·1e6: 1e12 vectors still fit
+# int64), where a sum-of-squares key would overflow the exact domain
+# at x100. The audit trains the SAME two-pass PQ on both layouts and
+# reports per-subspace dispersion spread plus corpus-wide
+# reconstruction fidelity — the measure-the-estimator discipline: on
+# a near-isotropic space (embedding_anisotropy_audit measured 0.0024)
+# the balanced layout should ≈match identity fidelity while provably
+# flattening the spread; on skewed real spaces the same permutation
+# is the cheap first OPQ step.
+
+_OPQ_SNAKE_S = (
+    f"CAST(CASE WHEN (rn DIV {PQ_SUBS}) % 2 = 0 THEN rn % {PQ_SUBS} "
+    f"ELSE {PQ_SUBS - 1} - rn % {PQ_SUBS} END AS INT)"
+)
+_OPQ_SNAKE_D = (
+    f"CAST(CASE WHEN (rn // {PQ_SUBS}) % 2 = 0 THEN rn % {PQ_SUBS} "
+    f"ELSE {PQ_SUBS - 1} - rn % {PQ_SUBS} END AS INTEGER)"
+)
+
+
+def _opq_layout_duck(pref: str, alloc_cte: str) -> str:
+    """Per-layout oracle block: permuted components -> gathered arrays
+    -> the shared two-pass PQ trainer -> reconstruction beside the
+    same-order original -> corpus-wide quantized-cosine fidelity +
+    the per-subspace dispersion spread, as one summary row."""
+    train = ",\n".join(_pq_train_duck(pref, f"{pref}pqs", f"{pref}pqv"))
+    return f"""{pref}pqs AS MATERIALIZED (
+  SELECT s0.vec_id, a.s, a.p, s0.v6 FROM osub s0 JOIN {alloc_cte} a USING (i0)
+),
+{pref}pqv AS MATERIALIZED (
+  SELECT vec_id, s, list(v6 ORDER BY p) AS v_arr FROM {pref}pqs GROUP BY 1, 2
+),
+{train},
+{pref}rec AS MATERIALIZED (
+  SELECT a.vec_id, list(CAST(m.m6 AS DOUBLE) / 1000000.0 ORDER BY m.s, m.p) AS rec
+  FROM {pref}a2 a JOIN {pref}m1 m ON m.s = a.s AND m.c = a.c
+  GROUP BY 1
+),
+{pref}ov AS (
+  SELECT vec_id, list(CAST(v6 AS DOUBLE) / 1000000.0 ORDER BY s, p) AS ov
+  FROM {pref}pqs GROUP BY 1
+),
+{pref}u AS (
+  SELECT {H.quantized_unit_duck("o.ov")} AS uq_o,
+         {H.quantized_unit_duck("r.rec")} AS uq_r
+  FROM {pref}ov o JOIN {pref}rec r USING (vec_id)
+),
+{pref}f AS (
+  SELECT round({H.qcosine_duck("uq_o", "uq_r")}, 5) AS fid
+  FROM {pref}u WHERE uq_o[1] IS NOT NULL
+),
+{pref}sp AS (
+  SELECT CAST(max(ssum) - min(ssum) AS BIGINT) AS mad_spread
+  FROM (SELECT s, sum(mad_sum) AS ssum FROM {alloc_cte} GROUP BY 1)
+),
+{pref}row AS (
+  SELECT sp.mad_spread,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         {_MEAN6_DUCK.format(v="fid")} AS mean_fidelity,
+         min(fid) AS min_fidelity
+  FROM {pref}f, {pref}sp sp
+  GROUP BY sp.mad_spread
+)"""
+
+
+_OPQ_ORACLE = f"""
+WITH osub AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i0,
+         CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v6
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+dmean AS (
+  SELECT i0, CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT) AS m6
+  FROM osub GROUP BY 1
+),
+dkey AS (
+  SELECT s.i0, CAST(sum(abs(s.v6 - d.m6)) AS BIGINT) AS mad_sum
+  FROM osub s JOIN dmean d USING (i0) GROUP BY 1
+),
+balloc AS (
+  SELECT i0, mad_sum, {_OPQ_SNAKE_D} AS s,
+         CAST(rn // {PQ_SUBS} AS INTEGER) AS p
+  FROM (
+    SELECT i0, mad_sum,
+           row_number() OVER (ORDER BY mad_sum DESC, i0) - 1 AS rn
+    FROM dkey
+  )
+),
+ialloc AS (
+  SELECT i0, mad_sum, CAST(i0 // {PQ_SUBDIM} AS INTEGER) AS s,
+         CAST(i0 % {PQ_SUBDIM} AS INTEGER) AS p
+  FROM dkey
+),
+{_opq_layout_duck("oi", "ialloc")},
+{_opq_layout_duck("ob", "balloc")}
+SELECT 'identity' AS layout, mad_spread, n_vecs, mean_fidelity, min_fidelity
+FROM oirow
+UNION ALL
+SELECT 'variance_balanced' AS layout, mad_spread, n_vecs, mean_fidelity,
+       min_fidelity
+FROM obrow
+"""
+
+
+@query("opq_permute_audit", oracle=_OPQ_ORACLE)
+def q_opq_permute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite (see section comment): the variance-balancing
+    dimension PERMUTATION — the only orthogonal transform that stays
+    in the exact integer contract — applied before PQ, audited
+    against the identity layout. Per layout: per-subspace
+    mean-absolute-deviation spread (max − min of subspace dispersion
+    totals — what the allocation exists to flatten) and corpus-wide
+    cosine(original, reconstruction) fidelity from the SAME two-pass
+    trainer.
+
+    Scale shape: the corpus explodes ONCE into integer components
+    (lazy checkpoint; three consumers — the dispersion keys and both
+    layout trains); the 64-row allocation tables broadcast; each
+    layout's train is pq_build's shape (gathered subspace arrays,
+    broadcast codebooks, row-local argmin folds, map-side-combined
+    1024-key refits). Ranking 64 dims is a 64-row single-partition
+    window — bounded by EMB_DIM, not data. Exactness: dispersion keys
+    are exact int64 MAD sums (a sum-of-squares key would leave the
+    exact domain at x100), the snake allocation is integer arithmetic
+    over a deterministic (key DESC, dim) rank, training/recon are the
+    existing verified integer kernels, fidelity is the quantized
+    integer-dot report."""
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    sub0 = (
+        e.select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            F.col("i0").cast("int").alias("i0"),
+            F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+                "v6"
+            ),
+        )
+        .localCheckpoint(eager=False)  # keys + both layout trains
+    )
+    dmean = sub0.groupBy("i0").agg(
+        F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)").alias("m6")
+    )
+    dkey = (
+        sub0.join(F.broadcast(dmean), "i0")
+        .groupBy("i0")
+        .agg(F.sum(F.abs(F.col("v6") - F.col("m6"))).cast("long").alias("mad_sum"))
+        .localCheckpoint(eager=False)  # both allocation tables
+    )
+    wk = Window.orderBy(F.col("mad_sum").desc(), F.col("i0"))
+    balloc = dkey.withColumn("rn", F.row_number().over(wk) - F.lit(1)).select(
+        "i0",
+        "mad_sum",
+        F.expr(_OPQ_SNAKE_S).alias("s"),
+        F.expr(f"CAST(rn DIV {PQ_SUBS} AS INT)").alias("p"),
+    )
+    ialloc = dkey.select(
+        "i0",
+        "mad_sum",
+        F.expr(f"CAST(i0 DIV {PQ_SUBDIM} AS INT)").alias("s"),
+        F.expr(f"CAST(i0 % {PQ_SUBDIM} AS INT)").alias("p"),
+    )
+
+    def layout_row(name: str, alloc: DataFrame) -> DataFrame:
+        alloc = alloc.localCheckpoint(eager=False)  # train join + spread
+        sub = sub0.join(F.broadcast(alloc), "i0").select("vec_id", "s", "p", "v6")
+        pqv = (
+            sub.groupBy("vec_id", "s")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, v6))), e -> e.v6)"
+                ).alias("v_arr")
+            )
+            .repartition(shuffle_partitions(spark), "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        m1, a2 = _pq_train(sub, pqv)
+        rec = (
+            a2.join(F.broadcast(m1), ["s", "c"])
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(s, p, m6))), "
+                    "e -> CAST(e.m6 AS DOUBLE) / 1000000.0)"
+                ).alias("rec")
+            )
+        )
+        ov = sub.groupBy("vec_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, p, v6))), "
+                "e -> CAST(e.v6 AS DOUBLE) / 1000000.0)"
+            ).alias("ov")
+        )
+        r = ov.join(rec, "vec_id")
+        r = H.with_quantized_unit(r, "ov", "uq_o", drop_zero_norm=True)
+        r = H.with_quantized_unit(r, "rec", "uq_r")
+        fid = r.select(F.round(H.qcosine_expr("uq_o", "uq_r"), 5).alias("fid"))
+        spread = alloc.groupBy("s").agg(
+            F.sum("mad_sum").cast("long").alias("ssum")
+        ).agg((F.max("ssum") - F.min("ssum")).cast("long").alias("mad_spread"))
+        return (
+            fid.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                _mean6_spark(F.col("fid")).alias("mean_fidelity"),
+                F.min("fid").alias("min_fidelity"),
+            )
+            .crossJoin(F.broadcast(spread))
+            .select(
+                F.lit(name).alias("layout"),
+                "mad_spread",
+                "n_vecs",
+                "mean_fidelity",
+                "min_fidelity",
+            )
+        )
+
+    return layout_row("identity", ialloc).unionByName(
+        layout_row("variance_balanced", balloc)
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct-count sketch, audited against the exact count
 # ---------------------------------------------------------------------------
 
