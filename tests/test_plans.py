@@ -1229,16 +1229,19 @@ def test_ivfadc_residual_plan(spark):
 
 
 def test_pq_recall_includes_residual_point(spark):
-    """The recall grid reports all four compressed retrieval points
-    (round 10 added the exact re-rank row); the residual build rides
-    behind checkpoints so the composed plan stays Generate-free (same
-    invariant as the shared raw build)."""
+    """The recall grid reports all five compressed retrieval points
+    (round 10 added the exact re-rank row, round 11 the nprobe=4
+    refined row); the residual build rides behind checkpoints so the
+    composed plan stays Generate-free (same invariant as the shared
+    raw build), and the deeper probe never retrieves less truth."""
     from eventstreamer_spark.operators.audit import q_pq_recall_at_k
 
     rows = q_pq_recall_at_k(spark, SF_DIR).collect()
     assert {r.method for r in rows} == {
-        "pq_adc", "ivf_pq", "ivfadc_res", "pq_rerank",
+        "pq_adc", "ivf_pq", "ivfadc_res", "pq_rerank", "pq_rerank_np4",
     }
+    by = {r.method: r for r in rows}
+    assert by["pq_rerank_np4"].recall_at_k >= by["pq_rerank"].recall_at_k
 
 
 def test_paragraph_rewrite_band_candidates_only(spark):
@@ -1557,6 +1560,59 @@ def test_pq_rerank_refine_stage(spark):
         assert min(x.exact_l2 for x in rs) == next(
             x.exact_l2 for x in rs if x.rank == 1
         )
+
+
+def test_pq_rerank_np4_probes_deeper(spark):
+    """The nprobe=4 refined search (round 11): output pairs must be a
+    subset of ITS OWN nprobe=4 coarse shortlist, the np4 candidate
+    universe must be a superset of the np2 one (deeper WHO-prune never
+    sees less), ranks dense, refine joins broadcast, no cartesian."""
+    from eventstreamer_spark.operators.audit import (
+        RERANK_M,
+        ivfadc_residual_topk,
+        q_pq_rerank_np4,
+    )
+
+    df = q_pq_rerank_np4(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    rows = df.collect()
+    assert rows
+    short4 = ivfadc_residual_topk(spark, SF_DIR, k=RERANK_M, nprobe=4)
+    allowed = {(r.query_id, r.neighbor_id) for r in short4.collect()}
+    per = {}
+    for r in rows:
+        assert (r.query_id, r.neighbor_id) in allowed
+        per.setdefault(r.query_id, []).append(r)
+    for _qid, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+
+    cand2 = ivfadc_residual_topk(spark, SF_DIR, nprobe=2, scored_pairs=True)
+    cand4 = ivfadc_residual_topk(spark, SF_DIR, nprobe=4, scored_pairs=True)
+    set2 = {(r.query_id, r.neighbor_id) for r in cand2.collect()}
+    set4 = {(r.query_id, r.neighbor_id) for r in cand4.collect()}
+    assert set2 <= set4
+    assert set4 - set2, "nprobe=4 should add probed candidates"
+
+
+def test_opq_allocation_balances_spread(spark):
+    """OPQ-lite invariants: both layout rows present over the same
+    vector count; the snake allocation's per-subspace dispersion
+    spread is strictly tighter than identity's (that is what the
+    allocation exists to do); fidelities live in [-1, 1]; and the
+    allocation is a true permutation (the plan has no cartesian)."""
+    from eventstreamer_spark.operators.audit import q_opq_permute_audit
+
+    df = q_opq_permute_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = {r.layout: r for r in df.collect()}
+    assert set(rows) == {"identity", "variance_balanced"}
+    assert rows["identity"].n_vecs == rows["variance_balanced"].n_vecs > 0
+    assert rows["variance_balanced"].mad_spread < rows["identity"].mad_spread
+    for r in rows.values():
+        assert -1.0 <= r.min_fidelity <= r.mean_fidelity <= 1.0
 
 
 def test_stream_bm25_matches_batch(spark):
