@@ -1476,3 +1476,117 @@ def q_domain_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mixture_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical + ANN lists
+# ---------------------------------------------------------------------------
+
+# Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+# the standard way a serving tier merges BM25's lexical list with a
+# vector index's semantic list without score calibration — each
+# retriever contributes 1/(K + rank) per document, K = 60 per the
+# paper. The two retrievers here share the repo's deterministic query
+# subset (doc/vec % 100 = 0, and vec_id == doc_id in the synthetic
+# corpus) and the same top-10 cut, so fusion is a pure rank-domain
+# composition: no scores cross retriever boundaries. Integer-exact by
+# the graded-eval discount trick — the ten 1/(K+rank) values are
+# inlined as the SAME round(1e6/(60+r)) integer literals in both
+# engines, so fused scores are int64 sums.
+
+RRF_K = 60
+_RRF_E6 = tuple(
+    int(1000000.0 / (RRF_K + r) + 0.5) for r in range(1, BM25_TOP + 1)
+)
+
+
+def _rrf_oracle() -> str:
+    """Lazy oracle (registry callable form): composes similarity's
+    SRP-LSH oracle, which lives in a module that does not import this
+    one — resolved at oracle_sql() time for symmetry with the Spark
+    side's function-level import."""
+    from eventstreamer_spark.operators.similarity import _LSH_ORACLE
+
+    lits = ", ".join(str(v) for v in _RRF_E6)
+    return f"""
+WITH bm AS ({_BM25_ORACLE}),
+ann AS ({_LSH_ORACLE}),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank FROM ann
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(sum(([{lits}])[rank]) AS BIGINT) AS rrf_e6,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY 1, 2
+),
+rr AS (
+  SELECT query_id, doc_id, rrf_e6, n_lists,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_e6 / 1000000.0 AS rrf_score, n_lists, rank
+FROM rr WHERE rank <= {BM25_TOP}
+"""
+
+
+@query("hybrid_rrf_fusion", oracle=_rrf_oracle)
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic serving via Reciprocal Rank Fusion (see
+    section comment): BM25's top-10 and the multi-probe SRP-LSH ANN
+    top-10 merge per query as Σ 1/(60 + rank) — the calibration-free
+    fusion every hybrid search deployment runs — with n_lists
+    reporting whether a hit came from one list or both. Completes the
+    serving family's missing stage: build → compress → serve → tune →
+    refine → FUSE.
+
+    Scale shape: both input lists are the retrievers' own verified
+    plans unchanged (bm25_topk's broadcast query-term join; lsh_topk's
+    query-side probe explode + one bucket equi-join — the corpus never
+    shuffles in either); fusion itself touches ≤ 2·q·k rows — a
+    groupBy at (query, doc) grain on bounded lists, then a per-query
+    window. Exactness: rank lists are the verified integer-domain
+    retrievers; the 1/(K+rank) discounts are shared integer literals;
+    fused scores are int64 sums; ties break (rrf_e6 DESC, doc_id)."""
+    from eventstreamer_spark.operators.similarity import lsh_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    prepared = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"),
+        "embedding",
+        "uq",
+        drop_zero_norm=True,
+    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+    ann = lsh_topk(prepared).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
+    fused = (
+        bm.unionByName(ann)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"element_at({lits}, CAST(rank AS INT))").alias("rrf_g"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("rrf_g").cast("long").alias("rrf_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("rrf_e6") / F.lit(1000000.0)).alias("rrf_score"),
+            "n_lists",
+            "rank",
+        )
+    )

@@ -113,7 +113,7 @@ QUERIES: tuple[str, ...] = (
     "domain_excess_reweight", "corpus_snapshot_diff",
     "embedding_anisotropy_audit",
     # round-11 additions
-    "pq_rerank_np4", "opq_permute_audit",
+    "pq_rerank_np4", "opq_permute_audit", "hybrid_rrf_fusion",
 )
 
 # name -> (max factor, reason)

