@@ -982,3 +982,136 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sqrt(var) * cnt * 1000000 / stoks + F.lit(0.5)) / 1000000.0
         ).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic batching: the padding/bucket-count Pareto
+# ---------------------------------------------------------------------------
+
+# The OTHER standard answer to variable-length training batches —
+# packing_efficiency_audit prices pack-then-slice (tail waste +
+# boundary straddles); this prices PADDED batching under length
+# bucketing (the fairseq/T5 "bucket by length, pad to the batch max"
+# recipe): docs split by length rank into k equal-count buckets, then
+# batch in SHUFFLED order inside each bucket (training needs random
+# batch composition — a length-sorted batch order would correlate
+# batch statistics with position in the epoch), and every batch pads
+# to its own max length. k = 1 is plain random batching (maximum
+# padding); more buckets -> tighter per-batch length homogeneity ->
+# less padding at unchanged randomness WITHIN a bucket; the table
+# reports the Pareto a training pipeline reads before picking its
+# bucket count. Deterministic and integer-exact end-to-end: token
+# counts are integers, the global length rank ties-break by doc_id,
+# bucket = rank*k DIV n (equal-count integer split), the in-bucket
+# shuffle is the house md5(doc_id) pseudo-random order (bit-identical
+# in both engines), batch = in-bucket rank DIV LB_BATCH, pad =
+# Σ_batches (max_len*batch_rows - batch_tokens).
+
+LB_BATCH = 32  # docs per batch
+_LB_CONFIGS = (1, 2, 4, 8)
+
+_LB_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({H.TOKENS_DUCK.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM sized
+),
+cfg AS (
+  SELECT r.doc_id, r.n_tokens, c.k, (r.rn * c.k) // r.n AS bucket
+  FROM ranked r CROSS JOIN (VALUES {", ".join(f"({k})" for k in _LB_CONFIGS)}) AS c(k)
+),
+batched AS (
+  SELECT k, bucket, n_tokens,
+         (row_number() OVER (PARTITION BY k, bucket
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          - 1) // {LB_BATCH} AS batch
+  FROM cfg
+),
+per_batch AS (
+  SELECT k, bucket, batch,
+         CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_toks,
+         CAST(sum(n_tokens) AS BIGINT) AS toks
+  FROM batched GROUP BY 1, 2, 3
+)
+SELECT CAST(k AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(padded_toks) - sum(toks) AS BIGINT) AS pad_tokens,
+       floor((sum(padded_toks) - sum(toks)) * 1000000.0
+             / sum(padded_toks) + 0.5) / 1000000.0 AS pad_share
+FROM per_batch GROUP BY k
+"""
+
+
+@query("length_bucket_batching", oracle=_LB_ORACLE)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-bucketed dynamic-batching Pareto (see section
+    comment): per bucket count k = 1 / 2 / 4 / 8, the number of
+    32-doc batches, total real tokens, padding tokens (each batch
+    pads to its own max length) and the padded share — the measured
+    trade a training pipeline reads against
+    packing_efficiency_audit's pack-then-slice losses.
+
+    Scale shape: ONE tokenize/count pass; the global length rank is a
+    distributed sort (at 100 TB a range partitioner / approx-quantile
+    boundary table replaces the exact rank — the exact integer rank
+    here keeps the cross-engine value contract, the audit-tier
+    choice); the 4-config fanout multiplies doc-COUNT rows (id + int),
+    never text; per-batch stats aggregate at (cfg, bucket, batch)
+    grain with map-side combine and the final table is 4 rows.
+    Exactness: integer token counts, rank*k DIV n bucket split,
+    md5-ordered in-bucket shuffle (bit-identical in both engines),
+    DIV-based batch grouping, integer pad sums, 1e-6 floor-rounded
+    share."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(H.tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    wr = Window.orderBy("n_tokens", "doc_id")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = sized.withColumn(
+        "rn", (F.row_number().over(wr) - F.lit(1)).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    cfgs = "array({})".format(", ".join(str(k) for k in _LB_CONFIGS))
+    cfg = ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.expr(cfgs)).alias("k"),
+        "rn",
+        "n",
+    ).withColumn("bucket", F.expr(f"(rn * k) DIV n").cast("long"))
+    wb = Window.partitionBy("k", "bucket").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), "doc_id"
+    )
+    batched = cfg.withColumn(
+        "brn", (F.row_number().over(wb) - F.lit(1)).cast("long")
+    ).withColumn("batch", F.expr(f"brn DIV {LB_BATCH}"))
+    per_batch = batched.groupBy("k", "bucket", "batch").agg(
+        (F.max("n_tokens") * F.count(F.lit(1))).cast("long").alias("padded_toks"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+    )
+    return per_batch.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (F.sum("padded_toks") - F.sum("toks")).cast("long").alias("pad_tokens"),
+        (
+            F.floor(
+                (F.sum("padded_toks") - F.sum("toks"))
+                * F.lit(1000000.0)
+                / F.sum("padded_toks")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("pad_share"),
+    ).select(
+        F.col("k").cast("long").alias("n_buckets"),
+        "n_batches",
+        "total_tokens",
+        "pad_tokens",
+        "pad_share",
+    )

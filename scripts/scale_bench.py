@@ -114,6 +114,7 @@ QUERIES: tuple[str, ...] = (
     "embedding_anisotropy_audit",
     # round-11 additions
     "pq_rerank_np4", "opq_permute_audit", "hybrid_rrf_fusion",
+    "length_bucket_batching",
 )
 
 # name -> (max factor, reason)

@@ -1628,6 +1628,29 @@ def test_pq_rerank_np4_probes_deeper(spark):
     assert set4 - set2, "nprobe=4 should add probed candidates"
 
 
+def test_length_bucket_batching_pareto(spark):
+    """Bucketed-batching invariants: all four configs present with the
+    same batch count and real-token total (equal-count split over the
+    same corpus, same fixed batch size), padding non-negative with
+    shares in [0, 1), and the 8-bucket split pads strictly less than
+    plain random batching (k=1) — the Pareto's endpoints (strict
+    per-step monotonicity is only an expectation under the md5
+    shuffle, so the test pins the direction at the extremes where the
+    margin is large)."""
+    from eventstreamer_spark.operators.sampling import q_length_bucket_batching
+
+    rows = {
+        r.n_buckets: r for r in q_length_bucket_batching(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    assert len({r.total_tokens for r in rows.values()}) == 1
+    assert len({r.n_batches for r in rows.values()}) == 1
+    for r in rows.values():
+        assert 0 <= r.pad_tokens
+        assert 0.0 <= r.pad_share < 1.0
+    assert rows[8].pad_tokens < rows[1].pad_tokens
+
+
 def test_opq_allocation_balances_spread(spark):
     """OPQ-lite invariants: both layout rows present over the same
     vector count; the snake allocation's per-subspace dispersion
