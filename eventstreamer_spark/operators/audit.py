@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.memo import BoundedMemo
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
@@ -2435,6 +2436,56 @@ def q_pq_rerank_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_rerank(short, fullv)
 
 
+# Session-scoped memo of the CHECKPOINTED residual-chain artifacts for
+# CONSUMER queries (VERDICT r11 item 1, the brute_truth_memo pattern):
+# the deepest-level (nprobe=4, probe-rank-tagged) scored pair set plus
+# the exact fullv component arrays are fixed artifacts of (corpus,
+# ADC_QUERY_FILTER, PQ grid constants) — identical for every eval grid
+# that reads them, and each grid derives its shallower operating
+# points by level cuts (probe_rn <= 2 / rank <= RERANK_M), never by
+# retraining. The OWNERS — q_ivfadc_residual_topk, q_pq_rerank_topk,
+# q_pq_rerank_np4 — call ivfadc_residual_topk() directly and pay their
+# own builds every invocation (the bench-honesty rule: memos are for
+# consumers, never a query's own build). Values are eagerly
+# localCheckpointed DataFrames — rows live executor-side, only the
+# handles on the driver. Steady-state consumer timings (bench min-of-N)
+# are therefore memo-warm for these artifacts — recorded in SCALING.md.
+_RESIDUAL_MEMO: dict[tuple[str, str, int, bool], tuple[DataFrame, DataFrame]] = (
+    BoundedMemo(maxsize=4)
+)
+
+
+def residual_artifacts_memo(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Consumer-facing residual-chain artifacts: (scored_pairs, fullv)
+    where scored_pairs is EVERY candidate of the nprobe=4 chain tagged
+    with its probe rank (query_id, neighbor_id, probe_rn, adc_dist)
+    and fullv is the exact (vec_id, v64) integer component arrays.
+    First call per (app, sf_dir) materializes ivfadc_residual_topk's
+    build behind eager localCheckpoints; later calls reuse the
+    handles. nprobe/scored_pairs sit in the key for self-description —
+    the memo only ever stores the deepest (4, True) configuration,
+    from which every shallower operating point is a row filter."""
+    key = (spark.sparkContext.applicationId, sf_dir, 4, True)
+    hit = _RESIDUAL_MEMO.get(key)
+    if hit is None:
+        sp, fullv = ivfadc_residual_topk(
+            spark,
+            sf_dir,
+            checkpoint=True,
+            with_fullv=True,
+            nprobe=4,
+            scored_pairs=True,
+        )
+        hit = (
+            sp.localCheckpoint(eager=True),
+            fullv.localCheckpoint(eager=True),
+        )
+        _RESIDUAL_MEMO[key] = hit
+    return hit
+
+
 # ---------------------------------------------------------------------------
 # PQ recall audit: what the compressed scans actually retrieve
 # ---------------------------------------------------------------------------
@@ -2567,9 +2618,11 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth artifact; the owner, ann_bruteforce_topk, still pays its own
     O(q·n) build every invocation — VERDICT r10 item 4, the
     semdedup_assign_memo pattern; first grid invocation per session
-    still pays the full truth build). Audit-tier by contract:
-    production health-checks sample fixed probes
-    (ann_recall_fixed_probes)."""
+    still pays the full truth build). The three residual grid rows
+    likewise consume residual_artifacts_memo — the deepest-level
+    chain build shared with graded_retrieval_eval, level-cut per row
+    (VERDICT r11 item 1). Audit-tier by contract: production
+    health-checks sample fixed probes (ann_recall_fixed_probes)."""
     from eventstreamer_spark.operators.similarity import brute_truth_memo
 
     parts = pq_search_parts(spark, sf_dir)
@@ -2585,24 +2638,18 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "sl", "cvec")
     )
     ivfpq = ivf_pq_topk(spark, sf_dir, parts=parts)
-    # the residual points on the same grid — their own build (residual
-    # codes cannot share the raw-code artifacts) behind checkpoints so
-    # the composed plan stays Generate-free. ONE build at the DEEPEST
-    # probe level (nprobe=4) serves all THREE residual rows: residual
-    # training is probe-independent, so the grid gathers every scored
-    # candidate tagged with its probe rank, the nprobe=2 rows cut the
+    # the residual points on the same grid come from the consumer-side
+    # session memo (residual_artifacts_memo — VERDICT r11 item 1; the
+    # owners, the three *_topk residual queries, still pay their own
+    # builds every invocation): ONE build at the DEEPEST probe level
+    # (nprobe=4) serves all THREE residual rows — residual training is
+    # probe-independent, so the grid gathers every scored candidate
+    # tagged with its probe rank, the nprobe=2 rows cut the
     # probe_rn<=2 subset ('ivfadc_res' at k, 'pq_rerank' via the exact
     # re-rank of its top-M) and 'pq_rerank_np4' re-ranks the full
     # depth — the oracle's resboth block makes the identical cuts.
-    sp, fullv = ivfadc_residual_topk(
-        spark,
-        sf_dir,
-        checkpoint=True,
-        with_fullv=True,
-        nprobe=4,
-        scored_pairs=True,
-    )
-    sp = sp.localCheckpoint(eager=False)  # three level cuts below
+    # First grid invocation per session still pays the full build.
+    sp, fullv = residual_artifacts_memo(spark, sf_dir)
     wl = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
 
     def level_cut(df: DataFrame, kk: int) -> DataFrame:

@@ -663,9 +663,11 @@ def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same as ann_recall_at_k — ONE prepared corpus
     (quantized + SRP buckets, checkpointed) feeds the brute truth and
-    the SRP/IVF retrievers; the pq_rerank row runs its own
-    checkpointed residual build (residual codes cannot share the
-    raw-vector artifacts); per-query DCG is one aggregation over
+    the SRP/IVF retrievers; the pq_rerank row consumes the
+    residual_artifacts_memo session artifact (VERDICT r11 item 1 —
+    shared with pq_recall_at_k's grid; the residual *_topk owners
+    still pay their own builds) and level-cuts it to the nprobe=2
+    top-M shortlist; per-query DCG is one aggregation over
     ≤ 4·q·k joined rows (the bounded retrieved lists, never a corpus
     term); the exact truth is the audit-tier O(q·n) contract shared by
     every recall/eval report. Exactness: gains, discounts, DCG and the
@@ -674,7 +676,7 @@ def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamer_spark.operators.audit import (
         RERANK_M,
         _pq_exact_rerank,
-        ivfadc_residual_topk,
+        residual_artifacts_memo,
     )
 
     raw = load_table_parallel(spark, sf_dir, "embeddings")
@@ -705,8 +707,16 @@ def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
         )
     )
-    short, fullv = ivfadc_residual_topk(
-        spark, sf_dir, checkpoint=True, k=RERANK_M, with_fullv=True
+    # nprobe=2 coarse top-M derived from the shared deepest-level
+    # artifact by level cut (probe_rn <= NPROBE, rank <= RERANK_M) —
+    # value-identical to the native nprobe=2 chain, the same cut
+    # pq_recall_at_k's 'pq_rerank' row makes against the same memo.
+    sp, fullv = residual_artifacts_memo(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        sp.filter(F.col("probe_rn") <= NPROBE)
+        .withColumn("rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank") <= RERANK_M)
     )
     methods = methods.unionByName(
         _pq_exact_rerank(short, fullv).select(

@@ -1241,6 +1241,12 @@ def test_pq_recall_includes_residual_point(spark):
         "pq_adc", "ivf_pq", "ivfadc_res", "pq_rerank", "pq_rerank_np4",
     }
     by = {r.method: r for r in rows}
+    # EMPIRICAL margin, not a structural invariant (ADVICE r11): deeper
+    # probing can push a true neighbor past the RERANK_M cut, so
+    # np4 >= np2 recall is not guaranteed — it currently holds by a
+    # wide margin (~0.44 vs ~0.26). The structural guarantee (nprobe=2
+    # candidate universe ⊆ nprobe=4) is pinned separately in
+    # test_pq_rerank_np4_probes_deeper.
     assert by["pq_rerank_np4"].recall_at_k >= by["pq_rerank"].recall_at_k
 
 

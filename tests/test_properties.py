@@ -276,6 +276,35 @@ def test_bounded_memo_evicts_oldest():
         assert isinstance(cache, BoundedMemo)
 
 
+def test_residual_artifacts_memo_builds_once(spark):
+    """Consumer-side residual-chain memo (VERDICT r11 item 1): the
+    second invocation in one session must return the SAME eagerly
+    checkpointed handles — zero residual build jobs — and each handle's
+    optimized plan must be a pure checkpoint scan (LogicalRDD with no
+    build operators), so every consumer read is a materialized-rows
+    scan, never a retrain."""
+    from eventstreamer_spark.operators.audit import (
+        _RESIDUAL_MEMO,
+        residual_artifacts_memo,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf_dir, 4, True)
+    _RESIDUAL_MEMO.pop(key, None)
+    sp1, fv1 = residual_artifacts_memo(spark, sf_dir)
+    sp2, fv2 = residual_artifacts_memo(spark, sf_dir)
+    assert sp1 is sp2 and fv1 is fv2
+    for df in (sp1, fv1):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # one-line plan: the checkpointed RDD, no joins/aggregates left
+        assert plan.strip().startswith("LogicalRDD"), plan
+        assert "Join" not in plan and "Aggregate" not in plan, plan
+    # the tagged pair set carries the probe-rank column the level cuts
+    # filter on, and rows are actually materialized
+    assert "probe_rn" in sp1.columns
+    assert sp1.count() > 0 and fv1.count() > 0
+
+
 def _reference_bpe(word_freqs, n_merges):
     """Textbook BPE learner: weighted adjacent-pair counts over the
     vocab, (count DESC, lhs, rhs) tie-break, greedy left-to-right
