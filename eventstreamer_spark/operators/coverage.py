@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions.casting import fmt_ts
-from eventstreamer_spark.operators.windowed import _DP_EAV_ORACLE
+from eventstreamer_spark.operators.windowed import _DP_EAV_ORACLE, TS_OUT
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, register_views
 
@@ -343,28 +343,53 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rebuild Spark's to_json output byte-for-byte: struct fields in
 # declared order, map keys sorted (Spark side sorts via sort_array of
 # entries), values as fixed %.6f strings. Interpolated strings
-# (m_name keys, the sessionid) render through DuckDB's to_json so
-# quotes/backslashes escape exactly as Spark's to_json escapes them;
-# numeric %.6f strings and timestamp text are escape-free by
-# construction.
+# (m_name keys, the deviceid/sessionid) render through DuckDB's
+# to_json so quotes/backslashes escape exactly as Spark's to_json
+# escapes them; numeric %.6f strings and timestamp text are
+# escape-free by construction. ts/deviceid come from the window's
+# FIRST event ((ts, event_id)-ordered row_number = 1), matching the
+# reference record's first.Timestamp/first.DeviceId
+# (DispatcherFunction.cs:154-156) and the Spark side's min-struct
+# carry.
 _EMIT_JSON_ORACLE = """
 WITH eav AS ({eav}),
+firsts AS (
+  SELECT key, ws, ts, deviceid FROM (
+    SELECT concat(CAST(user_id AS VARCHAR), ':',
+                  json_extract_string(props, '$.k')) AS key,
+           date_trunc('second', ts) AS ws,
+           ts,
+           concat('dev-', CAST(user_id % 10 AS VARCHAR)) AS deviceid,
+           row_number() OVER (
+             PARTITION BY concat(CAST(user_id AS VARCHAR), ':',
+                                 json_extract_string(props, '$.k')),
+                          date_trunc('second', ts)
+             ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
 g AS (
   SELECT key, window_start,
          string_agg(to_json(m_name) || ':"' || printf('%.6f', avg_value) || '"',
                     ',' ORDER BY m_name) AS kv
   FROM eav GROUP BY key, window_start
 )
-SELECT key,
-       '{{"ts":"' || window_start || '","sessionid":' || to_json(split_part(key, ':', 1))
+SELECT g.key,
+       '{{"ts":"' || strftime(f.ts, '{ts_out}')
+       || '","deviceid":' || to_json(f.deviceid)
+       || ',"sessionid":' || to_json(split_part(g.key, ':', 1))
        || ',"sessionstart":"","allvalues":{{' || kv || '}}}}' AS json
-FROM g
-""".format(eav=_DP_EAV_ORACLE)
+FROM g JOIN firsts f ON f.key = g.key
+  AND strftime(f.ws, '{ts_out}') = g.window_start
+""".format(eav=_DP_EAV_ORACLE, ts_out=TS_OUT)
 
 
 @query("windowed_emit_json", oracle=_EMIT_JSON_ORACLE)
 def q_windowed_emit_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's exact output record as JSON rows
+    """The reference's exact output record as JSON rows — all five
+    fields {ts, deviceid, sessionid, sessionstart, allvalues} with
+    ts/deviceid from the window's first event
     (DispatcherFunction.cs:152-161), emitted with deterministic field
     order / key order / number formatting so the concatenation oracle
     below reproduces the bytes."""

@@ -163,20 +163,39 @@ def q_datapoint_window_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_emit_json(events: DataFrame, window: str = "1 second") -> DataFrame:
-    """The reference's output record, verbatim shape (O15+O16).
+    """The reference's exact output record, all five fields (O15+O16).
 
     One JSON row per (key, window): ``{ts, deviceid, sessionid,
-    sessionstart, allvalues: {name: avg-as-string}}`` — including the
-    vestigial empty ``sessionstart`` (reference
-    DispatcherFunction.cs:152-159). The emitted text is byte-exact
+    sessionstart, allvalues: {name: avg-as-string}}`` where ``ts`` and
+    ``deviceid`` are carried from the FIRST event of the window —
+    ``first.Timestamp`` / ``first.DeviceId`` in reference
+    DispatcherFunction.cs:154-156 (first = earliest by time, the
+    house (ts, event_id) tie-break standing in for the reference's
+    arrival order) — and ``sessionstart`` is the vestigial empty
+    string (DispatcherFunction.cs:157). The emitted text is byte-exact
     deterministic: struct fields serialize in declared order, map keys
     in sorted order, and values as fixed ``%.6f`` strings — so the
     DuckDB oracle (coverage.py) rebuilds the identical JSON by string
     concatenation and the query hash-checks like any other.
+
+    Plan shape: ONE scan — the first-event carry rides the SAME
+    two-level aggregation that builds the value map (min of
+    struct(timestamp, event_id, device_id) per (key, window, field),
+    then min across fields: every field of a window sees the same
+    events, so the per-field minima agree and the cross-field min IS
+    the window's first event). No join, no second pass; both
+    aggregates are map-side combinable.
     """
-    eav = datapoint_window_eav(events, window)
+    dp = with_key(events_as_datapoints(events, extra_cols=("event_id",)))
+    eav = explode_payload(dp)
+    per_field = eav.groupBy(
+        "key", F.window("timestamp", window).alias("w"), "m_name"
+    ).agg(
+        N.mean6_spark(safe_double(F.col("m_value"))).alias("avg_value"),
+        F.min(F.struct("timestamp", "event_id", "device_id")).alias("fe"),
+    )
     return (
-        eav.groupBy("key", "window_start")
+        per_field.groupBy("key", "w")
         .agg(
             F.map_from_entries(
                 F.sort_array(
@@ -184,13 +203,15 @@ def windowed_emit_json(events: DataFrame, window: str = "1 second") -> DataFrame
                         F.struct("m_name", F.format_string("%.6f", F.col("avg_value")))
                     )
                 )
-            ).alias("allvalues")
+            ).alias("allvalues"),
+            F.min("fe").alias("fe"),
         )
         .select(
             "key",
             F.to_json(
                 F.struct(
-                    F.col("window_start").alias("ts"),
+                    fmt_ts(F.col("fe.timestamp")).alias("ts"),
+                    F.col("fe.device_id").alias("deviceid"),
                     F.split(F.col("key"), ":").getItem(0).alias("sessionid"),
                     F.lit("").alias("sessionstart"),
                     F.col("allvalues"),
