@@ -280,6 +280,29 @@ _GREEN_R10 = frozenset({
     'token_frequencies', 'udtf_chunk_stats',
 })
 
+# r11 (all 50 rows hash-green, CORRECTNESS_r11.json): the 4 round-11
+# additions + the stalest greens that window re-proved.
+_GREEN_R11 = frozenset({
+    'array_map_functions', 'assembly_pipeline', 'bag_set_operations',
+    'benchmark_decontamination', 'bigram_conditional_probs',
+    'bigram_perplexity', 'boilerplate_detection', 'bucketed_band_index_join',
+    'capped_session_windows', 'conditional_aggregates',
+    'cross_lingual_contamination', 'curation_pipeline', 'datapoint_window_eav',
+    'dataset_hash_split', 'datetime_functions', 'dedup_method_agreement',
+    'doc_length_histogram', 'document_chunking', 'domain_cap_filter',
+    'duplicate_span_histogram', 'full_outer_join_nations', 'hybrid_rrf_fusion',
+    'ingest_index_maintenance', 'inverted_index_topk',
+    'json_ingest_corrupt_drop', 'length_bucket_batching', 'mixture_resample',
+    'opq_permute_audit', 'pandas_udf_grouped_agg', 'pandas_udf_scalar',
+    'pii_redaction', 'pq_rerank_np4', 'regex_functions', 'scd2_merge_customers',
+    'sequence_packing', 'sliding_window_stats', 'source_mixture_weights',
+    'sql_entrypoint', 'statistical_aggregates', 'stratified_exemplar_sample',
+    'stream_capped_sessions', 'stream_static_ingest_dedup', 'string_functions',
+    'substring_dedup_rewrite', 'tumbling_window_stats', 'twostage_rerank_topk',
+    'unpivot_measures', 'vocab_growth_curve', 'windowed_emit_json',
+    'winnowing_fingerprints',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -293,6 +316,7 @@ for _round, _names in (
     (8, _GREEN_R8),
     (9, _GREEN_R9),
     (10, _GREEN_R10),
+    (11, _GREEN_R11),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round

@@ -1162,6 +1162,57 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_BM25_CHUNKS = 3
 
 
+def _stage_residue_chunks(spark: SparkSession, df: DataFrame, n_chunks: int, prefix: str):
+    """Stage a request table (int column ``bb`` in [0, n_chunks)) as
+    ONE parquet chunk file per non-empty residue class, mtimes spaced
+    so ``maxFilesPerTrigger=1`` replays residues in order — the shared
+    request-stream scaffolding of the foreachBatch serving gates.
+
+    EXACTLY one part file per non-empty residue (ADVICE r11): per-batch
+    emission requires every request's rows in ONE micro-batch, so the
+    one-file-per-residue invariant is CHECKED, not assumed —
+    repartition('bb') co-locates each residue in one task today, but a
+    future AQE/skew rebalance that split it would silently serve
+    requests from partial row sets. Empty residues skip.
+
+    Returns (chunk_dir, stream); the caller owns chunk_dir cleanup.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    chunk_dir = tempfile.mkdtemp(prefix=prefix)
+    staging = f"{chunk_dir}/_stage"
+    df.repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(staging)
+    base = 1_600_000_000
+    chunk_files: list[str] = []
+    for i in range(n_chunks):
+        parts = sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
+        if len(parts) > 1:
+            raise AssertionError(
+                f"{prefix}: residue bb={i} wrote {len(parts)} part files; "
+                "the one-batch-per-request invariant requires exactly one — "
+                "merge or repartition before staging"
+            )
+        for part in parts:
+            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+            shutil.move(part, dest)
+            chunk_files.append(dest)
+    shutil.rmtree(staging, ignore_errors=True)
+    if not chunk_files:
+        raise ValueError(f"{prefix}: no request rows at this scale factor")
+    for k, dest in enumerate(chunk_files):
+        os.utime(dest, (base + k * 60, base + k * 60))
+    schema = spark.read.parquet(chunk_files[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    return chunk_dir, stream
+
+
 @query("stream_bm25_topk", oracle=_BM25_ORACLE)
 def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 SERVING: the query-term table arrives as a LIVE STREAM
@@ -1190,10 +1241,7 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches covers the whole query subset and the index is
     static, so serving and batch can never drift (the same
     stream==batch discipline as stream_ann_topk)."""
-    import glob
-    import os
     import shutil
-    import tempfile
 
     from eventstreamer_spark.streaming.pipeline import run_foreach_batch
 
@@ -1203,37 +1251,13 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join result is the static side of every micro-batch join)
     post = tf.join(dl, "doc_id").localCheckpoint(eager=True)
 
-    chunk_dir = tempfile.mkdtemp(prefix="es_bm25stream_")
+    chunk_dir, stream = _stage_residue_chunks(
+        spark,
+        qt.withColumn("bb", (F.col("query_id") % _STREAM_BM25_CHUNKS).cast("int")),
+        _STREAM_BM25_CHUNKS,
+        "es_bm25stream_",
+    )
     try:
-        staging = f"{chunk_dir}/_stage"
-        qt.withColumn(
-            "bb", (F.col("query_id") % _STREAM_BM25_CHUNKS).cast("int")
-        ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(staging)
-        # 0..n part files per residue class tolerated (the stream_ann
-        # contract): each part becomes a chunk; empty residues skip.
-        base = 1_600_000_000
-        chunk_files: list[str] = []
-        for i in range(_STREAM_BM25_CHUNKS):
-            for j, part in enumerate(
-                sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
-            ):
-                dest = f"{chunk_dir}/chunk-{i:03d}-{j:02d}.parquet"
-                shutil.move(part, dest)
-                chunk_files.append(dest)
-        shutil.rmtree(staging, ignore_errors=True)
-        if not chunk_files:
-            raise ValueError(
-                "stream_bm25_topk: no query documents at this scale factor"
-            )
-        for k, dest in enumerate(chunk_files):
-            os.utime(dest, (base + k * 60, base + k * 60))
-
-        schema = spark.read.parquet(chunk_files[0]).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(chunk_dir)
-        )
         served: list = []
         wr = Window.partitionBy("query_id").orderBy(
             F.col("score_e6").desc(), F.col("doc_id")
@@ -1590,3 +1614,106 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_STREAM_RRF_CHUNKS = 3
+
+
+@query("stream_rrf_fusion", oracle=_rrf_oracle)
+def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF FUSION SERVING: the fusion stage of the hybrid ladder over
+    a live request stream (VERDICT r11 item 4) — BM25, ANN and the
+    classifier already serve streaming; this closes the one ladder
+    stage that was batch-only. Fusion requests (query ids, chunked
+    query_id % 3) arrive as three micro-batches; each batch joins its
+    requests to the two retrievers' materialized rank lists, fuses
+    with the shared integer 1/(K+rank) discounts, ranks and EMITS its
+    own requests' top-k via foreachBatch — per-batch emission, NO
+    aggregation state between triggers (stream_bm25_topk's serving
+    gate verbatim).
+
+    Plan: the static side is the UNION of both retrievers' verified
+    top-10 lists, built once before the stream starts (bm25_topk's
+    broadcast query-term join; lsh_topk's probe explode + bucket
+    equi-join) and eager-checkpointed — at 100 TB this is the serving
+    tier's candidate cache, ≤ 2·k rows per query. Each micro-batch
+    broadcasts its bounded request ids into one equi-join against the
+    lists, so per-trigger work is ≤ 2·q_batch·k rows; the collect is
+    the EMISSION (≤ q_batch × k rows), not a driver compute loop.
+
+    Oracle: the batch RRF oracle VERBATIM — the union of the three
+    micro-batches covers the whole query subset and both lists are
+    static, so serving and batch can never drift (the stream==batch
+    discipline; pinned row-for-row in test_stream_rrf_matches_batch)."""
+    import shutil
+
+    from eventstreamer_spark.streaming.pipeline import run_foreach_batch
+
+    # static retriever outputs: both verified lists materialize once,
+    # discount applied at build time so batches only sum and rank
+    lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
+    from eventstreamer_spark.operators.similarity import lsh_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    prepared = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"),
+        "embedding",
+        "uq",
+        drop_zero_norm=True,
+    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+    ann = lsh_topk(prepared).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lists = (
+        bm.unionByName(ann)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"element_at({lits}, CAST(rank AS INT))").alias("rrf_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    chunk_dir, stream = _stage_residue_chunks(
+        spark,
+        lists.select("query_id")
+        .distinct()
+        .withColumn("bb", (F.col("query_id") % _STREAM_RRF_CHUNKS).cast("int")),
+        _STREAM_RRF_CHUNKS,
+        "es_rrfstream_",
+    )
+    try:
+        served: list = []
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_e6").desc(), F.col("doc_id")
+        )
+
+        def serve(bdf: DataFrame, _batch_id: int) -> None:
+            fused = (
+                F.broadcast(bdf.select("query_id"))
+                .join(lists, "query_id")
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.sum("rrf_g").cast("long").alias("rrf_e6"),
+                    F.count(F.lit(1)).cast("long").alias("n_lists"),
+                )
+            )
+            topk = fused.withColumn(
+                "rank", F.row_number().over(wr).cast("long")
+            ).filter(F.col("rank") <= BM25_TOP)
+            served.extend(topk.collect())
+
+        run_foreach_batch(stream, serve)
+        out = spark.createDataFrame(
+            served,
+            "query_id long, doc_id long, rrf_e6 long, n_lists long, rank long",
+        )
+        return out.select(
+            "query_id",
+            "doc_id",
+            (F.col("rrf_e6") / F.lit(1000000.0)).alias("rrf_score"),
+            "n_lists",
+            "rank",
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

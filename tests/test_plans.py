@@ -1702,6 +1702,33 @@ def test_stream_bm25_matches_batch(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_stream_rrf_matches_batch(spark):
+    """The streaming fusion twin must agree with batch RRF row-for-row
+    (same retriever lists, same discounts — the stream==batch
+    discipline every serving twin here pins), and ranks must be dense
+    per query."""
+    from eventstreamer_spark.operators.indexing import (
+        q_hybrid_rrf_fusion,
+        q_stream_rrf_fusion,
+    )
+
+    batch = {
+        (r.query_id, r.doc_id, r.rrf_score, r.n_lists, r.rank)
+        for r in q_hybrid_rrf_fusion(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.query_id, r.doc_id, r.rrf_score, r.n_lists, r.rank)
+        for r in q_stream_rrf_fusion(spark, SF_DIR).collect()
+    }
+    assert batch == stream
+    assert batch
+    per = {}
+    for qid, _, _, _, rank in stream:
+        per.setdefault(qid, []).append(rank)
+    for qid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_minhash_band_tuning_table(spark):
     """Four config rows always present (the spine keeps empty configs
     at 0); per config true pairs never exceed candidates and both
