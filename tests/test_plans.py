@@ -1489,6 +1489,33 @@ def test_ivf_staleness_equal_k_contract(spark):
         assert 0 <= r.recall_at_k <= 1 and r.n_truth > 0
 
 
+def test_index_refresh_gate_and_report(spark):
+    """The refresh pipeline's operational contract: two scale-stable
+    stages, the gate verdict shared by both rows and equal to the
+    integer staleness predicate on the BEFORE row, and (since the 0.95
+    floor sits above any nprobe=2 IVF operating point) the retrain path
+    actually exercised — after == retrained, with the same equal-k cell
+    count as the audit's contract."""
+    from eventstreamer_spark.operators.similarity import (
+        REFRESH_RECALL_MIN_E6,
+        q_index_refresh_pipeline,
+    )
+
+    df = q_index_refresh_pipeline(spark, SF_DIR)
+    rows = {r.stage: r for r in df.collect()}
+    assert set(rows) == {"before", "after"}
+    b, a = rows["before"], rows["after"]
+    assert b.refreshed == a.refreshed
+    assert b.refreshed == (
+        b.n_hit * 1000000 < REFRESH_RECALL_MIN_E6 * b.n_truth
+    )
+    assert b.refreshed  # the floor guarantees the retrain path runs
+    assert a.n_cells == b.n_cells  # equal-k contract (adaptive ceil(sqrt(n)))
+    assert a.n_truth == b.n_truth
+    for r in (b, a):
+        assert 0 <= r.recall_at_k <= 1 and r.n_truth > 0
+
+
 def test_nprobe_sweep_monotone_single_build(spark):
     """Recall and scan cost must both rise monotonically with nprobe,
     from ONE candidate join (the level fanout is a broadcast 4-row
