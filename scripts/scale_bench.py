@@ -115,6 +115,8 @@ QUERIES: tuple[str, ...] = (
     # round-11 additions
     "pq_rerank_np4", "opq_permute_audit", "hybrid_rrf_fusion",
     "length_bucket_batching",
+    # round-12 additions
+    "stream_rrf_fusion", "index_refresh_pipeline", "windowed_emit_json",
 )
 
 # name -> (max factor, reason)
@@ -132,6 +134,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "ivf_nprobe_sweep": (10, "exact ground truth is O(q x n) by contract (recall audit tier); the swept searches scale separately"),
     "graded_retrieval_eval": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the retrievers it grades scale separately"),
     "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
+    "index_refresh_pipeline": (10, "exact ground truth is O(q x n) by contract (the re-verify stage of the refresh loop); the gated retrain and both searches scale separately"),
 }
 # stream_bm25_topk was capped at x10 through round 10 (complete-mode
 # memory sink held every query's gathered scores during the gate run,
