@@ -64,6 +64,15 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
+        # ADVICE r11: min-of-N steady-state for these CONSUMER queries is
+        # memo-warm — session memos (brute truth, residual-PQ artifacts,
+        # semdedup assignments) build on the first pass only; the OWNER
+        # queries (ann_bruteforce_topk, ivfadc_residual_topk,
+        # pq_rerank_topk/np4, semantic_dedup) pay their builds every pass.
+        "memo_warm": [
+            "pq_recall_at_k", "graded_retrieval_eval",
+            "semantic_decontamination", "corpus_build_pipeline",
+        ],
     }
     # The driver records only the tail of this (long) stdout line, which
     # truncates the per-query map — persist the full detail to a file so
