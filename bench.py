@@ -72,6 +72,7 @@ def main() -> None:
         "memo_warm": [
             "pq_recall_at_k", "graded_retrieval_eval",
             "semantic_decontamination", "corpus_build_pipeline",
+            "rrf_k_sweep",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

@@ -1558,6 +1558,27 @@ FROM rr WHERE rank <= {BM25_TOP}
 """
 
 
+def _retriever_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fusion family's shared input: the UNION of both retrievers'
+    verified top-10 rank lists as (query_id, doc_id, rank) — bm25_topk's
+    lexical list (broadcast query-term join) and lsh_topk's ANN list
+    (probe explode + one bucket equi-join); the corpus never shuffles
+    in either. ≤ 2·k rows per query."""
+    from eventstreamer_spark.operators.similarity import lsh_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    prepared = H.with_quantized_unit(
+        load_table_parallel(spark, sf_dir, "embeddings"),
+        "embedding",
+        "uq",
+        drop_zero_norm=True,
+    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
+    ann = lsh_topk(prepared).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return bm.unionByName(ann)
+
+
 @query("hybrid_rrf_fusion", oracle=_rrf_oracle)
 def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic serving via Reciprocal Rank Fusion (see
@@ -1576,21 +1597,9 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Exactness: rank lists are the verified integer-domain
     retrievers; the 1/(K+rank) discounts are shared integer literals;
     fused scores are int64 sums; ties break (rrf_e6 DESC, doc_id)."""
-    from eventstreamer_spark.operators.similarity import lsh_topk
-
-    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    prepared = H.with_quantized_unit(
-        load_table_parallel(spark, sf_dir, "embeddings"),
-        "embedding",
-        "uq",
-        drop_zero_norm=True,
-    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
-    ann = lsh_topk(prepared).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
     lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
     fused = (
-        bm.unionByName(ann)
+        _retriever_lists(spark, sf_dir)
         .select(
             "query_id",
             "doc_id",
@@ -1652,20 +1661,8 @@ def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # static retriever outputs: both verified lists materialize once,
     # discount applied at build time so batches only sum and rank
     lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
-    from eventstreamer_spark.operators.similarity import lsh_topk
-
-    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    prepared = H.with_quantized_unit(
-        load_table_parallel(spark, sf_dir, "embeddings"),
-        "embedding",
-        "uq",
-        drop_zero_norm=True,
-    ).select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
-    ann = lsh_topk(prepared).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
     lists = (
-        bm.unionByName(ann)
+        _retriever_lists(spark, sf_dir)
         .select(
             "query_id",
             "doc_id",
@@ -1717,3 +1714,212 @@ def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# RRF K sweep: the fusion stage's one tuning knob, measured
+# ---------------------------------------------------------------------------
+
+# The house sweep discipline (ivf_nprobe_sweep, minhash_band_tuning)
+# applied to fusion: RRF's single parameter K controls how top-heavy
+# the merge is — small K lets a #1 rank dominate (1/(K+1) ≫ 1/(K+10)),
+# large K flattens toward a Borda count. Cormack et al. fixed K = 60
+# "without tuning"; this table measures what the choice costs on THIS
+# corpus over the full THREE-list ensemble — BM25 lexical + SRP-LSH +
+# IVF (the two vector index families overlap heavily where they find
+# true neighbors; the lexical list contributes disjoint heads, the
+# measured hybrid_rrf_fusion regime) — because K only bites where
+# lists overlap: with two near-disjoint lists fusion degenerates to
+# interleaving and every K ties (measured: bm25+lsh alone shares 1 of
+# 500 fused slots at sf0.1). Per K ∈ {10, 60, 200}: recall@k of the
+# fused top-10 against the exact cosine truth and the CONSENSUS share
+# (survivors on ≥ 2 lists — high-K fusion favors consensus docs,
+# low-K favors single-list heads). One build of the three rank lists
+# serves every level; per-K discounts are the same round(1e6/(K+r))
+# integer literals in both engines.
+
+RRF_K_LEVELS = (10, 60, 200)
+
+
+def _rrf_disc(k: int) -> tuple[int, ...]:
+    return tuple(int(1000000.0 / (k + r) + 0.5) for r in range(1, BM25_TOP + 1))
+
+
+def _rrf_k_case(arr_of) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {arr_of(_rrf_disc(k))}" for k in RRF_K_LEVELS
+    )
+    return f"CASE rrf_k {whens} END"
+
+
+def _rrf_k_sweep_oracle() -> str:
+    """Lazy oracle (registry callable form): composes similarity's
+    SRP-LSH and brute-truth oracles, which live in a module that does
+    not import this one."""
+    from eventstreamer_spark.operators.similarity import (
+        _BRUTE_ORACLE,
+        _IVF_SEARCH_ORACLE,
+        _LSH_ORACLE,
+    )
+
+    case = _rrf_k_case(lambda d: "[{}]".format(", ".join(str(v) for v in d)))
+    levels = ", ".join(str(k) for k in RRF_K_LEVELS)
+    return f"""
+WITH bm AS ({_BM25_ORACLE}),
+ann AS ({_LSH_ORACLE}),
+ivf AS ({_IVF_SEARCH_ORACLE}),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank FROM ann
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank FROM ivf
+),
+fanned AS (
+  SELECT lv.rrf_k, u.query_id, u.doc_id, ({case})[u.rank] AS g
+  FROM u CROSS JOIN (SELECT unnest([{levels}]) AS rrf_k) lv
+),
+fused AS (
+  SELECT rrf_k, query_id, doc_id,
+         CAST(sum(g) AS BIGINT) AS rrf_e6,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM fanned GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT rrf_k, query_id, doc_id, n_lists FROM (
+    SELECT rrf_k, query_id, doc_id, n_lists,
+           row_number() OVER (
+             PARTITION BY rrf_k, query_id ORDER BY rrf_e6 DESC, doc_id
+           ) AS rnk
+    FROM fused
+  ) WHERE rnk <= {BM25_TOP}
+),
+base AS (SELECT query_id, doc_id FROM top WHERE rrf_k = 60),
+brute AS ({_BRUTE_ORACLE}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS brute_total FROM brute)
+SELECT CAST(t.rrf_k AS BIGINT) AS rrf_k,
+       CAST(count(*) AS BIGINT) AS n_fused,
+       CAST(count(*) FILTER (WHERE t.n_lists >= 2) AS BIGINT) AS n_consensus,
+       floor(count(*) FILTER (WHERE t.n_lists >= 2) * 1000000.0 / count(*)
+             + 0.5) / 1000000.0 AS consensus_share,
+       CAST(count(*) FILTER (WHERE bs.doc_id IS NULL) AS BIGINT)
+         AS n_moved_vs_k60,
+       CAST(count(b.neighbor_id) AS BIGINT) AS hits,
+       tot.brute_total,
+       floor(count(b.neighbor_id) * 1000000.0 / tot.brute_total + 0.5)
+         / 1000000.0 AS recall_at_k
+FROM top t
+LEFT JOIN base bs ON bs.query_id = t.query_id AND bs.doc_id = t.doc_id
+LEFT JOIN brute b ON b.query_id = t.query_id AND b.neighbor_id = t.doc_id,
+tot
+GROUP BY t.rrf_k, tot.brute_total
+"""
+
+
+@query("rrf_k_sweep", oracle=_rrf_k_sweep_oracle)
+def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RRF K tuning table (see section comment): per K, the fused
+    top-10's recall@k against the exact cosine truth, the consensus
+    share (survivors on ≥ 2 of the three retrievers' lists), and the
+    SET DELTA vs the K=60 paper default (fused slots K=60 does not
+    hold) — the self-certifying column: zero means the top-k set is
+    K-invariant on this corpus and the untuned default is safe; a
+    future corpus where K bites shows exactly how many slots move.
+
+    Scale shape: ONE build of the three verified rank lists (the
+    fusion family's shared bm25+lsh input plus graded_retrieval_eval's
+    IVF list — ≤ 3·q·k rows total, checkpointed); the level fanout is
+    a broadcast 3-row cross join over those bounded lists — rows
+    ≤ 3·q·k·|K|, never a corpus term; the exact truth comes from the
+    consumer-side brute_truth_memo and the centroids from the shared
+    ivf_centroids_for memo (the owners, ann_bruteforce_topk and
+    ivf_topk_search, still pay their own builds — eval audit tier by
+    contract). Exactness: per-K discounts are shared integer
+    literals, fused scores int64 sums, ties (rrf_e6 DESC, doc_id),
+    shares via the floor-1e6 form."""
+    from eventstreamer_spark.operators.similarity import (
+        brute_truth_memo,
+        ivf_centroids_for,
+        ivf_topk,
+    )
+
+    raw = load_table_parallel(spark, sf_dir, "embeddings")
+    prepared = H.with_quantized_unit(
+        raw, "embedding", "uq", drop_zero_norm=True
+    ).select("vec_id", "uq")
+    ivf = ivf_topk(
+        raw,
+        prepared,
+        cent=ivf_centroids_for(spark, sf_dir, e=raw, embq=prepared),
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    lists = (
+        _retriever_lists(spark, sf_dir)
+        .unionByName(ivf)
+        .localCheckpoint(eager=False)
+    )
+    lev = spark.createDataFrame([(k,) for k in RRF_K_LEVELS], "rrf_k int")
+    case = _rrf_k_case(
+        lambda d: "array({})".format(", ".join(f"{v}L" for v in d))
+    )
+    fanned = lists.crossJoin(F.broadcast(lev)).select(
+        "rrf_k",
+        "query_id",
+        "doc_id",
+        F.expr(f"element_at({case}, CAST(rank AS INT))").alias("g"),
+    )
+    fused = fanned.groupBy("rrf_k", "query_id", "doc_id").agg(
+        F.sum("g").cast("long").alias("rrf_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    wr = Window.partitionBy("rrf_k", "query_id").orderBy(
+        F.col("rrf_e6").desc(), "doc_id"
+    )
+    top = (
+        fused.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("rrf_k", "query_id", "doc_id", "n_lists")
+        # bounded (|K|·q·k rows); read twice — per-K report + the
+        # K=60 baseline for the set-delta column
+        .localCheckpoint(eager=False)
+    )
+    base = top.filter(F.col("rrf_k") == 60).select(
+        "query_id", "doc_id", F.lit(1).cast("long").alias("in_base")
+    )
+    brute = brute_truth_memo(spark, sf_dir)
+    bt = brute.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.lit(1).cast("long").alias("is_true"),
+    )
+    total = brute.agg(F.count(F.lit(1)).cast("long").alias("brute_total"))
+
+    def ratio6(num: str, den: str):
+        return F.floor(
+            F.col(num) * F.lit(1000000.0) / F.col(den) + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    per = (
+        top.join(bt, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(base), ["query_id", "doc_id"], "left")
+        .groupBy("rrf_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fused"),
+            F.sum((F.col("n_lists") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_consensus"),
+            F.sum(F.col("in_base").isNull().cast("long"))
+            .cast("long")
+            .alias("n_moved_vs_k60"),
+            F.coalesce(F.sum("is_true"), F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col("rrf_k").cast("long").alias("rrf_k"),
+        "n_fused",
+        "n_consensus",
+        ratio6("n_consensus", "n_fused").alias("consensus_share"),
+        "n_moved_vs_k60",
+        "hits",
+        "brute_total",
+        ratio6("hits", "brute_total").alias("recall_at_k"),
+    )

@@ -117,6 +117,7 @@ QUERIES: tuple[str, ...] = (
     "length_bucket_batching",
     # round-12 additions
     "stream_rrf_fusion", "index_refresh_pipeline", "windowed_emit_json",
+    "rrf_k_sweep",
 )
 
 # name -> (max factor, reason)
@@ -135,6 +136,7 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "graded_retrieval_eval": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the retrievers it grades scale separately"),
     "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
     "index_refresh_pipeline": (10, "exact ground truth is O(q x n) by contract (the re-verify stage of the refresh loop); the gated retrain and both searches scale separately"),
+    "rrf_k_sweep": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the three retrievers it fuses scale separately"),
 }
 # stream_bm25_topk was capped at x10 through round 10 (complete-mode
 # memory sink held every query's gathered scores during the gate run,

@@ -1756,6 +1756,28 @@ def test_stream_rrf_matches_batch(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_rrf_k_sweep_table(spark):
+    """Three K rows from ONE build of the three rank lists; the K=60
+    baseline row's set delta is zero BY CONSTRUCTION (it is its own
+    baseline), consensus never exceeds the fused count, recall stays
+    in bounds, and no cartesian (the level fanout is a broadcast 3-row
+    join over the bounded checkpointed lists)."""
+    from eventstreamer_spark.operators.indexing import (
+        RRF_K_LEVELS,
+        q_rrf_k_sweep,
+    )
+
+    df = q_rrf_k_sweep(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = {r.rrf_k: r for r in df.collect()}
+    assert set(rows) == set(RRF_K_LEVELS)
+    assert rows[60].n_moved_vs_k60 == 0
+    for r in rows.values():
+        assert 0 <= r.n_consensus <= r.n_fused
+        assert 0 <= r.n_moved_vs_k60 <= r.n_fused
+        assert 0 <= r.recall_at_k <= 1 and r.brute_total > 0
+
+
 def test_minhash_band_tuning_table(spark):
     """Four config rows always present (the spine keeps empty configs
     at 0); per config true pairs never exceed candidates and both
