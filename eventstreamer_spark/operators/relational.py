@@ -1081,3 +1081,209 @@ def q_data_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("pass_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: what multi-dimensional clustering buys the scan
+# ---------------------------------------------------------------------------
+
+# The 100 TB layout decision this audit measures: a table laid out in
+# LINEAR key order prunes files (parquet row groups, Delta/Iceberg data
+# files) only on that one key — a range predicate on any OTHER column
+# intersects every file's min/max span and scans the whole table. A
+# Z-ORDER (Morton) layout interleaves the bits of two predicate
+# columns, so file spans stay tight in BOTH dimensions and 2-D range
+# queries skip most files. The audit simulates both writers over the
+# same rows — quantize each dim to 8 bits, rank by Morton code vs by
+# the linear key, cut the ranking into 64 equal "files", collect each
+# file's per-dim min/max (exactly what a parquet footer stores) — then
+# replays a fixed 4-box predicate grid against the stats: a file is
+# scanned iff its span intersects the box in both dims. scan_share is
+# the fraction of (file, box) probes the layout could NOT prune.
+# Everything is exact integer arithmetic: quantization is (v << 8) DIV
+# (max+1), the Morton code is an 8-step bit interleave identical in
+# both engines, ranks tie-break on the unique (l_orderkey,
+# l_linenumber) key.
+
+ZORDER_BITS = 8
+ZORDER_FILES = 64
+_ZORDER_SPAN = 1 << ZORDER_BITS
+
+_MORTON_S = " + ".join(
+    f"shiftleft(shiftright(qx, {i}) & 1, {2 * i + 1})"
+    f" + shiftleft(shiftright(qy, {i}) & 1, {2 * i})"
+    for i in range(ZORDER_BITS)
+)
+_MORTON_D = " + ".join(
+    f"(((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i})"
+    for i in range(ZORDER_BITS)
+)
+
+# Quantized-coordinate predicate boxes (0..255 per dim): a centered
+# quarter-range box, a low corner, an off-axis band, and a tight
+# point-range — the mix of selectivities a BI/feature-extraction scan
+# actually issues.
+ZORDER_BOXES = (
+    ("center", 96, 159, 96, 159),
+    ("low_corner", 0, 63, 0, 63),
+    ("x_band", 32, 95, 160, 255),
+    ("point_range", 200, 215, 40, 55),
+)
+
+_ZORDER_BOXES_D = ", ".join(
+    f"('{b}', {xl}, {xh}, {yl}, {yh})" for b, xl, xh, yl, yh in ZORDER_BOXES
+)
+
+_ZORDER_ORACLE = f"""
+WITH mx AS (
+  SELECT max(l_orderkey) AS mok, max(l_partkey) AS mpk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+),
+q AS (
+  SELECT CAST((l_orderkey * {_ZORDER_SPAN}) // (mok + 1) AS INTEGER) AS qx,
+         CAST((l_partkey * {_ZORDER_SPAN}) // (mpk + 1) AS INTEGER) AS qy,
+         l_orderkey, l_linenumber, n
+  FROM lineitem, mx
+),
+m AS (SELECT *, {_MORTON_D} AS morton FROM q),
+r AS (
+  SELECT qx, qy, n,
+         row_number() OVER (ORDER BY morton, l_orderkey, l_linenumber) AS rnz,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rnl
+  FROM m
+),
+files AS (
+  SELECT 'zorder' AS layout,
+         CAST(((rnz - 1) * {ZORDER_FILES}) // n AS INTEGER) AS f, qx, qy
+  FROM r
+  UNION ALL
+  SELECT 'linear',
+         CAST(((rnl - 1) * {ZORDER_FILES}) // n AS INTEGER), qx, qy
+  FROM r
+),
+stats AS (
+  SELECT layout, f, min(qx) AS xmin, max(qx) AS xmax,
+         min(qy) AS ymin, max(qy) AS ymax
+  FROM files GROUP BY 1, 2
+),
+boxes AS (
+  SELECT * FROM (VALUES {_ZORDER_BOXES_D}) AS b(box, xlo, xhi, ylo, yhi)
+),
+hits AS (
+  SELECT s.layout, CAST(count(*) AS BIGINT) AS files_scanned
+  FROM stats s JOIN boxes b
+    ON s.xmin <= b.xhi AND s.xmax >= b.xlo
+   AND s.ymin <= b.yhi AND s.ymax >= b.ylo
+  GROUP BY 1
+),
+nf AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM stats GROUP BY 1)
+SELECT nf.layout, nf.n_files,
+       CAST({len(ZORDER_BOXES)} AS BIGINT) AS n_boxes,
+       CAST(COALESCE(h.files_scanned, 0) AS BIGINT) AS files_scanned,
+       floor(COALESCE(h.files_scanned, 0) * 1000000.0
+             / (nf.n_files * {len(ZORDER_BOXES)}) + 0.5) / 1000000.0
+         AS scan_share
+FROM nf LEFT JOIN hits h USING (layout)
+"""
+
+
+@query("zorder_pruning_audit", oracle=_ZORDER_ORACLE)
+def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear file layout, measured by what the scan can
+    prune (see section comment): per layout, the share of (file, box)
+    probes whose min/max span intersects the predicate box — the
+    fraction of the table a 2-D range query must actually read.
+
+    Scale shape: the audit SIMULATES the writer's one-time global
+    clustering, so each layout is one ranking over the sample (at
+    100 TB the real write is repartitionByRange(morton) +
+    sortWithinPartitions — an O(n log n) one-time layout job, which is
+    the point: you pay it once and every 2-D scan after prunes); the
+    stats table is ZORDER_FILES rows per layout and the probe replay
+    is a broadcast 4-row join against it — bounded by the layout
+    constants, not data. Exactness: integer quantization, an
+    integer-exact bit-interleave Morton code (identical expression in
+    both engines), unique (l_orderkey, l_linenumber) tie-breaks,
+    floor-1e6 shares."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    mx = li.agg(
+        F.max("l_orderkey").alias("mok"),
+        F.max("l_partkey").alias("mpk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    q = li.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"CAST((l_orderkey * {_ZORDER_SPAN}) DIV (mok + 1) AS INT)").alias(
+            "qx"
+        ),
+        F.expr(f"CAST((l_partkey * {_ZORDER_SPAN}) DIV (mpk + 1) AS INT)").alias(
+            "qy"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+    )
+    m = q.withColumn("morton", F.expr(_MORTON_S))
+    wz = Window.orderBy("morton", "l_orderkey", "l_linenumber")
+    wl = Window.orderBy("l_orderkey", "l_linenumber")
+    r = m.select(
+        "qx",
+        "qy",
+        "n",
+        F.row_number().over(wz).alias("rnz"),
+        F.row_number().over(wl).alias("rnl"),
+    )
+    files = r.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"CAST(((rnz - 1) * {ZORDER_FILES}) DIV n AS INT)").alias("f"),
+        "qx",
+        "qy",
+    ).unionByName(
+        r.select(
+            F.lit("linear").alias("layout"),
+            F.expr(f"CAST(((rnl - 1) * {ZORDER_FILES}) DIV n AS INT)").alias("f"),
+            "qx",
+            "qy",
+        )
+    )
+    stats = files.groupBy("layout", "f").agg(
+        F.min("qx").alias("xmin"),
+        F.max("qx").alias("xmax"),
+        F.min("qy").alias("ymin"),
+        F.max("qy").alias("ymax"),
+    )
+    boxes = spark.createDataFrame(
+        list(ZORDER_BOXES), "box string, xlo int, xhi int, ylo int, yhi int"
+    )
+    hits = (
+        stats.join(
+            F.broadcast(boxes),
+            (F.col("xmin") <= F.col("xhi"))
+            & (F.col("xmax") >= F.col("xlo"))
+            & (F.col("ymin") <= F.col("yhi"))
+            & (F.col("ymax") >= F.col("ylo")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
+    )
+    nf = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    n_boxes = len(ZORDER_BOXES)
+    return nf.join(hits, "layout", "left").select(
+        "layout",
+        "n_files",
+        F.lit(n_boxes).cast("long").alias("n_boxes"),
+        F.coalesce("files_scanned", F.lit(0)).cast("long").alias("files_scanned"),
+        (
+            F.floor(
+                F.coalesce("files_scanned", F.lit(0))
+                * F.lit(1000000.0)
+                / (F.col("n_files") * F.lit(n_boxes))
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("scan_share"),
+    )

@@ -1756,6 +1756,26 @@ def test_stream_rrf_matches_batch(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_zorder_prunes_more_than_linear(spark):
+    """The layout audit's reason to exist: on the 2-D box grid the
+    Z-order layout must prune at least as many (file, box) probes as
+    the linear layout (equality only in degenerate tiny-file cases),
+    both shares in [0, 1], and both layouts cut the same file count.
+    No cartesian — the probe replay is a broadcast 4-row join."""
+    from eventstreamer_spark.operators.relational import q_zorder_pruning_audit
+
+    df = q_zorder_pruning_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = {r.layout: r for r in df.collect()}
+    assert set(rows) == {"zorder", "linear"}
+    z, l = rows["zorder"], rows["linear"]
+    assert z.n_files == l.n_files
+    assert z.files_scanned <= l.files_scanned
+    for r in (z, l):
+        assert 0 <= r.scan_share <= 1
+        assert 0 <= r.files_scanned <= r.n_files * r.n_boxes
+
+
 def test_rrf_k_sweep_table(spark):
     """Three K rows from ONE build of the three rank lists; the K=60
     baseline row's set delta is zero BY CONSTRUCTION (it is its own
