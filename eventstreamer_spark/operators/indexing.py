@@ -1899,7 +1899,10 @@ def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / F.lit(1000000.0)
 
     per = (
-        top.join(bt, ["query_id", "doc_id"], "left")
+        # both the truth list (q×k) and the K=60 baseline (q×k) are
+        # bounded eval-grain tables — broadcast; the checkpointed RDD
+        # carries no stats so AQE would otherwise sort-merge them
+        top.join(F.broadcast(bt), ["query_id", "doc_id"], "left")
         .join(F.broadcast(base), ["query_id", "doc_id"], "left")
         .groupBy("rrf_k")
         .agg(
