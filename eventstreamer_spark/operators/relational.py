@@ -1287,3 +1287,226 @@ def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("scan_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom file-skipping audit: the point-lookup complement to Z-ordering
+# ---------------------------------------------------------------------------
+
+# zorder_pruning_audit measures what multi-dim clustering buys a RANGE
+# scan; this audit measures the other half of the file-skipping story:
+# EQUALITY lookups on a column UNCORRELATED with the write order. On a
+# linear-by-orderkey layout every file's (min, max) partkey span covers
+# nearly the whole domain, so footer stats prune almost nothing — the
+# fix real tables ship (parquet bloom_filter_enabled, Delta/Iceberg
+# bloom indexes) is a per-file Bloom filter over the lookup column.
+# The audit builds one per simulated file with the repo's verified
+# cross-engine Bloom recipe (md5 double hashing, bloom_dedup_probe's
+# _bloom_positions — Kirsch–Mitzenmacher pos_i = (h1 + i·h2) mod m,
+# 10 bits/key) and replays 32 deterministic point lookups three ways:
+# exact membership (the unreachable ideal), min/max footer stats, and
+# the Bloom probe. Per method: (file, lookup) probes scanned, truly
+# containing, false positives (Bloom/minmax never miss), scan share.
+
+BLOOM_FILES = 64
+BLOOM_LOOKUPS = 32
+
+
+def _bloom_skip_oracle() -> str:
+    """Lazy oracle (registry callable form): reuses dedup's verified
+    Bloom position recipe, resolved at oracle_sql() time."""
+    from eventstreamer_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        _bloom_positions,
+    )
+
+    pos = _bloom_positions("duck", "digest", "m")
+    return f"""
+WITH mx AS (
+  SELECT max(l_partkey) AS mpk, CAST(count(*) AS BIGINT) AS n,
+         CAST({BLOOM_BITS_PER_KEY} * (count(*) // {BLOOM_FILES}) + 1 AS BIGINT)
+           AS m
+  FROM lineitem
+),
+fr AS (
+  SELECT CAST(((row_number() OVER (ORDER BY l_orderkey, l_linenumber)) - 1)
+              * {BLOOM_FILES} // n AS INTEGER) AS f,
+         l_partkey, m
+  FROM lineitem, mx
+),
+fd AS (
+  SELECT f, l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS digest, m FROM fr
+),
+fbits AS (SELECT DISTINCT f, unnest({pos}) AS pos FROM fd),
+keys AS (
+  SELECT (mpk * i) // 33 AS key,
+         md5(CAST((mpk * i) // 33 AS VARCHAR)) AS digest, m
+  FROM mx, unnest(generate_series(1, {BLOOM_LOOKUPS})) AS t(i)
+),
+kp AS (SELECT key, unnest({pos}) AS pos FROM keys),
+truthp AS (SELECT DISTINCT f, l_partkey FROM fr),
+stats AS (
+  SELECT f, min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM fr GROUP BY 1
+),
+exact_pairs AS (
+  SELECT k.key, t.f FROM keys k JOIN truthp t ON t.l_partkey = k.key
+),
+minmax_pairs AS (
+  SELECT k.key, s.f FROM keys k
+  JOIN stats s ON k.key BETWEEN s.pmin AND s.pmax
+),
+bloom_pairs AS (
+  SELECT kp.key, fb.f FROM kp JOIN fbits fb ON fb.pos = kp.pos
+  GROUP BY kp.key, fb.f HAVING count(*) = {BLOOM_K}
+),
+nf AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files FROM fr),
+res AS (
+  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS files_scanned,
+         CAST(count(*) AS BIGINT) AS true_files
+  FROM exact_pairs
+  UNION ALL
+  SELECT 'minmax', CAST(count(*) AS BIGINT), CAST(count(e.f) AS BIGINT)
+  FROM minmax_pairs p
+  LEFT JOIN exact_pairs e ON e.key = p.key AND e.f = p.f
+  UNION ALL
+  SELECT 'bloom', CAST(count(*) AS BIGINT), CAST(count(e.f) AS BIGINT)
+  FROM bloom_pairs p
+  LEFT JOIN exact_pairs e ON e.key = p.key AND e.f = p.f
+)
+SELECT r.method, nf.n_files, CAST({BLOOM_LOOKUPS} AS BIGINT) AS n_lookups,
+       r.files_scanned, r.true_files,
+       r.files_scanned - r.true_files AS false_positives,
+       floor(r.files_scanned * 1000000.0 / (nf.n_files * {BLOOM_LOOKUPS})
+             + 0.5) / 1000000.0 AS scan_share
+FROM res r, nf
+"""
+
+
+@query("bloom_file_skipping_audit", oracle=_bloom_skip_oracle)
+def q_bloom_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom vs min/max file skipping for point lookups (see section
+    comment): per method, how many (file, lookup) probes survive
+    pruning, how many truly contain the key, and the false-positive
+    count — zero misses by construction for both pruners, so the
+    false positives ARE the wasted reads.
+
+    Scale shape: one writer-simulation ranking (the same one-time
+    global clustering contract as zorder_pruning_audit — production
+    writes use repartitionByRange), one distinct-positions pass for
+    the per-file filters (rows × BLOOM_K, map-side distinct), then
+    everything downstream is bounded by the layout constants: 64-file
+    stats, ≤ 64·m filter rows, a broadcast 128-row lookup-position
+    probe, 3 method aggregates over ≤ 64·32 pairs. Exactness: md5
+    double hashing is the verified bloom_dedup_probe recipe (identical
+    digests and positions in both engines); all counts int64; shares
+    floor-1e6."""
+    from eventstreamer_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        _bloom_positions,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("mpk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"CAST({BLOOM_BITS_PER_KEY} * (count(1) DIV {BLOOM_FILES}) + 1"
+            " AS BIGINT)"
+        ).alias("m"),
+    )
+    wl = Window.orderBy("l_orderkey", "l_linenumber")
+    fr = (
+        li.crossJoin(F.broadcast(mx))
+        .withColumn("rn", F.row_number().over(wl))
+        .select(
+            F.expr(f"CAST(((rn - 1) * {BLOOM_FILES}) DIV n AS INT)").alias("f"),
+            "l_partkey",
+            "m",
+            "mpk",
+        )
+        # the ranking window is single-partition by design (the writer
+        # simulation); everything AFTER it — md5, the ×BLOOM_K position
+        # explode, the distinct, the per-file stats — must not inherit
+        # that one task: spread by file id so the filter build
+        # parallelizes across the cluster
+        .repartition("f")
+        .localCheckpoint(eager=False)  # feeds fd/truthp/stats/nf
+    )
+    fd = fr.withColumn("digest", F.md5(F.col("l_partkey").cast("string")))
+    pos_s = _bloom_positions("spark", "digest", "m")
+    fbits = fd.select("f", F.explode(F.expr(pos_s)).alias("pos")).distinct()
+    keys = (
+        mx.select("mpk", "m", F.explode(F.sequence(F.lit(1), F.lit(BLOOM_LOOKUPS))).alias("i"))
+        .select(
+            F.expr("(mpk * i) DIV 33").alias("key"),
+            F.md5(F.expr("CAST((mpk * i) DIV 33 AS STRING)")).alias("digest"),
+            "m",
+        )
+    )
+    kp = keys.select("key", F.explode(F.expr(pos_s)).alias("pos"))
+    truthp = fr.select("f", "l_partkey").distinct()
+    stats = fr.groupBy("f").agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax")
+    )
+    exact_pairs = (
+        F.broadcast(keys.select("key"))
+        .join(truthp, F.col("l_partkey") == F.col("key"))
+        .select("key", "f")
+    )
+    minmax_pairs = (
+        F.broadcast(keys.select("key"))
+        .join(
+            stats,
+            (F.col("key") >= F.col("pmin")) & (F.col("key") <= F.col("pmax")),
+        )
+        .select("key", "f")
+    )
+    bloom_pairs = (
+        F.broadcast(kp)
+        .join(fbits, "pos")
+        .groupBy("key", "f")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_K)
+        .select("key", "f")
+    )
+    nf = fr.agg(F.countDistinct("f").cast("long").alias("n_files"))
+    exact_marked = exact_pairs.select("key", "f", F.lit(1).alias("is_true"))
+
+    def method_row(name: str, pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(exact_marked), ["key", "f"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("files_scanned"),
+                F.coalesce(F.sum("is_true"), F.lit(0))
+                .cast("long")
+                .alias("true_files"),
+            )
+            .select(F.lit(name).alias("method"), "files_scanned", "true_files")
+        )
+
+    res = (
+        method_row("exact", exact_pairs)
+        .unionByName(method_row("minmax", minmax_pairs))
+        .unionByName(method_row("bloom", bloom_pairs))
+    )
+    return res.crossJoin(F.broadcast(nf)).select(
+        "method",
+        "n_files",
+        F.lit(BLOOM_LOOKUPS).cast("long").alias("n_lookups"),
+        "files_scanned",
+        "true_files",
+        (F.col("files_scanned") - F.col("true_files")).alias("false_positives"),
+        (
+            F.floor(
+                F.col("files_scanned")
+                * F.lit(1000000.0)
+                / (F.col("n_files") * F.lit(BLOOM_LOOKUPS))
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("scan_share"),
+    )

@@ -1776,6 +1776,29 @@ def test_zorder_prunes_more_than_linear(spark):
         assert 0 <= r.files_scanned <= r.n_files * r.n_boxes
 
 
+def test_bloom_file_skipping_sandwich(spark):
+    """The pruning sandwich: exact <= bloom <= minmax probes scanned;
+    neither pruner may miss (each method's true_files equals exact
+    membership — Bloom and min/max have zero false negatives by
+    construction); exact has zero false positives; no cartesian."""
+    from eventstreamer_spark.operators.relational import (
+        q_bloom_file_skipping_audit,
+    )
+
+    df = q_bloom_file_skipping_audit(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+    rows = {r.method: r for r in df.collect()}
+    assert set(rows) == {"exact", "minmax", "bloom"}
+    e, b, m = rows["exact"], rows["bloom"], rows["minmax"]
+    assert e.files_scanned <= b.files_scanned <= m.files_scanned
+    assert e.false_positives == 0
+    assert b.true_files == e.files_scanned  # no false negatives
+    assert m.true_files == e.files_scanned
+    for r in rows.values():
+        assert 0 <= r.scan_share <= 1
+        assert r.false_positives == r.files_scanned - r.true_files
+
+
 def test_rrf_k_sweep_table(spark):
     """Three K rows from ONE build of the three rank lists; the K=60
     baseline row's set delta is zero BY CONSTRUCTION (it is its own
