@@ -1183,33 +1183,42 @@ def _stage_residue_chunks(spark: SparkSession, df: DataFrame, n_chunks: int, pre
     import tempfile
 
     chunk_dir = tempfile.mkdtemp(prefix=prefix)
-    staging = f"{chunk_dir}/_stage"
-    df.repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(staging)
-    base = 1_600_000_000
-    chunk_files: list[str] = []
-    for i in range(n_chunks):
-        parts = sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
-        if len(parts) > 1:
-            raise AssertionError(
-                f"{prefix}: residue bb={i} wrote {len(parts)} part files; "
-                "the one-batch-per-request invariant requires exactly one — "
-                "merge or repartition before staging"
-            )
-        for part in parts:
-            dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
-            shutil.move(part, dest)
-            chunk_files.append(dest)
-    shutil.rmtree(staging, ignore_errors=True)
-    if not chunk_files:
-        raise ValueError(f"{prefix}: no request rows at this scale factor")
-    for k, dest in enumerate(chunk_files):
-        os.utime(dest, (base + k * 60, base + k * 60))
-    schema = spark.read.parquet(chunk_files[0]).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunk_dir)
-    )
+    try:
+        staging = f"{chunk_dir}/_stage"
+        df.repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(
+            staging
+        )
+        base = 1_600_000_000
+        chunk_files: list[str] = []
+        for i in range(n_chunks):
+            parts = sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
+            if len(parts) > 1:
+                raise AssertionError(
+                    f"{prefix}: residue bb={i} wrote {len(parts)} part files; "
+                    "the one-batch-per-request invariant requires exactly one "
+                    "— merge or repartition before staging"
+                )
+            for part in parts:
+                dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
+                shutil.move(part, dest)
+                chunk_files.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not chunk_files:
+            raise ValueError(f"{prefix}: no request rows at this scale factor")
+        for k, dest in enumerate(chunk_files):
+            os.utime(dest, (base + k * 60, base + k * 60))
+        schema = spark.read.parquet(chunk_files[0]).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+    except BaseException:
+        # ownership transfers to the caller only on success — a failure
+        # here (the one-file assertion, a write error) must not leak a
+        # staged copy of the request table under /tmp
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        raise
     return chunk_dir, stream
 
 
@@ -1519,9 +1528,17 @@ def q_domain_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, so fused scores are int64 sums.
 
 RRF_K = 60
-_RRF_E6 = tuple(
-    int(1000000.0 / (RRF_K + r) + 0.5) for r in range(1, BM25_TOP + 1)
-)
+
+
+def _rrf_disc(k: int) -> tuple[int, ...]:
+    """round(1e6/(k+r)) discount table for ranks 1..BM25_TOP — the ONE
+    definition both the shipped fusion (_RRF_E6 = _rrf_disc(RRF_K)) and
+    the K sweep derive from, so the sweep's K=60 row structurally IS
+    the production operating point."""
+    return tuple(int(1000000.0 / (k + r) + 0.5) for r in range(1, BM25_TOP + 1))
+
+
+_RRF_E6 = _rrf_disc(RRF_K)
 
 
 def _rrf_oracle() -> str:
@@ -1741,10 +1758,6 @@ def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 RRF_K_LEVELS = (10, 60, 200)
 
 
-def _rrf_disc(k: int) -> tuple[int, ...]:
-    return tuple(int(1000000.0 / (k + r) + 0.5) for r in range(1, BM25_TOP + 1))
-
-
 def _rrf_k_case(arr_of) -> str:
     whens = " ".join(
         f"WHEN {k} THEN {arr_of(_rrf_disc(k))}" for k in RRF_K_LEVELS
@@ -1844,9 +1857,14 @@ def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = load_table_parallel(spark, sf_dir, "embeddings")
-    prepared = H.with_quantized_unit(
-        raw, "embedding", "uq", drop_zero_norm=True
-    ).select("vec_id", "uq")
+    prepared = (
+        H.with_quantized_unit(raw, "embedding", "uq", drop_zero_norm=True)
+        .select("vec_id", "uq")
+        # feeds every Lloyd scoring pass AND the probe/assign pass —
+        # without the checkpoint a centroid-memo miss re-quantizes the
+        # corpus once per iteration (the q_ivf_topk_search contract)
+        .localCheckpoint(eager=False)
+    )
     ivf = ivf_topk(
         raw,
         prepared,
