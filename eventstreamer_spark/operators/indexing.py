@@ -1168,12 +1168,15 @@ def _stage_residue_chunks(spark: SparkSession, df: DataFrame, n_chunks: int, pre
     so ``maxFilesPerTrigger=1`` replays residues in order — the shared
     request-stream scaffolding of the foreachBatch serving gates.
 
-    EXACTLY one part file per non-empty residue (ADVICE r11): per-batch
-    emission requires every request's rows in ONE micro-batch, so the
-    one-file-per-residue invariant is CHECKED, not assumed —
-    repartition('bb') co-locates each residue in one task today, but a
-    future AQE/skew rebalance that split it would silently serve
-    requests from partial row sets. Empty residues skip.
+    EXACTLY one chunk file per non-empty residue (ADVICE r11/r12):
+    per-batch emission requires every request's rows in ONE
+    micro-batch. repartition('bb') makes one part per residue today,
+    but a config-sensitive writer (spark.sql.files.maxRecordsPerFile,
+    a future AQE rebalance) can split a residue across parts — in that
+    case the residue is MERGED back to one file via a coalesce(1)
+    rewrite instead of hard-failing (the old AssertionError), keeping
+    the one-batch-per-request invariant under any writer config.
+    Empty residues skip.
 
     Returns (chunk_dir, stream); the caller owns chunk_dir cleanup.
     """
@@ -1193,11 +1196,21 @@ def _stage_residue_chunks(spark: SparkSession, df: DataFrame, n_chunks: int, pre
         for i in range(n_chunks):
             parts = sorted(glob.glob(f"{staging}/bb={i}/part-*.parquet"))
             if len(parts) > 1:
-                raise AssertionError(
-                    f"{prefix}: residue bb={i} wrote {len(parts)} part files; "
-                    "the one-batch-per-request invariant requires exactly one "
-                    "— merge or repartition before staging"
-                )
+                # a split residue would serve requests from partial row
+                # sets — rewrite it to one file (rare: only under
+                # maxRecordsPerFile-style writer configs)
+                merged = f"{staging}/_merge_{i}"
+                # per-write option overrides the session conf that
+                # caused the split in the first place (0 = unlimited)
+                spark.read.parquet(f"{staging}/bb={i}").coalesce(1).write.mode(
+                    "overwrite"
+                ).option("maxRecordsPerFile", 0).parquet(merged)
+                parts = sorted(glob.glob(f"{merged}/part-*.parquet"))
+                if len(parts) != 1:
+                    raise AssertionError(
+                        f"{prefix}: residue bb={i} still {len(parts)} parts "
+                        "after coalesce(1) rewrite"
+                    )
             for part in parts:
                 dest = f"{chunk_dir}/chunk-{i:03d}.parquet"
                 shutil.move(part, dest)

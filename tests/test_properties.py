@@ -603,3 +603,34 @@ def test_selection_method_agreement_is_consistent(spark):
         nn = r.n * (r.n * r.n - 1)
         expect = math.floor((nn - 6 * r.sum_d2) * 1000000.0 / nn + 0.5) / 1000000.0
         assert r.spearman_rho == expect, (r, expect)
+
+
+def test_residual_memo_eviction_frees_blocks(spark):
+    """ADVICE r12: evicting a residual-memo entry must release the
+    executor-resident localCheckpoint blocks deterministically, not
+    wait for JVM GC. Verifies (a) the hook is wired into the memo,
+    (b) the hook actually drops the checkpointed RDD's storage (the
+    measured gotcha: Dataset.unpersist() alone leaves the block), and
+    (c) a capacity eviction routes through it."""
+    from eventstreamer_spark.memo import BoundedMemo
+    from eventstreamer_spark.operators.audit import (
+        _RESIDUAL_MEMO,
+        _unpersist_residual,
+    )
+
+    assert _RESIDUAL_MEMO._on_evict is _unpersist_residual
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_blocks()
+    df = spark.range(64).selectExpr("id", "id * 2 AS y").localCheckpoint(eager=True)
+    assert n_blocks() == before + 1
+    m = BoundedMemo(maxsize=1, on_evict=_unpersist_residual)
+    m["a"] = (df,)
+    m["b"] = ()  # evicts "a" -> hook must free df's checkpoint block
+    assert n_blocks() == before
+    # guarded: junk values must not raise through an insert
+    _unpersist_residual("k", (object(),))

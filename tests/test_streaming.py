@@ -622,3 +622,38 @@ def test_stream_countmin_cells_match_batch(spark):
     }
     assert stream_cells == batch_cells
     assert len(batch_cells) > 0
+
+
+def test_stage_residue_chunks_merges_split_residues(spark, tmp_path):
+    """ADVICE r12: a writer config that splits one residue across part
+    files (spark.sql.files.maxRecordsPerFile) must not hard-fail the
+    serving gates — the residue is coalesce(1)-rewritten to one chunk
+    so every request still arrives in ONE micro-batch."""
+    import glob
+    import shutil
+
+    from eventstreamer_spark.operators.indexing import _stage_residue_chunks
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"p{i}") for i in range(30)], "rid int, bb int, payload string"
+    )
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    try:
+        chunk_dir, stream = _stage_residue_chunks(
+            spark, df, 3, prefix="es_test_residue_"
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    try:
+        chunks = sorted(glob.glob(f"{chunk_dir}/chunk-*.parquet"))
+        assert len(chunks) == 3, chunks
+        total = 0
+        for c in chunks:
+            rows = spark.read.parquet(c).collect()
+            # one residue class per chunk, complete
+            assert len({r.rid % 3 for r in rows}) == 1
+            total += len(rows)
+        assert total == 30
+        assert stream.isStreaming
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
