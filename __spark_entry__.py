@@ -42,6 +42,7 @@ import eventstreamer_spark.operators.subqueries  # noqa: F401
 import eventstreamer_spark.operators.embeddings  # noqa: F401
 import eventstreamer_spark.operators.trends  # noqa: F401
 import eventstreamer_spark.operators.quality  # noqa: F401
+import eventstreamer_spark.operators.layout  # noqa: F401
 
 from eventstreamer_spark import registry
 from eventstreamer_spark.session import configure
@@ -303,6 +304,30 @@ _GREEN_R11 = frozenset({
     'winnowing_fingerprints',
 })
 
+# r12 (all 50 rows hash-green, CORRECTNESS_r12.json): the 8 round-12
+# additions/changes + the stalest greens that window re-proved.
+_GREEN_R12W = frozenset({
+    'bloom_file_skipping_audit', 'bpe_fertility_by_lang',
+    'calendar_gap_fill', 'cdc_changelog_compaction',
+    'char_bigram_diversity', 'corpus_build_pipeline',
+    'countmin_heavy_hitters', 'dow_hour_heatmap', 'dsir_importance_weights',
+    'embedding_norm_stats', 'funnel_recall_at_k', 'gumbel_topk_resample',
+    'index_refresh_pipeline', 'ivf_adaptive_topk', 'minhash_containment',
+    'minhash_jaccard_calibration', 'nation_trade_volume',
+    'neardup_source_matrix', 'paragraph_dedup', 'pq_adc_topk',
+    'pq_quantization_audit', 'priority_share_by_year', 'push_time_parity',
+    'push_time_stream_parity', 'quality_by_source_report',
+    'quality_classifier_scores', 'rfm_segmentation', 'rrf_k_sweep',
+    'selection_method_agreement', 'selection_pipeline', 'session_windows',
+    'shipping_priority_topk', 'simhash_multiblock_neardup',
+    'sq8_quantization_audit', 'stream_classifier_scores',
+    'stream_countmin_topk', 'stream_dedup_counts', 'stream_rrf_fusion',
+    'stream_session_windows', 'stream_sliding_stats', 'stream_stream_join',
+    'stream_topk_types', 'stream_tumbling_stats', 'token_budget_mixture',
+    'user_retention_cohorts', 'value_outliers_zscore', 'vocab_oov_coverage',
+    'weighted_sample_topk', 'winnowing_candidates', 'zorder_pruning_audit',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -317,6 +342,7 @@ for _round, _names in (
     (9, _GREEN_R9),
     (10, _GREEN_R10),
     (11, _GREEN_R11),
+    (12, _GREEN_R12W),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
@@ -329,19 +355,31 @@ _RECORDED_GREEN = frozenset(_GREEN_ROUND)
 # this round's window.
 _DEFER_RECORDING: tuple[str, ...] = ()
 
+# Queries whose BEHAVIOR changed this round (ADVICE r12 item 3): their
+# prior green rows no longer cover the shipped code, so they are ordered
+# with the never-recorded queries to guarantee a fresh recorded row in
+# this round's 50-slot window.
+_CHANGED_THIS_ROUND = frozenset({
+    # r13: real-write layout audits (new output columns, real parquet
+    # read-back replaces the writer-simulation global rank)
+    "zorder_pruning_audit", "bloom_file_skipping_audit",
+})
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    never-driver-recorded queries first, the post-window additions next
-    (_DEFER_RECORDING), then recorded-green queries stalest-round-first
-    so the driver's 50-row window re-proves the oldest evidence."""
+    never-driver-recorded and behaviorally-changed queries first, the
+    post-window additions next (_DEFER_RECORDING), then recorded-green
+    queries stalest-round-first so the driver's 50-row window re-proves
+    the oldest evidence."""
     regs = registry.queries()
     order = {n: i for i, n in enumerate(regs)}
+    recorded = _RECORDED_GREEN - _CHANGED_THIS_ROUND
     front = [
-        n for n in regs if n not in _RECORDED_GREEN and n not in _DEFER_RECORDING
+        n for n in regs if n not in recorded and n not in _DEFER_RECORDING
     ]
     green = sorted(
-        (n for n in regs if n in _RECORDED_GREEN),
+        (n for n in regs if n in recorded),
         key=lambda n: (_GREEN_ROUND[n], order[n]),
     )
     ordered = front + [n for n in regs if n in _DEFER_RECORDING] + green

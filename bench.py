@@ -73,6 +73,9 @@ def main() -> None:
             "pq_recall_at_k", "graded_retrieval_eval",
             "semantic_decontamination", "corpus_build_pipeline",
             "rrf_k_sweep",
+            # r13: both layout audits read the shared layout_tables
+            # write (built once per session by whichever runs first)
+            "zorder_pruning_audit", "bloom_file_skipping_audit",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

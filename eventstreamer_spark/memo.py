@@ -54,3 +54,21 @@ class BoundedMemo(dict):
         if key not in self:
             self[key] = default
         return self[key]
+
+
+def free_local_checkpoint(df: Any) -> None:
+    """Release a localCheckpoint's executor-resident blocks NOW.
+
+    Dataset.unpersist() only uncaches the plan from the cache manager —
+    it does NOT unpersist the checkpointed RDD (measured: the storage
+    block count is unchanged), so dropping the handle strands the
+    blocks until JVM GC/ContextCleaner. The real free is the analyzed
+    LogicalRDD's underlying RDD. Guarded: callers use this in eviction
+    and cleanup paths that must never raise."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass

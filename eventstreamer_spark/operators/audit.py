@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
@@ -2455,19 +2455,10 @@ def _unpersist_residual(_key: object, dfs: tuple[DataFrame, ...]) -> None:
     localCheckpoints — executor-resident storage blocks, not
     driver rows like the centroid/LSH memos — so dropping the
     handles on eviction would strand the blocks until JVM GC.
-    Dataset.unpersist() only uncaches the plan from the cache
-    manager, NOT the checkpointed RDD (measured: block count
-    unchanged) — the real free is the LogicalRDD's underlying
-    RDD. Guarded: eviction must never raise through an
-    unrelated insert."""
+    free_local_checkpoint does the real free (guarded; see
+    memo.py for the Dataset.unpersist() gotcha)."""
     for df in dfs:
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+        free_local_checkpoint(df)
 
 
 _RESIDUAL_MEMO: dict[tuple[str, str, int, bool], tuple[DataFrame, DataFrame]] = (

@@ -1083,430 +1083,9 @@ def q_data_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Z-order layout audit: what multi-dimensional clustering buys the scan
-# ---------------------------------------------------------------------------
-
-# The 100 TB layout decision this audit measures: a table laid out in
-# LINEAR key order prunes files (parquet row groups, Delta/Iceberg data
-# files) only on that one key — a range predicate on any OTHER column
-# intersects every file's min/max span and scans the whole table. A
-# Z-ORDER (Morton) layout interleaves the bits of two predicate
-# columns, so file spans stay tight in BOTH dimensions and 2-D range
-# queries skip most files. The audit simulates both writers over the
-# same rows — quantize each dim to 8 bits, rank by Morton code vs by
-# the linear key, cut the ranking into 64 equal "files", collect each
-# file's per-dim min/max (exactly what a parquet footer stores) — then
-# replays a fixed 4-box predicate grid against the stats: a file is
-# scanned iff its span intersects the box in both dims. scan_share is
-# the fraction of (file, box) probes the layout could NOT prune.
-# Everything is exact integer arithmetic: quantization is (v << 8) DIV
-# (max+1), the Morton code is an 8-step bit interleave identical in
-# both engines, ranks tie-break on the unique (l_orderkey,
-# l_linenumber) key.
-
-ZORDER_BITS = 8
-ZORDER_FILES = 64
-_ZORDER_SPAN = 1 << ZORDER_BITS
-
-_MORTON_S = " + ".join(
-    f"shiftleft(shiftright(qx, {i}) & 1, {2 * i + 1})"
-    f" + shiftleft(shiftright(qy, {i}) & 1, {2 * i})"
-    for i in range(ZORDER_BITS)
-)
-_MORTON_D = " + ".join(
-    f"(((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i})"
-    for i in range(ZORDER_BITS)
-)
-
-# Quantized-coordinate predicate boxes (0..255 per dim): a centered
-# quarter-range box, a low corner, an off-axis band, and a tight
-# point-range — the mix of selectivities a BI/feature-extraction scan
-# actually issues.
-ZORDER_BOXES = (
-    ("center", 96, 159, 96, 159),
-    ("low_corner", 0, 63, 0, 63),
-    ("x_band", 32, 95, 160, 255),
-    ("point_range", 200, 215, 40, 55),
-)
-
-_ZORDER_BOXES_D = ", ".join(
-    f"('{b}', {xl}, {xh}, {yl}, {yh})" for b, xl, xh, yl, yh in ZORDER_BOXES
-)
-
-_ZORDER_ORACLE = f"""
-WITH mx AS (
-  SELECT max(l_orderkey) AS mok, max(l_partkey) AS mpk,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lineitem
-),
-q AS (
-  SELECT CAST((l_orderkey * {_ZORDER_SPAN}) // (mok + 1) AS INTEGER) AS qx,
-         CAST((l_partkey * {_ZORDER_SPAN}) // (mpk + 1) AS INTEGER) AS qy,
-         l_orderkey, l_linenumber, n
-  FROM lineitem, mx
-),
-m AS (SELECT *, {_MORTON_D} AS morton FROM q),
-r AS (
-  SELECT qx, qy, n,
-         row_number() OVER (ORDER BY morton, l_orderkey, l_linenumber) AS rnz,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rnl
-  FROM m
-),
-files AS (
-  SELECT 'zorder' AS layout,
-         CAST(((rnz - 1) * {ZORDER_FILES}) // n AS INTEGER) AS f, qx, qy
-  FROM r
-  UNION ALL
-  SELECT 'linear',
-         CAST(((rnl - 1) * {ZORDER_FILES}) // n AS INTEGER), qx, qy
-  FROM r
-),
-stats AS (
-  SELECT layout, f, min(qx) AS xmin, max(qx) AS xmax,
-         min(qy) AS ymin, max(qy) AS ymax
-  FROM files GROUP BY 1, 2
-),
-boxes AS (
-  SELECT * FROM (VALUES {_ZORDER_BOXES_D}) AS b(box, xlo, xhi, ylo, yhi)
-),
-hits AS (
-  SELECT s.layout, CAST(count(*) AS BIGINT) AS files_scanned
-  FROM stats s JOIN boxes b
-    ON s.xmin <= b.xhi AND s.xmax >= b.xlo
-   AND s.ymin <= b.yhi AND s.ymax >= b.ylo
-  GROUP BY 1
-),
-nf AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM stats GROUP BY 1)
-SELECT nf.layout, nf.n_files,
-       CAST({len(ZORDER_BOXES)} AS BIGINT) AS n_boxes,
-       CAST(COALESCE(h.files_scanned, 0) AS BIGINT) AS files_scanned,
-       floor(COALESCE(h.files_scanned, 0) * 1000000.0
-             / (nf.n_files * {len(ZORDER_BOXES)}) + 0.5) / 1000000.0
-         AS scan_share
-FROM nf LEFT JOIN hits h USING (layout)
-"""
 
 
-@query("zorder_pruning_audit", oracle=_ZORDER_ORACLE)
-def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order vs linear file layout, measured by what the scan can
-    prune (see section comment): per layout, the share of (file, box)
-    probes whose min/max span intersects the predicate box — the
-    fraction of the table a 2-D range query must actually read.
-
-    Scale shape: the audit SIMULATES the writer's one-time global
-    clustering, so each layout is one ranking over the sample (at
-    100 TB the real write is repartitionByRange(morton) +
-    sortWithinPartitions — an O(n log n) one-time layout job, which is
-    the point: you pay it once and every 2-D scan after prunes); the
-    stats table is ZORDER_FILES rows per layout and the probe replay
-    is a broadcast 4-row join against it — bounded by the layout
-    constants, not data. Exactness: integer quantization, an
-    integer-exact bit-interleave Morton code (identical expression in
-    both engines), unique (l_orderkey, l_linenumber) tie-breaks,
-    floor-1e6 shares."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber"
-    )
-    mx = li.agg(
-        F.max("l_orderkey").alias("mok"),
-        F.max("l_partkey").alias("mpk"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    q = li.crossJoin(F.broadcast(mx)).select(
-        F.expr(f"CAST((l_orderkey * {_ZORDER_SPAN}) DIV (mok + 1) AS INT)").alias(
-            "qx"
-        ),
-        F.expr(f"CAST((l_partkey * {_ZORDER_SPAN}) DIV (mpk + 1) AS INT)").alias(
-            "qy"
-        ),
-        "l_orderkey",
-        "l_linenumber",
-        "n",
-    )
-    m = q.withColumn("morton", F.expr(_MORTON_S))
-    wz = Window.orderBy("morton", "l_orderkey", "l_linenumber")
-    wl = Window.orderBy("l_orderkey", "l_linenumber")
-    r = m.select(
-        "qx",
-        "qy",
-        "n",
-        F.row_number().over(wz).alias("rnz"),
-        F.row_number().over(wl).alias("rnl"),
-    )
-    files = r.select(
-        F.lit("zorder").alias("layout"),
-        F.expr(f"CAST(((rnz - 1) * {ZORDER_FILES}) DIV n AS INT)").alias("f"),
-        "qx",
-        "qy",
-    ).unionByName(
-        r.select(
-            F.lit("linear").alias("layout"),
-            F.expr(f"CAST(((rnl - 1) * {ZORDER_FILES}) DIV n AS INT)").alias("f"),
-            "qx",
-            "qy",
-        )
-    )
-    stats = files.groupBy("layout", "f").agg(
-        F.min("qx").alias("xmin"),
-        F.max("qx").alias("xmax"),
-        F.min("qy").alias("ymin"),
-        F.max("qy").alias("ymax"),
-    )
-    boxes = spark.createDataFrame(
-        list(ZORDER_BOXES), "box string, xlo int, xhi int, ylo int, yhi int"
-    )
-    hits = (
-        stats.join(
-            F.broadcast(boxes),
-            (F.col("xmin") <= F.col("xhi"))
-            & (F.col("xmax") >= F.col("xlo"))
-            & (F.col("ymin") <= F.col("yhi"))
-            & (F.col("ymax") >= F.col("ylo")),
-        )
-        .groupBy("layout")
-        .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
-    )
-    nf = stats.groupBy("layout").agg(
-        F.count(F.lit(1)).cast("long").alias("n_files")
-    )
-    n_boxes = len(ZORDER_BOXES)
-    return nf.join(hits, "layout", "left").select(
-        "layout",
-        "n_files",
-        F.lit(n_boxes).cast("long").alias("n_boxes"),
-        F.coalesce("files_scanned", F.lit(0)).cast("long").alias("files_scanned"),
-        (
-            F.floor(
-                F.coalesce("files_scanned", F.lit(0))
-                * F.lit(1000000.0)
-                / (F.col("n_files") * F.lit(n_boxes))
-                + F.lit(0.5)
-            )
-            / 1000000.0
-        ).alias("scan_share"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bloom file-skipping audit: the point-lookup complement to Z-ordering
-# ---------------------------------------------------------------------------
-
-# zorder_pruning_audit measures what multi-dim clustering buys a RANGE
-# scan; this audit measures the other half of the file-skipping story:
-# EQUALITY lookups on a column UNCORRELATED with the write order. On a
-# linear-by-orderkey layout every file's (min, max) partkey span covers
-# nearly the whole domain, so footer stats prune almost nothing — the
-# fix real tables ship (parquet bloom_filter_enabled, Delta/Iceberg
-# bloom indexes) is a per-file Bloom filter over the lookup column.
-# The audit builds one per simulated file with the repo's verified
-# cross-engine Bloom recipe (md5 double hashing, bloom_dedup_probe's
-# _bloom_positions — Kirsch–Mitzenmacher pos_i = (h1 + i·h2) mod m,
-# 10 bits/key) and replays 32 deterministic point lookups three ways:
-# exact membership (the unreachable ideal), min/max footer stats, and
-# the Bloom probe. Per method: (file, lookup) probes scanned, truly
-# containing, false positives (Bloom/minmax never miss), scan share.
-
-BLOOM_FILES = 64
-BLOOM_LOOKUPS = 32
-
-
-def _bloom_skip_oracle() -> str:
-    """Lazy oracle (registry callable form): reuses dedup's verified
-    Bloom position recipe, resolved at oracle_sql() time."""
-    from eventstreamer_spark.operators.dedup import (
-        BLOOM_BITS_PER_KEY,
-        BLOOM_K,
-        _bloom_positions,
-    )
-
-    pos = _bloom_positions("duck", "digest", "m")
-    return f"""
-WITH mx AS (
-  SELECT max(l_partkey) AS mpk, CAST(count(*) AS BIGINT) AS n,
-         CAST({BLOOM_BITS_PER_KEY} * (count(*) // {BLOOM_FILES}) + 1 AS BIGINT)
-           AS m
-  FROM lineitem
-),
-fr AS (
-  SELECT CAST(((row_number() OVER (ORDER BY l_orderkey, l_linenumber)) - 1)
-              * {BLOOM_FILES} // n AS INTEGER) AS f,
-         l_partkey, m
-  FROM lineitem, mx
-),
-fd AS (
-  SELECT f, l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS digest, m FROM fr
-),
-fbits AS (SELECT DISTINCT f, unnest({pos}) AS pos FROM fd),
-keys AS (
-  SELECT (mpk * i) // 33 AS key,
-         md5(CAST((mpk * i) // 33 AS VARCHAR)) AS digest, m
-  FROM mx, unnest(generate_series(1, {BLOOM_LOOKUPS})) AS t(i)
-),
-kp AS (SELECT key, unnest({pos}) AS pos FROM keys),
-truthp AS (SELECT DISTINCT f, l_partkey FROM fr),
-stats AS (
-  SELECT f, min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM fr GROUP BY 1
-),
-exact_pairs AS (
-  SELECT k.key, t.f FROM keys k JOIN truthp t ON t.l_partkey = k.key
-),
-minmax_pairs AS (
-  SELECT k.key, s.f FROM keys k
-  JOIN stats s ON k.key BETWEEN s.pmin AND s.pmax
-),
-bloom_pairs AS (
-  SELECT kp.key, fb.f FROM kp JOIN fbits fb ON fb.pos = kp.pos
-  GROUP BY kp.key, fb.f HAVING count(*) = {BLOOM_K}
-),
-nf AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files FROM fr),
-res AS (
-  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS files_scanned,
-         CAST(count(*) AS BIGINT) AS true_files
-  FROM exact_pairs
-  UNION ALL
-  SELECT 'minmax', CAST(count(*) AS BIGINT), CAST(count(e.f) AS BIGINT)
-  FROM minmax_pairs p
-  LEFT JOIN exact_pairs e ON e.key = p.key AND e.f = p.f
-  UNION ALL
-  SELECT 'bloom', CAST(count(*) AS BIGINT), CAST(count(e.f) AS BIGINT)
-  FROM bloom_pairs p
-  LEFT JOIN exact_pairs e ON e.key = p.key AND e.f = p.f
-)
-SELECT r.method, nf.n_files, CAST({BLOOM_LOOKUPS} AS BIGINT) AS n_lookups,
-       r.files_scanned, r.true_files,
-       r.files_scanned - r.true_files AS false_positives,
-       floor(r.files_scanned * 1000000.0 / (nf.n_files * {BLOOM_LOOKUPS})
-             + 0.5) / 1000000.0 AS scan_share
-FROM res r, nf
-"""
-
-
-@query("bloom_file_skipping_audit", oracle=_bloom_skip_oracle)
-def q_bloom_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom vs min/max file skipping for point lookups (see section
-    comment): per method, how many (file, lookup) probes survive
-    pruning, how many truly contain the key, and the false-positive
-    count — zero misses by construction for both pruners, so the
-    false positives ARE the wasted reads.
-
-    Scale shape: one writer-simulation ranking (the same one-time
-    global clustering contract as zorder_pruning_audit — production
-    writes use repartitionByRange), one distinct-positions pass for
-    the per-file filters (rows × BLOOM_K, map-side distinct), then
-    everything downstream is bounded by the layout constants: 64-file
-    stats, ≤ 64·m filter rows, a broadcast 128-row lookup-position
-    probe, 3 method aggregates over ≤ 64·32 pairs. Exactness: md5
-    double hashing is the verified bloom_dedup_probe recipe (identical
-    digests and positions in both engines); all counts int64; shares
-    floor-1e6."""
-    from eventstreamer_spark.operators.dedup import (
-        BLOOM_BITS_PER_KEY,
-        BLOOM_K,
-        _bloom_positions,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber"
-    )
-    mx = li.agg(
-        F.max("l_partkey").alias("mpk"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            f"CAST({BLOOM_BITS_PER_KEY} * (count(1) DIV {BLOOM_FILES}) + 1"
-            " AS BIGINT)"
-        ).alias("m"),
-    )
-    wl = Window.orderBy("l_orderkey", "l_linenumber")
-    fr = (
-        li.crossJoin(F.broadcast(mx))
-        .withColumn("rn", F.row_number().over(wl))
-        .select(
-            F.expr(f"CAST(((rn - 1) * {BLOOM_FILES}) DIV n AS INT)").alias("f"),
-            "l_partkey",
-            "m",
-            "mpk",
-        )
-        # the ranking window is single-partition by design (the writer
-        # simulation); everything AFTER it — md5, the ×BLOOM_K position
-        # explode, the distinct, the per-file stats — must not inherit
-        # that one task: spread by file id so the filter build
-        # parallelizes across the cluster
-        .repartition("f")
-        .localCheckpoint(eager=False)  # feeds fd/truthp/stats/nf
-    )
-    fd = fr.withColumn("digest", F.md5(F.col("l_partkey").cast("string")))
-    pos_s = _bloom_positions("spark", "digest", "m")
-    fbits = fd.select("f", F.explode(F.expr(pos_s)).alias("pos")).distinct()
-    keys = (
-        mx.select("mpk", "m", F.explode(F.sequence(F.lit(1), F.lit(BLOOM_LOOKUPS))).alias("i"))
-        .select(
-            F.expr("(mpk * i) DIV 33").alias("key"),
-            F.md5(F.expr("CAST((mpk * i) DIV 33 AS STRING)")).alias("digest"),
-            "m",
-        )
-    )
-    kp = keys.select("key", F.explode(F.expr(pos_s)).alias("pos"))
-    truthp = fr.select("f", "l_partkey").distinct()
-    stats = fr.groupBy("f").agg(
-        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax")
-    )
-    exact_pairs = (
-        F.broadcast(keys.select("key"))
-        .join(truthp, F.col("l_partkey") == F.col("key"))
-        .select("key", "f")
-    )
-    minmax_pairs = (
-        F.broadcast(keys.select("key"))
-        .join(
-            stats,
-            (F.col("key") >= F.col("pmin")) & (F.col("key") <= F.col("pmax")),
-        )
-        .select("key", "f")
-    )
-    bloom_pairs = (
-        F.broadcast(kp)
-        .join(fbits, "pos")
-        .groupBy("key", "f")
-        .agg(F.count(F.lit(1)).alias("nhit"))
-        .filter(F.col("nhit") == BLOOM_K)
-        .select("key", "f")
-    )
-    nf = fr.agg(F.countDistinct("f").cast("long").alias("n_files"))
-    exact_marked = exact_pairs.select("key", "f", F.lit(1).alias("is_true"))
-
-    def method_row(name: str, pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.join(F.broadcast(exact_marked), ["key", "f"], "left")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("files_scanned"),
-                F.coalesce(F.sum("is_true"), F.lit(0))
-                .cast("long")
-                .alias("true_files"),
-            )
-            .select(F.lit(name).alias("method"), "files_scanned", "true_files")
-        )
-
-    res = (
-        method_row("exact", exact_pairs)
-        .unionByName(method_row("minmax", minmax_pairs))
-        .unionByName(method_row("bloom", bloom_pairs))
-    )
-    return res.crossJoin(F.broadcast(nf)).select(
-        "method",
-        "n_files",
-        F.lit(BLOOM_LOOKUPS).cast("long").alias("n_lookups"),
-        "files_scanned",
-        "true_files",
-        (F.col("files_scanned") - F.col("true_files")).alias("false_positives"),
-        (
-            F.floor(
-                F.col("files_scanned")
-                * F.lit(1000000.0)
-                / (F.col("n_files") * F.lit(BLOOM_LOOKUPS))
-                + F.lit(0.5)
-            )
-            / 1000000.0
-        ).alias("scan_share"),
-    )
+# The physical-layout audits (zorder_pruning_audit,
+# bloom_file_skipping_audit) moved to operators/layout.py in round 13
+# when they gained REAL layout writes (layout_tables) — see that module
+# for the machinery that replaced the writer-simulation global rank.

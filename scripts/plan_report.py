@@ -56,7 +56,8 @@ HEADLINERS = [
     ("span_corruption_pairs", "training-pair generation as a zero-exchange row-local projection"),
     ("index_refresh_pipeline", "measure -> int64 gate -> gated retrain -> re-verify; one checkpointed corpus"),
     ("rrf_k_sweep", "3-row K fanout broadcast over the bounded checkpointed rank lists"),
-    ("zorder_pruning_audit", "two writer-simulation rankings; 64-row footer stats; broadcast 4-box probe replay"),
+    ("zorder_pruning_audit", "REAL layout read-back (r13): 64-file footer stats; broadcast 4-box probe + matching replay"),
+    ("compaction_bin_packing_audit", "two real partitioned writes; packing planned on the 96-row fragment-stats table"),
     ("windowed_emit_json", "first-event carry rides the two-level aggregation: one scan, no join"),
 ]
 

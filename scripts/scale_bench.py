@@ -118,6 +118,9 @@ QUERIES: tuple[str, ...] = (
     # round-12 additions
     "stream_rrf_fusion", "index_refresh_pipeline", "windowed_emit_json",
     "rrf_k_sweep", "zorder_pruning_audit", "bloom_file_skipping_audit",
+    # round-13 additions (zorder/bloom uncapped since r13: the real
+    # range-partitioned layout write replaced the single-task rank)
+    "compaction_bin_packing_audit",
 )
 
 # name -> (max factor, reason)
@@ -137,8 +140,6 @@ MAX_FACTOR: dict[str, tuple[int, str]] = {
     "srp_angle_calibration": (10, "the exact-cosine pass over every (query, corpus) pair is O(q x n) by contract (estimator calibration tier)"),
     "index_refresh_pipeline": (10, "exact ground truth is O(q x n) by contract (the re-verify stage of the refresh loop); the gated retrain and both searches scale separately"),
     "rrf_k_sweep": (10, "exact brute-force ground truth is O(q x n) by contract (eval audit tier); the three retrievers it fuses scale separately"),
-    "zorder_pruning_audit": (10, "simulates the writer's one-time global clustering as a single-sequence rank by design; production layout writes use repartitionByRange + sortWithinPartitions"),
-    "bloom_file_skipping_audit": (10, "same writer-simulation single-sequence rank as zorder_pruning_audit; the filter build itself is one map-side-distinct pass"),
 }
 # stream_bm25_topk was capped at x10 through round 10 (complete-mode
 # memory sink held every query's gathered scores during the gate run,

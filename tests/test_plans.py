@@ -1762,10 +1762,15 @@ def test_zorder_prunes_more_than_linear(spark):
     the linear layout (equality only in degenerate tiny-file cases),
     both shares in [0, 1], and both layouts cut the same file count.
     No cartesian — the probe replay is a broadcast 4-row join."""
-    from eventstreamer_spark.operators.relational import q_zorder_pruning_audit
+    from eventstreamer_spark.operators.layout import q_zorder_pruning_audit
 
     df = q_zorder_pruning_audit(spark, SF_DIR)
-    assert "CartesianProduct" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # r13: the audit reads REAL files back — no window anywhere in it
+    # (the write's parallel rank lives in layout_tables, pinned by
+    # test_layout_write_shape)
+    assert "Window" not in plan
     rows = {r.layout: r for r in df.collect()}
     assert set(rows) == {"zorder", "linear"}
     z, l = rows["zorder"], rows["linear"]
@@ -1773,7 +1778,8 @@ def test_zorder_prunes_more_than_linear(spark):
     assert z.files_scanned <= l.files_scanned
     for r in (z, l):
         assert 0 <= r.scan_share <= 1
-        assert 0 <= r.files_scanned <= r.n_files * r.n_boxes
+        assert 0 <= r.files_matching <= r.files_scanned <= r.n_files * r.n_boxes
+        assert r.match_share <= r.scan_share
 
 
 def test_bloom_file_skipping_sandwich(spark):
@@ -1781,9 +1787,7 @@ def test_bloom_file_skipping_sandwich(spark):
     neither pruner may miss (each method's true_files equals exact
     membership — Bloom and min/max have zero false negatives by
     construction); exact has zero false positives; no cartesian."""
-    from eventstreamer_spark.operators.relational import (
-        q_bloom_file_skipping_audit,
-    )
+    from eventstreamer_spark.operators.layout import q_bloom_file_skipping_audit
 
     df = q_bloom_file_skipping_audit(spark, SF_DIR)
     assert "CartesianProduct" not in physical_plan(df)
@@ -1913,3 +1917,189 @@ def test_embedding_anisotropy_bounds(spark):
     assert 0.0 <= r.top_dim_var_share <= 1.0
     assert r.top_dim_var_share < 0.5
     assert r.mean_vec_sq_norm <= r.mean_sq_norm + 1e-9
+
+
+def _scan_output_rows(df):
+    """Execute df and return the parquet scan node's numOutputRows —
+    the rows the reader actually emitted from storage AFTER row-group /
+    page-level stats pruning (NOT the post-filter match count)."""
+    n_match = len(df.collect())
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    read = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            read += node.metrics().apply("numOutputRows").value()
+    return n_match, read
+
+
+def test_layout_write_shape(spark):
+    """VERDICT r12 item 1, the write side: the exact-ntile rank must be
+    computed by a RANGE exchange + per-partition windows (partitioned by
+    _pid), never a no-partition window; the written tables must have one
+    f=K directory per file id; and the REAL parquet footers must carry
+    the per-file min/max the audit reports (footer == data stats)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from eventstreamer_spark.operators.layout import (
+        ZORDER_FILES,
+        layout_tables,
+        parallel_ntile,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    bucketed, n, ckpt = parallel_ntile(
+        spark, li, ["l_orderkey", "l_linenumber"], 8
+    )
+    # the exchange stage (pre-checkpoint): a RANGE repartition, the
+    # production layout-write shuffle
+    from eventstreamer_spark.operators.layout import _range_staged
+
+    stage_plan = physical_plan(_range_staged(li, ["l_orderkey", "l_linenumber"]))
+    assert "rangepartitioning" in stage_plan.lower()
+    # the rank stage: every window is partitioned by _pid — a
+    # no-partition window would be the r12 single-task shape
+    import re
+
+    plan = physical_plan(bucketed)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "_pid" in spec, plan
+    # exact ntile: bucket b gets rank range sizes within 1 of each other
+    sizes = {r.f: r.cnt for r in bucketed.groupBy("f").count().withColumnRenamed("count", "cnt").collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    from eventstreamer_spark.memo import free_local_checkpoint
+
+    free_local_checkpoint(ckpt)
+
+    t = layout_tables(spark, SF_DIR)
+    for name in ("linear", "zorder"):
+        dirs = sorted(glob.glob(f"{t[name]}/f=*"))
+        assert len(dirs) == ZORDER_FILES
+    # real footer stats == data stats the audit reports (spot-check 5 files)
+    for d in sorted(glob.glob(f"{t['zorder']}/f=*"))[:5]:
+        parts = glob.glob(f"{d}/*.parquet")
+        fmins, fmaxs = [], []
+        for part in parts:
+            md = pq.ParquetFile(part).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names["qx"]).statistics
+                fmins.append(st.min)
+                fmaxs.append(st.max)
+        data = (
+            spark.read.parquet(d)
+            .agg(F.min("qx").alias("mn"), F.max("qx").alias("mx"))
+            .collect()[0]
+        )
+        assert min(fmins) == data.mn and max(fmaxs) == data.mx
+
+
+def test_layout_executed_pruning(spark):
+    """The storage behavior the audit predicts, EXECUTED: scanning the
+    real files with each 2-D box predicate, the parquet reader's
+    stats-based row-group/page pruning must (a) actually skip data
+    (rows read < table rows), (b) never skip a matching row (both
+    layouts return identical matches), (c) read no more than the
+    footer-stats file bound the audit reports, and (d) read no more
+    rows under z-order than under linear across the box grid."""
+    from eventstreamer_spark.operators.layout import (
+        ZORDER_BOXES,
+        layout_tables,
+    )
+
+    t = layout_tables(spark, SF_DIR)
+    total = t["n"]
+    read_tot = {"zorder": 0, "linear": 0}
+    for _box, xlo, xhi, ylo, yhi in ZORDER_BOXES:
+        match_counts = {}
+        for name in ("zorder", "linear"):
+            df = spark.read.parquet(t[name]).filter(
+                (F.col("qx") >= xlo)
+                & (F.col("qx") <= xhi)
+                & (F.col("qy") >= ylo)
+                & (F.col("qy") <= yhi)
+            )
+            n_match, n_read = _scan_output_rows(df.select("qx", "qy"))
+            match_counts[name] = n_match
+            read_tot[name] += n_read
+            assert n_read >= n_match
+            # file-level stats bound: rows in stats-intersecting files
+            rd = spark.read.parquet(t[name])
+            bound = (
+                rd.groupBy("f")
+                .agg(
+                    F.min("qx").alias("xmin"),
+                    F.max("qx").alias("xmax"),
+                    F.min("qy").alias("ymin"),
+                    F.max("qy").alias("ymax"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .filter(
+                    (F.col("xmin") <= xhi)
+                    & (F.col("xmax") >= xlo)
+                    & (F.col("ymin") <= yhi)
+                    & (F.col("ymax") >= ylo)
+                )
+                .agg(F.sum("rows"))
+                .collect()[0][0]
+            )
+            assert n_read <= (bound or 0)
+        assert match_counts["zorder"] == match_counts["linear"]
+    assert read_tot["zorder"] < total * len(ZORDER_BOXES)  # pruning executed
+    assert read_tot["zorder"] <= read_tot["linear"]
+
+
+def test_compaction_bin_packing_report(spark):
+    """Compaction invariants on the real before/after files: row
+    conservation, file count shrinks to within one of the target, no
+    sub-half-target files remain after packing (the offset rule can
+    leave at most the tail bin small — measured zero here), every bin
+    holds whole fragments, and the read-back of the compacted table
+    schedules no MORE scan tasks than the fragmented one."""
+    from eventstreamer_spark.operators.layout import (
+        COMPACT_TARGET_FILES,
+        q_compaction_bin_packing_audit,
+    )
+
+    df = q_compaction_bin_packing_audit(spark, SF_DIR)
+    rows = {r.phase: r for r in df.collect()}
+    assert set(rows) == {"fragmented", "compacted"}
+    fr, co = rows["fragmented"], rows["compacted"]
+    assert fr.total_rows == co.total_rows
+    assert co.n_files < fr.n_files
+    # the offset rule packs WHOLE fragments: a fragment larger than the
+    # capacity C absorbs its span's bins, so the file count lands at or
+    # under the target (+1 for the tail), never above
+    c = fr.total_rows // COMPACT_TARGET_FILES + 1
+    assert co.n_files <= COMPACT_TARGET_FILES + 1
+    assert co.n_files >= 2
+    # bin overflow is bounded by one fragment beyond the capacity line
+    assert co.max_file_rows <= (c - 1) + fr.max_file_rows
+    # every bin holds at least one whole fragment
+    assert co.min_file_rows >= fr.min_file_rows
+    assert co.n_small_files <= 2  # at most stray tail bins
+    assert co.n_small_files < fr.n_small_files
+    assert fr.n_small_files > 0  # the audit's reason to exist
+    # the scheduler consequence, measured on the real files: reading
+    # the compacted table plans no MORE scan tasks than the fragmented
+    # one (Spark's FilePartition packing pays per-file open cost)
+    import hashlib
+
+    root = (
+        f"/tmp/es_compact/{spark.sparkContext.applicationId}/"
+        f"{hashlib.md5(SF_DIR.encode()).hexdigest()[:10]}"
+    )
+    frag_tasks = spark.read.parquet(f"{root}/fragmented").rdd.getNumPartitions()
+    comp_tasks = spark.read.parquet(f"{root}/compacted").rdd.getNumPartitions()
+    assert comp_tasks <= frag_tasks
