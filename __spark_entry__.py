@@ -363,6 +363,9 @@ _CHANGED_THIS_ROUND = frozenset({
     # r13: real-write layout audits (new output columns, real parquet
     # read-back replaces the writer-simulation global rank)
     "zorder_pruning_audit", "bloom_file_skipping_audit",
+    # r13: residual-chain consolidation — now level-cut consumers of
+    # residual_artifacts_memo (values identical, plans changed)
+    "ivfadc_residual_topk", "pq_rerank_topk",
 })
 
 

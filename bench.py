@@ -76,6 +76,10 @@ def main() -> None:
             # r13: both layout audits read the shared layout_tables
             # write (built once per session by whichever runs first)
             "zorder_pruning_audit", "bloom_file_skipping_audit",
+            # r13 residual-chain consolidation: one owner
+            # (pq_rerank_np4) pays the deepest build; these two are
+            # level-cut consumers of residual_artifacts_memo
+            "ivfadc_residual_topk", "pq_rerank_topk",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

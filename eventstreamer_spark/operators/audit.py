@@ -2275,8 +2275,22 @@ def q_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic stays in the exact v6 integer domain (residuals are
     differences of exact integers), so the oracle replays the
     identical chain: shared _PQS_PART + IVF CTEs + the parameterized
-    _pq_train_duck trainer on (rpqs, rpqv)."""
-    return ivfadc_residual_topk(spark, sf_dir)
+    _pq_train_duck trainer on (rpqs, rpqv).
+
+    r13 consolidation (VERDICT r12 item 5): this query is now a
+    CONSUMER of residual_artifacts_memo — its ranked top-k is the
+    probe_rn<=2 level cut of the deepest chain at rank<=k (the
+    recall grid's 'ivfadc_res' derivation since r11), identical
+    values by construction. q_pq_rerank_np4 is the one OWNER that
+    pays the deepest build every invocation."""
+    sp, _fullv = residual_artifacts_memo(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        sp.filter(F.col("probe_rn") <= _IVF_NPROBE)
+        .withColumn("rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2404,9 +2418,20 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual build; L2 is an exact int64 fold; ranking ties break
     (exact_l2, neighbor_id); the oracle replays the shared
     _IVFADC_RES_CHAIN plus the rerank parts verbatim. pq_recall_at_k
-    measures the lift on the 'pq_rerank' grid row."""
-    short, fullv = ivfadc_residual_topk(
-        spark, sf_dir, k=RERANK_M, with_fullv=True
+    measures the lift on the 'pq_rerank' grid row.
+
+    r13 consolidation (VERDICT r12 item 5): this query is now a
+    CONSUMER of residual_artifacts_memo — the nprobe=2 shortlist is
+    the probe_rn<=2 level cut of the deepest chain (the identical
+    derivation the recall grid has used since r11), so rebuilding the
+    whole chain here bought nothing. q_pq_rerank_np4 is the one OWNER
+    that pays the deepest build every invocation."""
+    sp, fullv = residual_artifacts_memo(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        sp.filter(F.col("probe_rn") <= _IVF_NPROBE)
+        .withColumn("rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank") <= RERANK_M)
     )
     return _pq_exact_rerank(short, fullv)
 
@@ -2443,13 +2468,23 @@ def q_pq_rerank_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ADC_QUERY_FILTER, PQ grid constants) — identical for every eval grid
 # that reads them, and each grid derives its shallower operating
 # points by level cuts (probe_rn <= 2 / rank <= RERANK_M), never by
-# retraining. The OWNERS — q_ivfadc_residual_topk, q_pq_rerank_topk,
-# q_pq_rerank_np4 — call ivfadc_residual_topk() directly and pay their
-# own builds every invocation (the bench-honesty rule: memos are for
-# consumers, never a query's own build). Values are eagerly
-# localCheckpointed DataFrames — rows live executor-side, only the
-# handles on the driver. Steady-state consumer timings (bench min-of-N)
-# are therefore memo-warm for these artifacts — recorded in SCALING.md.
+# retraining.
+#
+# OWNERSHIP DECISION (r13, VERDICT r12 item 5): through round 12 all
+# three residual *_topk queries rebuilt the identical chain at ~6 s
+# each (~18 s/round) under the owners-pay contract. That bought no
+# extra evidence — the nprobe=2 queries are EXACT level cuts of the
+# deepest chain, the same derivation the recall grid has trusted since
+# r11 — so the surface is consolidated to ONE owner:
+# q_pq_rerank_np4 (the deepest configuration, the production
+# operating point) calls ivfadc_residual_topk() directly and pays the
+# full build every invocation; q_ivfadc_residual_topk and
+# q_pq_rerank_topk consume the memo and level-cut (the
+# ann_bruteforce_topk/brute_truth_memo precedent: one honest owner of
+# the artifact cost, every derived read memo-warm and declared in
+# bench.py's memo_warm). Values are eagerly localCheckpointed
+# DataFrames — rows live executor-side, only the handles on the
+# driver; eviction unpersists them (ADVICE r12).
 def _unpersist_residual(_key: object, dfs: tuple[DataFrame, ...]) -> None:
     """Eviction hook (ADVICE r12): the memo values are EAGER
     localCheckpoints — executor-resident storage blocks, not

@@ -1216,16 +1216,26 @@ def test_cluster_balanced_sample_plan(spark):
 
 
 def test_ivfadc_residual_plan(spark):
-    """Residual IVFADC keeps the ivf_pq contract: probes, centroid
-    components, LUTs and codebook broadcast (BroadcastHashJoin
-    present), no cartesian — the corpus moves only through the
-    residual join and the cell-key candidate join."""
-    from eventstreamer_spark.operators.audit import q_ivfadc_residual_topk
+    """r13 consolidation: the registered query is a level-cut CONSUMER
+    of residual_artifacts_memo — its plan must be a ranked cut over
+    the checkpointed artifact scan (no Generate, no build joins), and
+    its values must equal the direct nprobe=2 build's ranked top-k
+    (the equivalence the consolidation rests on). The owner-side plan
+    contract (broadcast LUTs/codebooks, no cartesian) stays pinned on
+    q_pq_rerank_np4, the one owner."""
+    from eventstreamer_spark.operators.audit import (
+        ivfadc_residual_topk,
+        q_ivfadc_residual_topk,
+    )
 
     df = q_ivfadc_residual_topk(spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed memo artifact
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in ivfadc_residual_topk(spark, SF_DIR).collect()}
+    assert got == want
 
 
 def test_pq_recall_includes_residual_point(spark):
