@@ -32,7 +32,6 @@ this is driver-mandated Tier B scale machinery.
 from __future__ import annotations
 
 import hashlib
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -776,5 +775,195 @@ def q_compaction_bin_packing_audit(spark: SparkSession, sf_dir: str) -> DataFram
         phase_report("compacted", bs)
     )
     # 2-row report, eagerly checkpointed: the result must not lazily
+    # depend on paths a later invocation overwrites in place.
+    return report.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruning audit: the coarsest file-skipping lever
+# ---------------------------------------------------------------------------
+
+# The trilogy's missing first act: before sort layout
+# (zorder_pruning_audit) or point-skip indexes
+# (bloom_file_skipping_audit) ever see a file, DIRECTORY partitioning
+# decides which files exist to be considered — a date-partitioned
+# table prunes whole directories at PLANNING time, no footer I/O at
+# all, but ONLY when the predicate targets the partition column.
+# The audit writes orders partitioned by month (om = year*100+month,
+# the real-world ingest layout) FOR REAL and replays four
+# deliberately month-UNALIGNED time ranges two ways: the partition
+# count and row volume a month-key predicate must read (what planning
+# prunes to) vs the rows that truly match the raw date range. The gap
+# (read_amplification) is the boundary-spill cost of partition
+# granularity — the number a table owner uses to pick month vs day
+# partitioning. test_partition_pruning_executed pins the EXECUTED
+# behavior: a filter on om prunes at planning (scan numFiles == the
+# reported partitions_read), a filter on the raw date does not.
+
+def _om(day: str) -> int:
+    y, m, _ = day.split("-")
+    return int(y) * 100 + int(m)
+
+
+def _om_before(day: str) -> int:
+    """Month of (day - 1): the last month a predicate `< day` touches."""
+    import datetime
+
+    d = datetime.date.fromisoformat(day) - datetime.timedelta(days=1)
+    return d.year * 100 + d.month
+
+
+# (name, lo inclusive, hi exclusive) — all month-unaligned on purpose,
+# all interior to the generator's 1995-01..2001-08 o_orderdate span
+# (the driver's synthetic calendar, NOT TPC-H's 1992-1998)
+PARTITION_RANGES = (
+    ("one_month", "1996-03-10", "1996-04-10"),
+    ("one_quarter", "1997-01-15", "1997-04-15"),
+    ("one_year", "1998-07-05", "1999-07-05"),
+    ("three_years", "1995-06-20", "1998-06-20"),
+)
+
+_PRANGES = tuple(
+    (name, lo, hi, _om(lo), _om_before(hi)) for name, lo, hi in PARTITION_RANGES
+)
+
+_PRANGES_D = ", ".join(
+    f"('{n}', TIMESTAMP '{lo} 00:00:00', TIMESTAMP '{hi} 00:00:00', {ol}, {oh})"
+    for n, lo, hi, ol, oh in _PRANGES
+)
+
+_PARTITION_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS om,
+         o_orderdate
+  FROM orders
+),
+pm AS (SELECT om, CAST(count(*) AS BIGINT) AS nrows FROM m GROUP BY 1),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_partitions FROM pm),
+ranges AS (
+  SELECT * FROM (VALUES {_PRANGES_D})
+    AS r(range_name, lo, hi, om_lo, om_hi)
+),
+pr AS (
+  SELECT r.range_name, CAST(count(*) AS BIGINT) AS partitions_read,
+         CAST(sum(pm.nrows) AS BIGINT) AS rows_read
+  FROM ranges r JOIN pm ON pm.om BETWEEN r.om_lo AND r.om_hi
+  GROUP BY 1
+),
+mt AS (
+  SELECT r.range_name, CAST(count(*) AS BIGINT) AS rows_matching
+  FROM ranges r
+  JOIN m ON m.o_orderdate >= r.lo AND m.o_orderdate < r.hi
+  GROUP BY 1
+)
+SELECT pr.range_name, np.n_partitions, pr.partitions_read, pr.rows_read,
+       mt.rows_matching,
+       floor(pr.partitions_read * 1000000.0 / np.n_partitions + 0.5)
+         / 1000000.0 AS partition_share,
+       floor(pr.rows_read * 1000000.0 / mt.rows_matching + 0.5) / 1000000.0
+         AS read_amplification
+FROM pr JOIN mt USING (range_name), np
+"""
+
+
+@query("partition_pruning_audit", oracle=_PARTITION_ORACLE)
+def q_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partition pruning on a REAL month-partitioned write (see
+    section comment): per time range, the directories and rows a
+    month-key predicate must read vs the rows that truly match —
+    read_amplification is the partition-granularity spill a table
+    owner tunes against.
+
+    Scale shape: one partitioned write (one shuffle on the month key;
+    ~80 dirs), then everything is per-month aggregates (≤ #months
+    rows) and broadcast 4-range joins; the matching count is one scan
+    with the date predicate pushed to parquet. At 100 TB this is THE
+    first lever: planning-time pruning costs zero I/O while footer
+    stats still open every file. Exactness: month keys are integer
+    arithmetic on year/month; range constants are precomputed
+    integers; counts int64; shares floor-1e6."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/es_partition/{spark.sparkContext.applicationId}/{digest}/orders"
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("om"),
+    )
+    (
+        o.repartition(F.col("om"))
+        .write.mode("overwrite")
+        .partitionBy("om")
+        .parquet(path)
+    )
+
+    rd = spark.read.parquet(path).select(
+        F.col("om").cast("int").alias("om"), "o_orderdate"
+    )
+    pm = rd.groupBy("om").agg(F.count(F.lit(1)).cast("long").alias("nrows"))
+    np_ = pm.agg(F.count(F.lit(1)).cast("long").alias("n_partitions"))
+    ranges = spark.createDataFrame(
+        [
+            (n, lo + " 00:00:00", hi + " 00:00:00", ol, oh)
+            for n, lo, hi, ol, oh in _PRANGES
+        ],
+        "range_name string, lo string, hi string, om_lo int, om_hi int",
+    ).select(
+        "range_name",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+        "om_lo",
+        "om_hi",
+    )
+    pr = (
+        pm.join(
+            F.broadcast(ranges),
+            (F.col("om") >= F.col("om_lo")) & (F.col("om") <= F.col("om_hi")),
+        )
+        .groupBy("range_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("partitions_read"),
+            F.sum("nrows").cast("long").alias("rows_read"),
+        )
+    )
+    mt = (
+        rd.join(
+            F.broadcast(ranges),
+            (F.col("o_orderdate") >= F.col("lo"))
+            & (F.col("o_orderdate") < F.col("hi")),
+        )
+        .groupBy("range_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+    )
+    report = (
+        pr.join(mt, "range_name")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "range_name",
+            "n_partitions",
+            "partitions_read",
+            "rows_read",
+            "rows_matching",
+            (
+                F.floor(
+                    F.col("partitions_read")
+                    * F.lit(1000000.0)
+                    / F.col("n_partitions")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("partition_share"),
+            (
+                F.floor(
+                    F.col("rows_read") * F.lit(1000000.0) / F.col("rows_matching")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("read_amplification"),
+        )
+    )
+    # 4-row report, eagerly checkpointed: the result must not lazily
     # depend on paths a later invocation overwrites in place.
     return report.localCheckpoint(eager=True)

@@ -120,7 +120,7 @@ QUERIES: tuple[str, ...] = (
     "rrf_k_sweep", "zorder_pruning_audit", "bloom_file_skipping_audit",
     # round-13 additions (zorder/bloom uncapped since r13: the real
     # range-partitioned layout write replaced the single-task rank)
-    "compaction_bin_packing_audit",
+    "compaction_bin_packing_audit", "partition_pruning_audit",
 )
 
 # name -> (max factor, reason)

@@ -2113,3 +2113,62 @@ def test_compaction_bin_packing_report(spark):
     frag_tasks = spark.read.parquet(f"{root}/fragmented").rdd.getNumPartitions()
     comp_tasks = spark.read.parquet(f"{root}/compacted").rdd.getNumPartitions()
     assert comp_tasks <= frag_tasks
+
+
+def _scan_num_files(df):
+    """Execute df and return the parquet scan's numFiles metric plus
+    the executed plan string (for PartitionFilters checks)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    n_files = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            n_files += node.metrics().apply("numFiles").value()
+    return n_files, plan.toString()
+
+
+def test_partition_pruning_executed(spark):
+    """The planning-time lever, EXECUTED on the audit's real write: a
+    predicate on the month partition column prunes the scan to exactly
+    the reported partitions_read (numFiles metric; PartitionFilters in
+    the plan), while the same time range on the raw date column opens
+    every file — the audit's whole lesson. Report invariants: matching
+    rows never exceed read rows, amplification >= 1, unaligned ranges
+    spill (amplification > 1 for the month-grain range)."""
+    import hashlib
+
+    from eventstreamer_spark.operators.layout import (
+        _PRANGES,
+        q_partition_pruning_audit,
+    )
+
+    df = q_partition_pruning_audit(spark, SF_DIR)
+    rows = {r.range_name: r for r in df.collect()}
+    assert set(rows) == {n for n, *_ in _PRANGES}
+    for r in rows.values():
+        assert 0 < r.rows_matching <= r.rows_read
+        assert 0 < r.partitions_read <= r.n_partitions
+        assert r.read_amplification >= 1.0
+    assert rows["one_month"].read_amplification > 1.0  # unaligned spill
+
+    path = (
+        f"/tmp/es_partition/{spark.sparkContext.applicationId}/"
+        f"{hashlib.md5(SF_DIR.encode()).hexdigest()[:10]}/orders"
+    )
+    name, lo, hi, ol, oh = _PRANGES[0]
+    pruned = spark.read.parquet(path).filter(
+        (F.col("om") >= ol) & (F.col("om") <= oh)
+    )
+    n_files, plan = _scan_num_files(pruned)
+    assert n_files == rows[name].partitions_read
+    assert "PartitionFilters" in plan and "om" in plan
+    raw = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit(f"{lo} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{hi} 00:00:00").cast("timestamp"))
+    )
+    n_files_raw, _ = _scan_num_files(raw)
+    assert n_files_raw == rows[name].n_partitions  # no planning-time pruning
