@@ -58,6 +58,7 @@ HEADLINERS = [
     ("rrf_k_sweep", "3-row K fanout broadcast over the bounded checkpointed rank lists"),
     ("zorder_pruning_audit", "REAL layout read-back (r13): 64-file footer stats; broadcast 4-box probe + matching replay"),
     ("compaction_bin_packing_audit", "two real partitioned writes; packing planned on the 96-row fragment-stats table"),
+    ("partition_pruning_audit", "real month-partitioned write; per-month aggregates + broadcast 4-range joins"),
     ("windowed_emit_json", "first-event carry rides the two-level aggregation: one scan, no join"),
 ]
 
