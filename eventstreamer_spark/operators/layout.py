@@ -967,3 +967,110 @@ def q_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-row report, eagerly checkpointed: the result must not lazily
     # depend on paths a later invocation overwrites in place.
     return report.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Table stats collection: the ANALYZE pass that feeds the optimizer
+# ---------------------------------------------------------------------------
+
+# The fifth maintenance lever, and the one every other lever consumes:
+# partition pruning, join reordering, broadcast-threshold decisions
+# and skew handling all read TABLE STATISTICS (row count, per-column
+# NDV, null count, min/max, average width — exactly what Spark's
+# `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` and every
+# Delta/Iceberg metadata pass persist). At 100 TB the stats pass is a
+# scheduled job with a real plan-shape question: per-column DISTINCT
+# aggregates over a wide table. The scalable shape is the EAV unpivot
+# — stack the audited columns to (col_name, value) long form map-side
+# (no shuffle to widen), then ONE two-phase distinct aggregation
+# keyed by col_name — instead of k independent count-distinct scans
+# or one k-way expand. Columns are the exact-castable subset (ints,
+# strings, a canonically-formatted timestamp): doubles are excluded
+# BY DESIGN because engines format them differently and stats
+# consumers want the typed domain anyway (the house integer-exact
+# rule applied to metadata).
+
+STATS_COLUMNS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+_STATS_STACK_S = ", ".join(
+    f"'{c}', CAST({c} AS STRING)" for c in STATS_COLUMNS
+) + ", 'l_shipdate', date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+
+_STATS_UNION_D = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM lineitem"
+    for c in STATS_COLUMNS
+) + (
+    "\nUNION ALL\nSELECT 'l_shipdate',"
+    " strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') FROM lineitem"
+)
+
+_ANALYZE_ORACLE = f"""
+WITH long AS ({_STATS_UNION_D})
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS null_count,
+       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+       min(v) AS min_value,
+       max(v) AS max_value,
+       floor(sum(length(v)) * 1000000.0 / count(v) + 0.5) / 1000000.0
+         AS avg_width
+FROM long GROUP BY col_name
+"""
+
+
+@query("analyze_table_stats", oracle=_ANALYZE_ORACLE)
+def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column table statistics (see section
+    comment): one row per audited lineitem column with row count,
+    null count, exact NDV, lexicographic min/max of the canonical
+    string form, and average width — the optimizer inputs a 100 TB
+    deployment recomputes on a schedule.
+
+    Scale shape: the stack() unpivot widens rows MAP-SIDE (k× rows,
+    zero extra shuffle), then the HEAVY phase is a pure-count
+    HashAggregate keyed by (col_name, v) — a direct one-key-per-column
+    agg would put string min/max buffers in the hot aggregate and
+    force a SortAggregate over the full k×n stack (measured: 17 s vs
+    3 s at sf0.1). The string min/max and the per-column rollup run on
+    the REDUCED value-count table (≤ Σ ndv rows), where sort-based
+    aggregation is free. One scan, no k-way expand, no per-column scan
+    loop. Exactness: audited columns are the exact-castable subset
+    (ints/strings/canonically-formatted timestamp — doubles excluded
+    by design, engine float formatting differs); NDV is exact
+    (production would swap in the KMV/HLL sketch the
+    kmv_distinct_audit family measures); avg_width floor-1e6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_stack = len(STATS_COLUMNS) + 1
+    long = li.select(
+        F.expr(f"stack({n_stack}, {_STATS_STACK_S}) AS (col_name, v)")
+    )
+    vc = long.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return vc.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("null_count"),
+        F.count("v").cast("long").alias("ndv"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        (
+            F.floor(
+                F.sum(F.length("v") * F.col("cnt"))
+                * F.lit(1000000.0)
+                / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")))
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("avg_width"),
+    )

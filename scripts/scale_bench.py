@@ -121,6 +121,7 @@ QUERIES: tuple[str, ...] = (
     # round-13 additions (zorder/bloom uncapped since r13: the real
     # range-partitioned layout write replaced the single-task rank)
     "compaction_bin_packing_audit", "partition_pruning_audit",
+    "analyze_table_stats",
 )
 
 # name -> (max factor, reason)

@@ -2172,3 +2172,33 @@ def test_partition_pruning_executed(spark):
     )
     n_files_raw, _ = _scan_num_files(raw)
     assert n_files_raw == rows[name].n_partitions  # no planning-time pruning
+
+
+def test_analyze_table_stats_single_scan(spark):
+    """The ANALYZE pass must be ONE table scan: stack() unpivots
+    map-side (Generate), the distinct aggregate runs two-phase keyed
+    by (col_name, v) — no Expand of the base table, no per-column scan
+    loop. Values: one row per audited column, NDV bounded by rows,
+    nulls + widths consistent."""
+    from eventstreamer_spark.operators.layout import (
+        STATS_COLUMNS,
+        q_analyze_table_stats,
+    )
+
+    df = q_analyze_table_stats(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+    assert "Generate stack" in plan or "stack(" in plan
+    rows = {r.col_name: r for r in df.collect()}
+    assert set(rows) == set(STATS_COLUMNS) | {"l_shipdate"}
+    n = rows["l_orderkey"].n_rows
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.null_count <= n
+        assert 1 <= r.ndv <= n - r.null_count
+        assert r.min_value <= r.max_value
+        assert r.avg_width >= 1
+    # sanity: the flag column is low-cardinality, keys are high
+    assert rows["l_returnflag"].ndv <= 5
+    assert rows["l_orderkey"].ndv > rows["l_returnflag"].ndv
