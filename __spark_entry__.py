@@ -328,6 +328,29 @@ _GREEN_R12W = frozenset({
     'weighted_sample_topk', 'winnowing_candidates', 'zorder_pruning_audit',
 })
 
+# r13 (all 50 rows hash-green, CORRECTNESS_r13.json): the 8 round-13
+# additions/changes + the stalest greens that window re-proved.
+_GREEN_R13W = frozenset({
+    'analyze_table_stats', 'ann_filtered_topk', 'bloom_file_skipping_audit',
+    'centroid_distance_matrix', 'cluster_balanced_sample',
+    'compaction_bin_packing_audit', 'csv_source_parity',
+    'embedding_quantization_error', 'fuzzy_name_matches',
+    'interevent_gap_stats', 'ivf_pq_topk', 'ivfadc_residual_topk',
+    'json_source_parity', 'label_centroids', 'moving_average_revenue',
+    'multimodal_metadata_stats', 'multimodal_resize_stub', 'ohlc_bars',
+    'orc_source_parity', 'partition_pruning_audit', 'pq_recall_at_k',
+    'pq_rerank_topk', 'q10_returned_revenue', 'q11_important_values',
+    'q12_late_priority_mix', 'q13_order_count_distribution',
+    'q14_promo_revenue', 'q15_top_supplier', 'q16_parts_supplier_count',
+    'q17_small_quantity_revenue', 'q18_large_volume_orders',
+    'q19_bracket_revenue', 'q20_dominant_suppliers', 'q21_waiting_suppliers',
+    'q22_idle_customers', 'q2_min_cost_supplier', 'q4_priority_exists',
+    'q5_local_supplier_volume', 'q6_forecast_revenue', 'q7_nation_trade_flow',
+    'q8_market_share', 'q9_profit_by_nation', 'semantic_decontamination',
+    'stream_ann_topk', 'time_weighted_avg', 'user_event_entropy',
+    'weekly_active_users', 'yoy_growth', 'zipf_slope', 'zorder_pruning_audit',
+})
+
 # Last-recorded round per green query (later rounds overwrite earlier: e.g.
 # tumbling_window_stats was r1-recorded and re-greened r4, so it sorts r4).
 _GREEN_ROUND: dict[str, int] = {}
@@ -343,6 +366,7 @@ for _round, _names in (
     (10, _GREEN_R10),
     (11, _GREEN_R11),
     (12, _GREEN_R12W),
+    (13, _GREEN_R13W),
 ):
     for _n in _names:
         _GREEN_ROUND[_n] = _round
@@ -360,12 +384,13 @@ _DEFER_RECORDING: tuple[str, ...] = ()
 # with the never-recorded queries to guarantee a fresh recorded row in
 # this round's 50-slot window.
 _CHANGED_THIS_ROUND = frozenset({
-    # r13: real-write layout audits (new output columns, real parquet
-    # read-back replaces the writer-simulation global rank)
-    "zorder_pruning_audit", "bloom_file_skipping_audit",
-    # r13: residual-chain consolidation — now level-cut consumers of
-    # residual_artifacts_memo (values identical, plans changed)
-    "ivfadc_residual_topk", "pq_rerank_topk",
+    # r14 (VERDICT r13 item 1): the six global-rank queries migrated to
+    # ranks.parallel_rank's range-exchange pattern — values identical,
+    # plans changed (no no-partition window; zipf's rank is an array
+    # position), so their prior green rows no longer cover shipped code
+    "selection_method_agreement", "length_bucket_batching",
+    "decile_value_share", "gini_value_concentration",
+    "ntile_customer_balance", "zipf_slope",
 })
 
 

@@ -80,6 +80,9 @@ def main() -> None:
             # (pq_rerank_np4) pays the deepest build; these two are
             # level-cut consumers of residual_artifacts_memo
             "ivfadc_residual_topk", "pq_rerank_topk",
+            # r14: table write + ANALYZE memoized (cbo_tables); the
+            # steady state re-plans and re-executes the joins only
+            "stats_driven_plan_audit",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

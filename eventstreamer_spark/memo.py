@@ -64,10 +64,23 @@ def free_local_checkpoint(df: Any) -> None:
     block count is unchanged), so dropping the handle strands the
     blocks until JVM GC/ContextCleaner. The real free is the analyzed
     LogicalRDD's underlying RDD. Guarded: callers use this in eviction
-    and cleanup paths that must never raise."""
+    and cleanup paths that must never raise — but the fallback is
+    WARNED (ADVICE r13), because silently landing in df.unpersist()
+    would reintroduce the block leak if a Spark-version change breaks
+    the py4j path (test_residual_memo_eviction_frees_blocks is the
+    version pin)."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            "free_local_checkpoint: primary py4j free failed "
+            f"({type(exc).__name__}: {exc}); falling back to "
+            "Dataset.unpersist(), which does NOT free checkpoint blocks",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         try:
             df.unpersist()
         except Exception:

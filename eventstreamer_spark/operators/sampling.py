@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
+from eventstreamer_spark.operators.ranks import finalize_report, parallel_rank
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -1057,13 +1058,15 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade a training pipeline reads against
     packing_efficiency_audit's pack-then-slice losses.
 
-    Scale shape: ONE tokenize/count pass; the global length rank is a
-    distributed sort (at 100 TB a range partitioner / approx-quantile
-    boundary table replaces the exact rank — the exact integer rank
-    here keeps the cross-engine value contract, the audit-tier
-    choice); the 4-config fanout multiplies doc-COUNT rows (id + int),
-    never text; per-batch stats aggregate at (cfg, bucket, batch)
-    grain with map-side combine and the final table is 4 rows.
+    Scale shape (migrated r14, VERDICT r13 item 1): ONE tokenize/count
+    pass; the global length rank is parallel_rank's range exchange +
+    _pid-partitioned windows — the production range-partitioner write
+    shape, exact, with no single-task sort; the global count n lands
+    as a driver literal from the same bounded offset collect. The
+    4-config fanout multiplies doc-COUNT rows (id + int), never text;
+    per-batch stats aggregate at (cfg, bucket, batch) grain with
+    map-side combine, the final table is 4 rows and is eagerly
+    checkpointed so the rank checkpoint frees immediately.
     Exactness: integer token counts, rank*k DIV n bucket split,
     md5-ordered in-bucket shuffle (bit-identical in both engines),
     DIV-based batch grouping, integer pad sums, 1e-6 floor-rounded
@@ -1072,19 +1075,14 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select(
         "doc_id", F.size(H.tokens_expr("text")).cast("long").alias("n_tokens")
     )
-    wr = Window.orderBy("n_tokens", "doc_id")
-    wall = Window.partitionBy(F.lit(1))
-    ranked = sized.withColumn(
-        "rn", (F.row_number().over(wr) - F.lit(1)).cast("long")
-    ).withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    ranked, n, ck = parallel_rank(spark, sized, ["n_tokens", "doc_id"])
     cfgs = "array({})".format(", ".join(str(k) for k in _LB_CONFIGS))
     cfg = ranked.select(
         "doc_id",
         "n_tokens",
         F.explode(F.expr(cfgs)).alias("k"),
-        "rn",
-        "n",
-    ).withColumn("bucket", F.expr(f"(rn * k) DIV n").cast("long"))
+        (F.col("_rank") - F.lit(1)).cast("long").alias("rn"),
+    ).withColumn("bucket", F.expr(f"(rn * k) DIV {n}").cast("long"))
     wb = Window.partitionBy("k", "bucket").orderBy(
         F.expr("md5(CAST(doc_id AS STRING))"), "doc_id"
     )
@@ -1095,7 +1093,7 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n_tokens") * F.count(F.lit(1))).cast("long").alias("padded_toks"),
         F.sum("n_tokens").cast("long").alias("toks"),
     )
-    return per_batch.groupBy("k").agg(
+    report = per_batch.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n_batches"),
         F.sum("toks").cast("long").alias("total_tokens"),
         (F.sum("padded_toks") - F.sum("toks")).cast("long").alias("pad_tokens"),
@@ -1115,3 +1113,4 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad_tokens",
         "pad_share",
     )
+    return finalize_report(report, ck)

@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eventstreamer_spark.operators.ranks import (
+    finalize_report,
+    ntile_expr,
+    parallel_rank,
+)
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_events, load_table
 
@@ -254,33 +259,41 @@ FROM ranked GROUP BY decile
 def q_decile_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto view: users ntile(10)-ranked by their exact total value
     (micro-unit int sums; user_id breaks ties so the decile split is
-    deterministic), then each decile's share of the grand total. The
-    ordered ntile runs over per-user totals — #users rows after the
-    fact shuffle — and the share divides two exact int64 sums."""
+    deterministic), then each decile's share of the grand total.
+
+    Scale shape (migrated r14, VERDICT r13 item 1): the global ntile
+    is parallel_rank's range exchange + _pid-partitioned windows —
+    no row ever passes through a single-task sort — with the exact
+    SQL ntile(10) split recovered from the global rank by ntile_expr,
+    so the oracle is unchanged. The grand total is a broadcast 1-row
+    crossJoin (bounded-stats pattern), the share divides two exact
+    int64 sums, and the 10-row report is eagerly checkpointed so the
+    corpus-sized rank checkpoint frees immediately."""
     ev = load_events(spark, sf_dir)
     tv = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("units")
     )
-    ranked = tv.select(
-        "user_id",
-        "units",
-        F.ntile(10).over(Window.orderBy(F.col("units").desc(), "user_id")).alias(
-            "decile"
-        ),
+    ranked, n, ck = parallel_rank(
+        spark, tv, [F.col("units").desc(), F.col("user_id")]
     )
-    per = ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("units").alias("decile_units"),
+    per = (
+        ranked.withColumn("decile", ntile_expr("_rank", n, 10))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("units").alias("decile_units"),
+        )
     )
-    total = F.sum("decile_units").over(Window.partitionBy())
-    return per.select(
+    tot = per.agg(F.sum("decile_units").alias("tot"))
+    report = per.crossJoin(F.broadcast(tot)).select(
         "decile",
         "n_users",
         (F.col("decile_units") / 1000000.0).alias("decile_value"),
         F.round(
-            F.col("decile_units").cast("double") / total.cast("double"), 6
+            F.col("decile_units").cast("double") / F.col("tot").cast("double"), 6
         ).alias("value_share"),
     )
+    return finalize_report(report, ck)
 
 
 # ---------------------------------------------------------------------------
@@ -311,24 +324,26 @@ FROM ranked
 def q_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user value concentration via the exact
     rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending
-    exact totals (user_id tie-break ⇒ deterministic ranks). The
-    ordered pass is over #users rows, all sums are int64-exact
-    (i·units ≤ 10⁶ users × 10¹² units at the gate scales), and the
-    one float expression is written identically on both engines."""
+    exact totals (user_id tie-break ⇒ deterministic ranks).
+
+    Scale shape (migrated r14, VERDICT r13 item 1): the exact global
+    rank i comes from parallel_rank (range exchange, _pid-partitioned
+    windows, bounded offset collect) — no single-task sort at any
+    corpus size. All sums are int64-exact (i·units ≤ 10⁶ users ×
+    10¹² units at the gate scales), the one float expression is
+    written identically on both engines, and the 1-row report is
+    eagerly checkpointed so the rank checkpoint frees immediately."""
     ev = load_events(spark, sf_dir)
     tv = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("units")
     )
-    ranked = tv.select(
-        "units",
-        F.row_number()
-        .over(Window.orderBy(F.col("units").asc(), F.col("user_id").asc()))
-        .alias("i"),
+    ranked, _, ck = parallel_rank(
+        spark, tv, [F.col("units").asc(), F.col("user_id").asc()], rank_col="i"
     )
     n = F.count(F.lit(1))
     su = F.sum("units")
     siu = F.sum(F.col("i") * F.col("units"))
-    return ranked.agg(
+    report = ranked.agg(
         n.alias("n_users"),
         (su / 1000000.0).alias("total_value"),
         F.round(
@@ -340,6 +355,7 @@ def q_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+    return finalize_report(report, ck)
 
 
 # ---------------------------------------------------------------------------

@@ -1996,23 +1996,27 @@ def test_layout_write_shape(spark):
     for name in ("linear", "zorder"):
         dirs = sorted(glob.glob(f"{t[name]}/f=*"))
         assert len(dirs) == ZORDER_FILES
-    # real footer stats == data stats the audit reports (spot-check 5 files)
+    # real footer stats == data stats the audit reports (spot-check 5
+    # files, BOTH probe dimensions — the audit prunes on qx and qy)
     for d in sorted(glob.glob(f"{t['zorder']}/f=*"))[:5]:
         parts = glob.glob(f"{d}/*.parquet")
-        fmins, fmaxs = [], []
-        for part in parts:
-            md = pq.ParquetFile(part).metadata
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(names["qx"]).statistics
-                fmins.append(st.min)
-                fmaxs.append(st.max)
-        data = (
-            spark.read.parquet(d)
-            .agg(F.min("qx").alias("mn"), F.max("qx").alias("mx"))
-            .collect()[0]
-        )
-        assert min(fmins) == data.mn and max(fmaxs) == data.mx
+        for qcol in ("qx", "qy"):
+            fmins, fmaxs = [], []
+            for part in parts:
+                md = pq.ParquetFile(part).metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[qcol]).statistics
+                    fmins.append(st.min)
+                    fmaxs.append(st.max)
+            data = (
+                spark.read.parquet(d)
+                .agg(F.min(qcol).alias("mn"), F.max(qcol).alias("mx"))
+                .collect()[0]
+            )
+            assert min(fmins) == data.mn and max(fmaxs) == data.mx
 
 
 def test_layout_executed_pruning(spark):
@@ -2202,3 +2206,92 @@ def test_analyze_table_stats_single_scan(spark):
     # sanity: the flag column is low-cardinality, keys are high
     assert rows["l_returnflag"].ndv <= 5
     assert rows["l_orderkey"].ndv > rows["l_returnflag"].ndv
+
+
+def test_parallel_rank_exact(spark):
+    """ranks.parallel_rank must equal the single-partition
+    row_number() it replaces, and ranks.ntile_expr must equal SQL
+    ntile(k) — including the non-divisible first-m-buckets-larger
+    split — so the migrated queries' oracles stay unchanged."""
+    from pyspark.sql import Window
+
+    from eventstreamer_spark.memo import free_local_checkpoint
+    from eventstreamer_spark.operators.ranks import ntile_expr, parallel_rank
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    ranked, n, ck = parallel_rank(spark, c, order)
+    w = Window.orderBy(*order)
+    expected = c.select(
+        "c_custkey",
+        F.row_number().over(w).cast("long").alias("exp_rank"),
+        F.ntile(7).over(w).cast("long").alias("exp_bucket"),
+    )
+    got = ranked.withColumn("bucket", ntile_expr("_rank", n, 7).cast("long"))
+    diff = (
+        got.join(expected, "c_custkey")
+        .filter(
+            (F.col("_rank") != F.col("exp_rank"))
+            | (F.col("bucket") != F.col("exp_bucket"))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert got.count() == n
+    free_local_checkpoint(ck)
+
+
+def test_global_rank_windows_partitioned(spark, monkeypatch):
+    """VERDICT r13 item 1, pinned: the migrated global-rank queries
+    must contain NO no-partition ranking window — every
+    windowspecdefinition's first argument is a partition key (a
+    sort-order first argument == the Exchange SinglePartition shape).
+    finalize_report is identity-patched so the pre-checkpoint plan
+    (where the windows live) is visible."""
+    import re
+
+    from eventstreamer_spark.operators import audit, relational, sampling, trends
+    from eventstreamer_spark.registry import REGISTRY
+
+    for mod in (audit, relational, sampling, trends):
+        monkeypatch.setattr(mod, "finalize_report", lambda r, *i: r)
+    for name in (
+        "decile_value_share",
+        "gini_value_concentration",
+        "ntile_customer_balance",
+        "length_bucket_batching",
+        "selection_method_agreement",
+    ):
+        plan = physical_plan(REGISTRY[name].fn(spark, SF_DIR))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, (name, plan)
+        for spec in specs:
+            first = spec.split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (name, spec)
+    # zipf_slope's rank is an array position over a TakeOrdered-bounded
+    # 100-row set — no window node at all
+    plan = physical_plan(REGISTRY["zipf_slope"].fn(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_stats_driven_plan_decision(spark):
+    """VERDICT r13 item 3: the ANALYZE pass must CHANGE a plan
+    decision. Pins (a) the decision pair — stats-blind planner keeps
+    SortMergeJoin, CBO + ANALYZE'd column stats flips the same query
+    to BroadcastHashJoin — and (b) that both plans produce identical
+    results (the report carries one set of data-derived numbers both
+    executions reproduced)."""
+    from eventstreamer_spark.operators.layout import q_stats_driven_plan_audit
+
+    rows = {r.config: r for r in q_stats_driven_plan_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"stats_ignored", "stats_cbo"}
+    assert rows["stats_ignored"].join_strategy == "SortMergeJoin"
+    assert rows["stats_cbo"].join_strategy == "BroadcastHashJoin"
+    a, b = rows["stats_ignored"], rows["stats_cbo"]
+    assert (a.join_rows, a.joined_price) == (b.join_rows, b.joined_price)
+    assert a.filtered_orders < a.orders_rows
+    assert a.join_rows > 0
+    # conf restored after the audit ran
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
