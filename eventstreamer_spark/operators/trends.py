@@ -329,10 +329,15 @@ def q_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (migrated r14, VERDICT r13 item 1): the exact global
     rank i comes from parallel_rank (range exchange, _pid-partitioned
     windows, bounded offset collect) — no single-task sort at any
-    corpus size. All sums are int64-exact (i·units ≤ 10⁶ users ×
-    10¹² units at the gate scales), the one float expression is
-    written identically on both engines, and the 1-row report is
-    eagerly checkpointed so the rank checkpoint frees immediately."""
+    corpus size. The rank-weighted sum Σi·units is quadratic in
+    magnitude (max_i × total_units), so it accumulates in
+    decimal(38,0) — exact to 10³⁸, matching DuckDB's silent
+    BIGINT→HUGEINT sum promotion; int64 overflows it at x100
+    (found by the first-ever scale run of this query, r14). Per-row
+    products stay ≤ 10²⁵ (i ≤ 10¹³ users, units ≤ 10¹⁸), inside the
+    decimal(37,0) product type. The one float expression is written
+    identically on both engines, and the 1-row report is eagerly
+    checkpointed so the rank checkpoint frees immediately."""
     ev = load_events(spark, sf_dir)
     tv = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("units")
@@ -342,7 +347,9 @@ def q_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     su = F.sum("units")
-    siu = F.sum(F.col("i") * F.col("units"))
+    siu = F.sum(
+        F.col("i").cast("decimal(18,0)") * F.col("units").cast("decimal(18,0)")
+    )
     report = ranked.agg(
         n.alias("n_users"),
         (su / 1000000.0).alias("total_value"),

@@ -122,6 +122,12 @@ QUERIES: tuple[str, ...] = (
     # range-partitioned layout write replaced the single-task rank)
     "compaction_bin_packing_audit", "partition_pruning_audit",
     "analyze_table_stats",
+    # round-14 additions: the four newly-migrated global-rank queries
+    # never scale-checked before BECAUSE of the single-task shape
+    # (selection_method_agreement/length_bucket_batching are above),
+    # zipf's array-position rank, and the ANALYZE consumer
+    "decile_value_share", "gini_value_concentration",
+    "ntile_customer_balance", "zipf_slope", "stats_driven_plan_audit",
 )
 
 # name -> (max factor, reason)
