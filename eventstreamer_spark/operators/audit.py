@@ -936,17 +936,21 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak"; comparisons between pairs remain apples-to-apples
     because every ranking uses the identical rule (ADVICE r7).
 
-    Scale shape (migrated r14, VERDICT r13 item 1): the three global
-    row_number ranks each run through parallel_rank's range exchange +
-    _pid-partitioned windows — three parallel distributed sorts over
-    (doc_id, integer-score) rows, no single-task window anywhere. The
-    scored join is eagerly checkpointed ONCE so the expensive
-    ridge/DSIR chains feed all three rank passes without recompute;
-    n and k land as driver literals from the bounded offset collect
-    (k = max(1, floor(0.25·n)), the same IEEE double floor the oracle
-    computes); the 3-row report is eagerly checkpointed and all four
-    corpus-sized checkpoints free immediately. Everything upstream of
-    the ranks is the shared linear-scaling scoring chains."""
+    Scale shape (migrated r14, VERDICT r13 item 1): ONE parallel_rank
+    pass ranks all three methods — the scored join stacks to
+    (doc_id, method, score) long form and range-exchanges on
+    (method, score DESC, doc_id); methods partition the composite
+    order cleanly and every doc carries all three scores, so the
+    per-method rank is EXACTLY global_rank − method_offset·n (offsets
+    0/n/2n in the methods' lexicographic order) — three distributed
+    sorts' worth of ranks for one exchange, one checkpoint, one
+    bounded offset collect, no single-task window anywhere. The
+    rank unstack is one (doc_id)-keyed aggregate; n and k land as
+    driver literals (k = max(1, floor(0.25·n)), the same IEEE double
+    floor the oracle computes); the 3-row report is eagerly
+    checkpointed and the corpus-sized rank checkpoint frees
+    immediately. Everything upstream of the rank is the shared
+    linear-scaling scoring chains."""
     from eventstreamer_spark.operators.curation import dsir_doc_scores
     from eventstreamer_spark.operators.quality import (
         _doc_features,
@@ -967,30 +971,33 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.expr(QUALITY_SPARK) * 10, 0).cast("long").alias("q10"),
     )
-    j = clf.join(dsir, "doc_id").join(hq, "doc_id").localCheckpoint(eager=True)
-    rd, n, ck_d = parallel_rank(
-        spark,
-        j.select("doc_id", "s_dsir"),
-        [F.col("s_dsir").desc(), "doc_id"],
-        rank_col="r_d",
+    j = clf.join(dsir, "doc_id").join(hq, "doc_id")
+    stacked = j.selectExpr(
+        "doc_id",
+        "stack(3, 'c', s_clf, 'd', s_dsir, 'q', q10) AS (m, s)",
     )
-    rc, _, ck_c = parallel_rank(
+    ranked, n3, ck = parallel_rank(
         spark,
-        j.select("doc_id", "s_clf"),
-        [F.col("s_clf").desc(), "doc_id"],
-        rank_col="r_c",
+        stacked,
+        [F.col("m"), F.col("s").desc(), F.col("doc_id")],
+        rank_col="gr",
     )
-    rq, _, ck_q = parallel_rank(
-        spark,
-        j.select("doc_id", "q10"),
-        [F.col("q10").desc(), "doc_id"],
-        rank_col="r_q",
-    )
+    n = n3 // 3
     k = max(1, math.floor(n * SELECTION_TOPQ_FRAC))
-    rk = (
-        rd.select("doc_id", "r_d")
-        .join(rc.select("doc_id", "r_c"), "doc_id")
-        .join(rq.select("doc_id", "r_q"), "doc_id")
+    # methods sort 'c' < 'd' < 'q' in the composite order; each has
+    # exactly n rows (inner joins), so per-method rank = gr − offset
+    r = ranked.withColumn(
+        "r",
+        F.col("gr")
+        - F.when(F.col("m") == "c", F.lit(0))
+        .when(F.col("m") == "d", F.lit(n))
+        .otherwise(F.lit(2 * n))
+        .cast("long"),
+    )
+    rk = r.groupBy("doc_id").agg(
+        F.max(F.when(F.col("m") == "d", F.col("r"))).alias("r_d"),
+        F.max(F.when(F.col("m") == "c", F.col("r"))).alias("r_c"),
+        F.max(F.when(F.col("m") == "q", F.col("r"))).alias("r_q"),
     )
 
     def d2(a, b):
@@ -1048,7 +1055,7 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("topq_overlap"),
     )
-    return finalize_report(report, j, ck_d, ck_c, ck_q)
+    return finalize_report(report, ck)
 
 
 # ---------------------------------------------------------------------------

