@@ -276,11 +276,18 @@ def train_ridge_weights(
     extraction runs once for the whole train+score chain."""
     if feats is None or lab is None:
         feats, lab = _doc_features(spark, sf_dir)
-    # per-doc outer products, exploded row-locally, collapsed to ≤ d² keys
+    # Per-doc outer products, exploded row-locally, collapsed to ≤ d²
+    # keys. X'X is symmetric, so only the UPPER TRIANGLE (p2.b >= p1.b)
+    # is generated/shuffled/aggregated — half the explode rows and half
+    # the aggregate keys for the same exact matrix; the driver mirrors
+    # (i,j) -> (j,i) below, so solve_ridge_gs sees the identical dense
+    # gram the full-product form produced (optimization guide §1.2
+    # per-task work, §2.3 shuffle fewer bytes).
     pairs = feats.select(
         F.explode(
             F.expr(
-                "flatten(transform(fs, p1 -> transform(fs, "
+                "flatten(transform(fs, p1 -> transform("
+                "filter(fs, p2 -> p2.b >= p1.b), "
                 "p2 -> struct(p1.b AS i, p2.b AS j, p1.x * p2.x AS v))))"
             )
         ).alias("p")
@@ -298,6 +305,10 @@ def train_ridge_weights(
         .collect()
     )
     gram = {(int(r.i), int(r.j)): int(r.a) for r in gram_rows}
+    # symmetric mirror of the upper triangle (diagonal stays single)
+    gram.update(
+        {(j, i): a for (i, j), a in list(gram.items()) if i != j}
+    )
     bvec = {int(r.i): int(r.bv) for r in bvec_rows}
     return solve_ridge_gs(gram, bvec)
 

@@ -293,22 +293,90 @@ def _score_centroids(embq: DataFrame, cent: DataFrame, max_rank: int = 1) -> Dat
     )
 
 
+def _lloyd_mean_partials(itbl: DataFrame, cent: DataFrame) -> DataFrame:
+    """ONE map-side pass per Lloyd iteration: assign each vector to
+    its nearest centroid with ``_score_centroids``' exact argmin key
+    and emit per-batch int64 PARTIAL SUMS (c_label, pos, psum, pcnt)
+    for the member means — the r14-optimization replacement for the
+    old assign-then-join shape, which shuffled the n×64 component
+    table through a SortMergeJoin every iteration (optimization guide
+    §2.3 "aggregate before you shuffle"). The reduce side now sees
+    ≤ k×dim×partitions partial rows instead of n×dim component rows.
+
+    Exactness: identical to the join+groupBy form by construction —
+    the assignment kernel is the same rounded-cosine integer argsort
+    key (unique per row: ties break to the smallest c_label), int64
+    addition is associative so partition partials sum to the same
+    totals, and the floor(+0.5) mean below divides identical
+    integers. A centroid that loses every member emits no partial
+    row anywhere, preserving the inner-join dropout semantics."""
+    import numpy as np
+    import pandas as pd
+
+    centq = H.with_quantized_unit(cent, "centroid", "cq", barrier_partitions=1).select(
+        "c_label", "cq"
+    )
+    crows = centq.collect()
+    crows = [r for r in crows if r.cq is not None and len(r.cq) and r.cq[0] is not None]
+    labels = np.asarray([r.c_label for r in crows], dtype="int64")
+    cmat = np.asarray([list(r.cq) for r in crows], dtype="int64")
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            amat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
+            dots = amat @ cmat.T  # exact int64
+            cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
+            # same unique integer key as _score_centroids; argmin ==
+            # argsort()[:, 0] because keys are unique within a row
+            key = np.rint(-cos * 1e5).astype("int64") * 10**7 + labels[None, :]
+            sel = np.argmin(key, axis=1)
+            vmat = np.array([np.asarray(v, dtype="int64") for v in pdf["v6"]])
+            k, dim = len(labels), vmat.shape[1]
+            sums = np.zeros((k, dim), dtype="int64")
+            np.add.at(sums, sel, vmat)
+            cnts = np.bincount(sel, minlength=k).astype("int64")
+            nz = np.flatnonzero(cnts)
+            yield pd.DataFrame(
+                {
+                    "c_label": np.repeat(labels[nz], dim).astype("int32"),
+                    "pos": np.tile(np.arange(dim, dtype="int32"), len(nz)),
+                    "psum": sums[nz].ravel(),
+                    "pcnt": np.repeat(cnts[nz], dim),
+                }
+            )
+
+    return itbl.mapInPandas(
+        partials, "c_label int, pos int, psum bigint, pcnt bigint"
+    )
+
+
+# the exact v6 = round(x·1e6) integer components _mean_scaled_col sums,
+# gathered as an array so the Lloyd partials pass reads them row-locally
+_V6_ARR_S = (
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+)
+
+
 def ivf_centroids_iterated(
     e: DataFrame, iters: int = IVF_ITERS, embq: DataFrame | None = None
 ) -> DataFrame:
     """Label-seeded centroids + ``iters`` full Lloyd iterations.
 
-    Each iteration is two shuffles: the broadcast-scored assignment
-    (corpus stays in place, window ranks k centroid rows per vector)
-    and the (c_label, dim) partial-sum aggregate for the new means —
-    the canonical distributed k-means step, iterated a fixed number of
-    times so the plan is static and the oracle can replay it as a CTE
-    chain. Clusters that lose every member drop out (inner-join
-    semantics, identical in both engines)."""
+    Each iteration is ONE pass over the (vec_id, uq, v6) table: the
+    scoring kernel assigns every vector row-locally against the
+    broadcast-collected k×dim centroid matrix AND emits the member
+    means' int64 partial sums in the same mapInPandas
+    (_lloyd_mean_partials) — the canonical distributed k-means step
+    with map-side combine. The old shape shuffled the n×64 exploded
+    component table through a join per iteration; now only
+    ≤ k×dim×partitions partial rows move (optimization guide §2.3).
+    Iterated a fixed number of times so the plan is static and the
+    oracle can replay it as a CTE chain. Clusters that lose every
+    member drop out (no partial row — identical to the former
+    inner-join semantics in both engines)."""
     expl = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
-    if iters > 0:
-        # feeds the seed build plus every iteration's mean recompute
-        expl = expl.localCheckpoint(eager=False)
     comp0 = expl.groupBy(F.col("label").alias("c_label"), F.col("pos")).agg(
         _mean_scaled_col()
     )
@@ -319,17 +387,25 @@ def ivf_centroids_iterated(
         embq = (
             H.with_quantized_unit(e, "embedding", "uq")
             .select("vec_id", "uq")
-            # feeds one scoring pass per iteration — materialize the
-            # quantization once instead of recomputing it per branch
             .localCheckpoint(eager=False)
         )
-    for _ in range(iters):
-        assign = _score_centroids(embq, cent).select("vec_id", "c_label")
-        comp = (
-            expl.join(assign, "vec_id")
-            .groupBy("c_label", "pos")
-            .agg(_mean_scaled_col())
+    # The iteration table: embq's exact row set (filters/samples the
+    # caller applied stay binding) joined back to the raw components —
+    # one bounded join, materialized once, then every iteration is a
+    # single scan of the checkpointed blocks.
+    itbl = (
+        embq.select("vec_id", "uq")
+        .join(e.select("vec_id", F.expr(_V6_ARR_S).alias("v6")), "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    mean_c = (
+        F.floor(
+            F.sum("psum") * F.lit(1.0) / F.sum("pcnt") + F.lit(0.5)
         )
+        / F.lit(1000000.0)
+    ).alias("c")
+    for _ in range(iters):
+        comp = _lloyd_mean_partials(itbl, cent).groupBy("c_label", "pos").agg(mean_c)
         cent = _assemble_centroids(comp)
     return cent
 
@@ -2224,12 +2300,32 @@ def q_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(F.expr(_STALE_BASE_PRED))
     kb = kf
 
-    cent_stale, n_cells_stale = _built_centroids(
-        spark, base.withColumn("label", F.col("vec_id") % F.lit(kb)), embq_base
-    )
-    cent_fresh, n_cells_fresh = _built_centroids(
-        spark, e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq_full
-    )
+    # The two Lloyd builds are INDEPENDENT (disjoint private expl
+    # checkpoints; the shared embq checkpoint is already materialized
+    # by _staleness_parts' count), and each serializes ~3 small
+    # under-parallelized jobs through its construction-time collects —
+    # overlap them on two driver threads so the second build's tasks
+    # back-fill the first's stragglers (optimization guide §2.6;
+    # measured on local[32]: the paired build phase drops by ~the
+    # cheaper build's wall time, values bit-identical since neither
+    # build reads the other's state).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stale = pool.submit(
+            _built_centroids,
+            spark,
+            base.withColumn("label", F.col("vec_id") % F.lit(kb)),
+            embq_base,
+        )
+        f_fresh = pool.submit(
+            _built_centroids,
+            spark,
+            e.withColumn("label", F.col("vec_id") % F.lit(kf)),
+            embq_full,
+        )
+        cent_stale, n_cells_stale = f_stale.result()
+        cent_fresh, n_cells_fresh = f_fresh.result()
     truth = brute_topk(embq_full).select("query_id", "neighbor_id").localCheckpoint(
         eager=False
     )
