@@ -75,7 +75,14 @@ def parallel_rank(
     the checkpoint via ``free_local_checkpoint`` once consumed
     (``finalize_report`` bundles that for small-report queries).
     """
-    d = range_staged(df, order).localCheckpoint(eager=True)
+    # LAZY checkpoint: the counts collect right below is the first
+    # action, so it materializes the range exchange AND persists the
+    # blocks in the SAME job — the eager form paid a separate
+    # materialization pass first (one full extra scan per rank,
+    # optimization guide §2.4 "remove shuffles/passes outright").
+    # Partition ids are pinned identically either way: the boundary
+    # sampling runs once, in whichever job first computes the RDD.
+    d = range_staged(df, order).localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
