@@ -1602,13 +1602,27 @@ def _pq_train(sub: DataFrame, pqv: DataFrame) -> tuple[DataFrame, DataFrame]:
     means, a2 final codes)."""
     mean6 = F.expr("CAST(floor(sum(v6) * 1.0 / count(*) + 0.5) AS BIGINT)")
 
+    # The refit after an assignment used to JOIN the n×64 component
+    # table back to the n×8 assignment on (vec_id, s) — a full shuffle
+    # of the components per refit. The assignment is a row-local
+    # projection of pqv, so the gathered v_arr now RIDES THROUGH the
+    # argmin and re-explodes in place: v_arr is collect_list(struct(p,
+    # v6)) sorted by p with p dense in 0..PQ_SUBDIM-1, so posexplode's
+    # ordinal IS p and the (s, c, p) means aggregate identical integer
+    # sets with zero joins (optimization guide §2.4 "remove shuffles
+    # outright"; the only remaining exchange is the ≤1024-key map-side
+    # combined refit aggregate).
     def refit(assign: DataFrame | None) -> DataFrame:
-        members = (
-            sub.withColumn("c", (F.col("vec_id") % PQ_K).cast("int"))
-            if assign is None
-            else sub.join(assign, ["vec_id", "s"])
+        if assign is None:
+            members = sub.withColumn("c", (F.col("vec_id") % PQ_K).cast("int"))
+            return members.groupBy("s", "c", "p").agg(mean6.alias("m6"))
+        return (
+            assign.select(
+                "s", "c", F.posexplode("v_arr").alias("p", "v6")
+            )
+            .groupBy("s", "c", "p")
+            .agg(mean6.alias("m6"))
         )
-        return members.groupBy("s", "c", "p").agg(mean6.alias("m6"))
 
     def assign_to(cb: DataFrame) -> DataFrame:
         return (
@@ -1617,6 +1631,7 @@ def _pq_train(sub: DataFrame, pqv: DataFrame) -> tuple[DataFrame, DataFrame]:
             .select(
                 "vec_id",
                 "s",
+                "v_arr",
                 F.expr(
                     "element_at(cands, CAST(array_position(dists, array_min(dists)) AS INT)).c"
                 ).alias("c"),
@@ -1626,7 +1641,7 @@ def _pq_train(sub: DataFrame, pqv: DataFrame) -> tuple[DataFrame, DataFrame]:
     a1 = assign_to(pq_codebook(refit(None)))
     m1 = refit(a1)
     a2 = assign_to(pq_codebook(m1))
-    return m1, a2
+    return m1, a2.select("vec_id", "s", "c")
 
 
 @query("pq_quantization_audit", oracle=_PQ_ORACLE)
