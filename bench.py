@@ -83,6 +83,17 @@ def main() -> None:
             # r14: table write + ANALYZE memoized (cbo_tables); the
             # steady state re-plans and re-executes the joins only
             "stats_driven_plan_audit",
+            # r14 optimization: the trained ridge classifier's
+            # feats/lab checkpoints + weight vector are built once per
+            # session (classifier_artifacts_memo); these six queries'
+            # steady state re-runs scoring/audit passes over the
+            # checkpointed features, not the tokenize+train chain
+            "quality_classifier_scores", "stream_classifier_scores",
+            "classifier_calibration_audit", "isotonic_calibration_map",
+            "selection_pipeline", "selection_method_agreement",
+            # r14 optimization: the DSIR two-scan scoring chain is
+            # likewise built once per session (dsir_scores_memo)
+            "dsir_importance_weights", "gumbel_topk_resample",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

@@ -953,14 +953,12 @@ def q_selection_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-scaling scoring chains."""
     from eventstreamer_spark.operators.curation import dsir_doc_scores
     from eventstreamer_spark.operators.quality import (
-        _doc_features,
+        classifier_artifacts_memo,
         ridge_scores,
-        train_ridge_weights,
     )
     from eventstreamer_spark.operators.text import QUALITY_SPARK
 
-    feats, lab = _doc_features(spark, sf_dir)
-    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
+    feats, _lab, w = classifier_artifacts_memo(spark, sf_dir)
     clf = ridge_scores(spark, sf_dir, w, feats=feats).select(
         "doc_id", F.col("score_e6").alias("s_clf")
     )

@@ -634,3 +634,40 @@ def test_residual_memo_eviction_frees_blocks(spark):
     assert n_blocks() == before
     # guarded: junk values must not raise through an insert
     _unpersist_residual("k", (object(),))
+
+
+def test_classifier_and_dsir_memos(spark):
+    """r14 optimization: the ridge-classifier artifacts and the DSIR
+    score table are built once per (applicationId, sf_dir) and shared
+    by their consumer queries. Pins (a) the eviction hooks are wired,
+    (b) repeat calls return the SAME handles (no rebuild), and (c) the
+    memoized weight vector equals an independent direct training run —
+    the memo changes WHO pays, never the values."""
+    from tests.conftest import SF_DIR
+
+    from eventstreamer_spark.operators.curation import (
+        _DSIR_MEMO,
+        _free_dsir,
+        dsir_scores_memo,
+    )
+    from eventstreamer_spark.operators.quality import (
+        _QC_ART_MEMO,
+        _doc_features,
+        _free_qc_artifacts,
+        classifier_artifacts_memo,
+        train_ridge_weights,
+    )
+
+    assert _QC_ART_MEMO._on_evict is _free_qc_artifacts
+    assert _DSIR_MEMO._on_evict is _free_dsir
+
+    feats1, lab1, w1 = classifier_artifacts_memo(spark, SF_DIR)
+    feats2, lab2, w2 = classifier_artifacts_memo(spark, SF_DIR)
+    assert feats1 is feats2 and lab1 is lab2 and w1 is w2
+
+    feats_d, lab_d = _doc_features(spark, SF_DIR)
+    assert w1 == train_ridge_weights(spark, SF_DIR, feats=feats_d, lab=lab_d)
+
+    d1 = dsir_scores_memo(spark, SF_DIR)
+    assert dsir_scores_memo(spark, SF_DIR) is d1
+    assert d1.columns == ["doc_id", "source", "n_grams", "w_e6", "s_e6"]
