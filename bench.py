@@ -94,6 +94,11 @@ def main() -> None:
             # r14 optimization: the DSIR two-scan scoring chain is
             # likewise built once per session (dsir_scores_memo)
             "dsir_importance_weights", "gumbel_topk_resample",
+            # r14 optimization: the fusion family's shared bm25+lsh
+            # top-10 union is checkpointed once per session
+            # (retriever_lists_memo); the retriever owner queries
+            # (bm25_topk, lsh_topk) still pay their builds
+            "hybrid_rrf_fusion", "stream_rrf_fusion",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

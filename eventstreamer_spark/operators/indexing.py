@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.functions import numeric as N
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -1626,6 +1627,35 @@ def _retriever_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.unionByName(ann)
 
 
+def _free_rlists(_key: object, df: DataFrame) -> None:
+    free_local_checkpoint(df)
+
+
+_RLISTS_MEMO: dict[tuple[str, str], DataFrame] = BoundedMemo(
+    maxsize=4, on_evict=_free_rlists
+)
+
+
+def retriever_lists_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_retriever_lists`` behind a per-(applicationId, sf_dir)
+    localCheckpoint (r14 optimization): the THREE fusion queries —
+    hybrid_rrf_fusion, stream_rrf_fusion, rrf_k_sweep — each re-built
+    both retrievers' top-10 lists per invocation (bm25_topk's term
+    join + lsh_topk's probe chain) for the identical bounded
+    ≤ 2·q·k-row table. One build per session now (the retrievers'
+    OWNER queries, bm25_topk and lsh_topk, still pay their own builds
+    every invocation — eval-tier contract); consumers fuse over the
+    checkpointed rows and are declared in bench.py's memo_warm. Same
+    post-eviction invalidation contract as residual_artifacts_memo:
+    consume at build time, evaluate within the invocation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _RLISTS_MEMO.get(key)
+    if hit is None:
+        hit = _retriever_lists(spark, sf_dir).localCheckpoint(eager=False)
+        _RLISTS_MEMO[key] = hit
+    return hit
+
+
 @query("hybrid_rrf_fusion", oracle=_rrf_oracle)
 def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic serving via Reciprocal Rank Fusion (see
@@ -1646,7 +1676,7 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused scores are int64 sums; ties break (rrf_e6 DESC, doc_id)."""
     lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
     fused = (
-        _retriever_lists(spark, sf_dir)
+        retriever_lists_memo(spark, sf_dir)
         .select(
             "query_id",
             "doc_id",
@@ -1709,7 +1739,7 @@ def q_stream_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discount applied at build time so batches only sum and rank
     lits = "array({})".format(", ".join(f"{v}L" for v in _RRF_E6))
     lists = (
-        _retriever_lists(spark, sf_dir)
+        retriever_lists_memo(spark, sf_dir)
         .select(
             "query_id",
             "doc_id",
@@ -1901,7 +1931,7 @@ def q_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent=ivf_centroids_for(spark, sf_dir, e=raw, embq=prepared),
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     lists = (
-        _retriever_lists(spark, sf_dir)
+        retriever_lists_memo(spark, sf_dir)
         .unionByName(ivf)
         .localCheckpoint(eager=False)
     )
