@@ -1825,6 +1825,38 @@ def pq_search_parts(
     return e, qlut, codes
 
 
+def _free_pq_parts(
+    _key: object, val: tuple[DataFrame, DataFrame, DataFrame]
+) -> None:
+    _e, qlut, codes = val
+    free_local_checkpoint(qlut)
+    free_local_checkpoint(codes)
+
+
+_PQ_PARTS_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = (
+    BoundedMemo(maxsize=4, on_evict=_free_pq_parts)
+)
+
+
+def pq_parts_memo(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Consumer-facing (e, qlut, codes) ADC search artifacts behind a
+    per-(applicationId, sf_dir) memo (r14 optimization): the recall
+    GRID re-trained the full PQ chain per invocation while the
+    retrieval owner queries (pq_adc_topk, ivf_pq_topk,
+    pq_quantization_audit) each already pay their own builds every
+    invocation — the brute_truth_memo pattern exactly (the grid is a
+    consumer of the artifact; owners never read the memo). Same
+    post-eviction invalidation contract as residual_artifacts_memo."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_PARTS_MEMO.get(key)
+    if hit is None:
+        hit = pq_search_parts(spark, sf_dir, checkpoint=True)
+        _PQ_PARTS_MEMO[key] = hit
+    return hit
+
+
 def _adc_rank_topk(pairs: DataFrame, k: int = PQ_TOP_K) -> DataFrame:
     """(query_id, neighbor_id, sl, cvec) candidate pairs -> ADC-scored
     per-query top-k (the shared tail of the full scan and IVF-PQ).
@@ -2711,7 +2743,7 @@ def q_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     health-checks sample fixed probes (ann_recall_fixed_probes)."""
     from eventstreamer_spark.operators.similarity import brute_truth_memo
 
-    parts = pq_search_parts(spark, sf_dir)
+    parts = pq_parts_memo(spark, sf_dir)
     e, qlut, codes = parts
     brute = brute_truth_memo(spark, sf_dir)
     total = brute.agg(
