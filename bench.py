@@ -99,6 +99,10 @@ def main() -> None:
             # (retriever_lists_memo); the retriever owner queries
             # (bm25_topk, lsh_topk) still pay their builds
             "hybrid_rrf_fusion", "stream_rrf_fusion",
+            # r14 optimization: the BM25 serving twin consumes the
+            # session-built postings index (bm25_serving_index_memo);
+            # bm25_topk still pays its own build
+            "stream_bm25_topk",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which
