@@ -103,6 +103,10 @@ def main() -> None:
             # session-built postings index (bm25_serving_index_memo);
             # bm25_topk still pays its own build
             "stream_bm25_topk",
+            # r14 optimization: the nprobe tuning table consumes the
+            # shared sqrt-k centroid memo + brute truth memo (eval
+            # tier; the training/truth owners still pay)
+            "ivf_nprobe_sweep",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

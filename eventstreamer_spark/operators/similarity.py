@@ -2608,8 +2608,18 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kf = int(math.ceil(math.sqrt(embq_all.count())))
     embq = embq_all.filter(F.expr("uq[0] IS NOT NULL"))
-    cent = ivf_centroids_iterated(
-        e.withColumn("label", F.col("vec_id") % F.lit(kf)), embq=embq
+    # the adaptive ⌈√n⌉ build this sweep prices is the SAME memoized
+    # sqrt-k variant ivf_adaptive_topk/SemDeDup/the sampled-training
+    # audit share (identical seed rule, identical embq row set), and
+    # the exact truth is the consumer-facing session artifact — the
+    # sweep is a TUNING TABLE (eval tier), not a training owner, so it
+    # consumes both memos (r14 optimization; rrf_k_sweep precedent).
+    cent = ivf_centroids_for(
+        spark,
+        sf_dir,
+        e=e.withColumn("label", F.col("vec_id") % F.lit(kf)),
+        embq=embq,
+        variant=f"sqrt-k{kf}",
     )
     scored = _score_centroids(embq, cent, max_rank=max(_SWEEP_LEVELS)).localCheckpoint(
         eager=False
@@ -2644,9 +2654,7 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("nprobe", "query_id", "neighbor_id")
     )
-    truth = brute_topk(embq).select("query_id", "neighbor_id").localCheckpoint(
-        eager=False
-    )
+    truth = brute_truth_memo(spark, sf_dir).select("query_id", "neighbor_id")
     scans = leveled.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
