@@ -107,6 +107,10 @@ def main() -> None:
             # shared sqrt-k centroid memo + brute truth memo (eval
             # tier; the training/truth owners still pay)
             "ivf_nprobe_sweep",
+            # r14 optimization: the recall/nDCG grids consume
+            # brute_truth_memo instead of rebuilding the identical
+            # truth (ann_bruteforce_topk still pays its own build)
+            "ann_recall_at_k",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

