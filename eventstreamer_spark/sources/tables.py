@@ -14,7 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from eventstreamer_spark.memo import BoundedMemo
 from eventstreamer_spark.session import TABLES
+
+# Resolved-scan memo (r14 optimization, guide §6 "manifest metadata"):
+# every spark.read.parquet pays a driver-side file listing + footer
+# schema read — measured 148 ms/call on this host — and the bench
+# surface issues thousands of load_table calls per window for the
+# same ten immutable files. Memoizing the RESOLVED DataFrame handle
+# per (applicationId, sf_dir, table) reuses the FileIndex + schema the
+# way a catalog table's manifest would; it caches METADATA ONLY —
+# every action on the handle still scans the parquet files (lazy
+# relation, no .cache()), so each bench invocation computes from the
+# inputs exactly as before. Values are plan handles (no executor
+# resources), so no eviction hook; 64 slots cover many sf_dirs.
+_SCAN_MEMO: dict[tuple[str, str, str], DataFrame] = BoundedMemo(maxsize=64)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (unix_micros, window, watermarks) sees identical values to the
     DuckDB oracle.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _SCAN_MEMO.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -39,6 +57,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _SCAN_MEMO[key] = df
     return df
 
 
