@@ -111,6 +111,14 @@ def main() -> None:
             # brute_truth_memo instead of rebuilding the identical
             # truth (ann_bruteforce_topk still pays its own build)
             "ann_recall_at_k",
+            # r6 pairs memo, named here since r14 made it a
+            # localCheckpoint (owners minhash_lsh_neardup /
+            # simhash_neardup / embedding_neardup_prefiltered still
+            # pay their builds every pass; these five consume the
+            # checkpointed pair tables)
+            "dedup_method_agreement", "dedup_clusters",
+            "dedup_canonical_selection", "neardup_source_matrix",
+            "minhash_jaccard_calibration",
         ],
     }
     # The driver records only the tail of this (long) stdout line, which

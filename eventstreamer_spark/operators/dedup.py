@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -310,10 +310,27 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf_dir) — same pattern as similarity.ivf_centroids_for. Three
 # consumers (minhash_lsh_neardup itself, audit's source matrix and
 # calibration report) otherwise each replay the full shingle →
-# signature → band-join pipeline. The pair table is LSH-bounded and
-# tiny by construction (duplicate pairs, not the corpus), so caching
-# the collected rows is driver-safe; inputs are immutable parquet.
-_PAIRS_CACHE: dict[tuple[str, str, str], tuple[list, object]] = BoundedMemo(maxsize=8)
+# signature → band-join pipeline. Inputs are immutable parquet.
+#
+# r14 optimization (guide §5 driver-side work): the original memo
+# collected the rows and rebuilt a LocalRelation per consumer call —
+# fine for the minhash/embedding tables (≤ a few hundred pairs), but
+# the simhash table is 411k pairs at sf0.1, and re-shipping it
+# driver → JVM cost 1.5-2.0 s per consumer invocation (measured;
+# dedup_method_agreement paid it in BOTH construction and execution).
+# The memo now holds an eagerly localCheckpointed handle instead:
+# build once per (app, sf_dir, kind), consumers scan executor-resident
+# blocks. Eviction frees the checkpoint blocks (free_local_checkpoint)
+# under the same post-eviction invalidation contract as
+# residual_artifacts_memo: consume at build time, evaluate within the
+# invocation — never hold a handle across later memo inserts.
+def _free_pairs(_key: tuple, df: DataFrame) -> None:
+    free_local_checkpoint(df)
+
+
+_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = BoundedMemo(
+    maxsize=8, on_evict=_free_pairs
+)
 
 
 def _memoized_pairs(
@@ -321,16 +338,14 @@ def _memoized_pairs(
 ) -> DataFrame:
     """Generic session memo for LSH/blocking-bounded pair tables
     (consumers only — the owning query always re-runs its pipeline):
-    first call per (app, sf_dir, kind) runs the distributed build,
-    later calls rebuild the tiny DataFrame from cached rows."""
+    first call per (app, sf_dir, kind) runs the distributed build and
+    checkpoints the result, later calls return the same handle."""
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     hit = _PAIRS_CACHE.get(key)
     if hit is None:
-        pairs = build()
-        hit = (pairs.collect(), pairs.schema)
+        hit = build().localCheckpoint(eager=True)
         _PAIRS_CACHE[key] = hit
-    rows, schema = hit
-    return spark.createDataFrame(rows, schema)
+    return hit
 
 
 def minhash_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:

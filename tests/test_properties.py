@@ -305,6 +305,33 @@ def test_residual_artifacts_memo_builds_once(spark):
     assert sp1.count() > 0 and fv1.count() > 0
 
 
+def test_pairs_memo_checkpoints_once(spark):
+    """The near-dup pair memo (r14 optimization) holds eagerly
+    localCheckpointed handles, not collected rows: the second call per
+    (app, sf_dir, kind) must return the SAME handle, its optimized
+    plan must be a pure checkpoint scan (LogicalRDD — no LSH rebuild,
+    and no per-call applySchemaToPythonRDD re-ship of 411k simhash
+    rows, the measured 1.5-2 s/consumer cost of the old row memo), and
+    the eviction hook that frees the checkpoint blocks must be wired."""
+    from eventstreamer_spark.operators.dedup import (
+        _PAIRS_CACHE,
+        _free_pairs,
+        simhash_pairs_for,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash")
+    _PAIRS_CACHE.pop(key, None)
+    p1 = simhash_pairs_for(spark, sf_dir)
+    p2 = simhash_pairs_for(spark, sf_dir)
+    assert p1 is p2
+    plan = p1._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.strip().startswith("LogicalRDD"), plan
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    assert p1.count() >= 0  # materialized handle evaluates
+    assert _PAIRS_CACHE._on_evict is _free_pairs
+
+
 def _reference_bpe(word_freqs, n_merges):
     """Textbook BPE learner: weighted adjacent-pair counts over the
     vocab, (count DESC, lhs, rhs) tie-break, greedy left-to-right
