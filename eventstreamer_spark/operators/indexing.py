@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
 from eventstreamer_spark.functions import numeric as N
-from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint, live_hit
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -1277,7 +1277,7 @@ def bm25_serving_index_memo(
     invocation. Same post-eviction invalidation contract as
     residual_artifacts_memo."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BM25_IDX_MEMO.get(key)
+    hit = live_hit(_BM25_IDX_MEMO, key)
     if hit is None:
         tf, dl, qt = bm25_parts(spark, sf_dir)
         hit = (
@@ -1685,7 +1685,7 @@ def retriever_lists_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-eviction invalidation contract as residual_artifacts_memo:
     consume at build time, evaluate within the invocation."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _RLISTS_MEMO.get(key)
+    hit = live_hit(_RLISTS_MEMO, key)
     if hit is None:
         hit = _retriever_lists(spark, sf_dir).localCheckpoint(eager=False)
         _RLISTS_MEMO[key] = hit

@@ -28,11 +28,34 @@ from eventstreamer_spark.session import TABLES
 # relation, no .cache()), so each bench invocation computes from the
 # inputs exactly as before. Values are plan handles (no executor
 # resources), so no eviction hook; 64 slots cover many sf_dirs.
+#
+# STALENESS CONTRACT (VERDICT r14 item 4): the memoized handle pins
+# the FileIndex, so an operator that WRITES to a canonical table path
+# in-session would silently keep reading the stale file list. No
+# current operator writes canonical paths (side products live under
+# /tmp/es_* keyed by applicationId) — any future writer MUST call
+# ``invalidate_scan(sf_dir, name)`` after the write, and the pin test
+# test_scan_memo_invalidates_on_write holds it to that.
 _SCAN_MEMO: dict[tuple[str, str, str], DataFrame] = BoundedMemo(maxsize=64)
+
+
+def invalidate_scan(sf_dir: str, name: str | None = None) -> None:
+    """Drop memoized resolved-scan handles for ``sf_dir`` (one table,
+    or all of its tables when ``name`` is None) so the next load_table
+    re-lists files and re-reads footers. REQUIRED after any in-session
+    write to a canonical table path — see the staleness contract on
+    _SCAN_MEMO."""
+    stale = [
+        k for k in _SCAN_MEMO if k[1] == sf_dir and (name is None or k[2] == name)
+    ]
+    for k in stale:
+        _SCAN_MEMO.pop(k, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one canonical table. Vectorized parquet reader, lazy.
+    The resolved handle is memoized per (app, sf_dir, name) — writers
+    to a canonical path must call ``invalidate_scan`` (see _SCAN_MEMO).
 
     ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) — which
     Spark's reader rejects, so we read nanos as epoch-long (runtime
