@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint, live_hit
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.session import shuffle_partitions
 from eventstreamer_spark.sources.tables import load_table_parallel
@@ -335,19 +335,21 @@ def classifier_artifacts_memo(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """(feats, lab, weights) for the trained ridge quality classifier,
-    built ONCE per (applicationId, sf_dir) and shared by every
-    classifier consumer (r14 optimization, guide §2.4 "remove shuffles
-    outright"): through round 13 SIX queries — the batch scorer, the
-    streaming serving twin, the calibration audit, the isotonic map,
-    the selection pipeline and the selection-agreement audit — each
-    re-ran the identical tokenize → feature fold → Gram collect →
-    integer Gauss–Seidel chain per invocation, ~6× the same jobs per
-    bench window for bit-identical weights (the training is
-    deterministic integer arithmetic, so every rebuild HAD to produce
-    the same vector). One owner now pays the build; consumers reuse
-    the checkpointed feature/label frames and the driver-side weight
-    list, declared in bench.py's memo_warm (the
-    residual_artifacts_memo precedent, VERDICT r12 item 5 / r13).
+    built ONCE per (applicationId, sf_dir) and shared by the FIVE
+    classifier CONSUMERS (r14 optimization, guide §2.4 "remove
+    shuffles outright"): the streaming serving twin, the calibration
+    audit, the isotonic map, the selection pipeline and the
+    selection-agreement audit — which through round 13 each re-ran
+    the identical tokenize → feature fold → Gram collect → integer
+    Gauss–Seidel chain per invocation for bit-identical weights (the
+    training is deterministic integer arithmetic, so every rebuild
+    HAD to produce the same vector). Consumers reuse the checkpointed
+    feature/label frames and the driver-side weight list, declared in
+    bench.py's memo_warm (the residual_artifacts_memo precedent).
+    OWNERS-PAY (VERDICT r14 item 1): the batch scorer
+    quality_classifier_scores deliberately bypasses this memo and
+    pays the full training chain every invocation, so the bench's
+    min-of-N steady state always contains the deepest build.
 
     POST-EVICTION INVALIDATION (same contract as
     residual_artifacts_memo): eviction frees the checkpoint blocks, so
@@ -355,7 +357,7 @@ def classifier_artifacts_memo(
     own invocation, never hold derived handles across ≥ 4 newer
     (app, sf_dir) keys."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _QC_ART_MEMO.get(key)
+    hit = live_hit(_QC_ART_MEMO, key)
     if hit is None:
         feats, lab = _doc_features(spark, sf_dir)
         w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
@@ -407,8 +409,16 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     products, integer GS in 1e-6 weight units with exact floor
     division), so the learned weights — and therefore every score —
     are bit-identical between this plan and the DuckDB oracle's
-    recursive-CTE replay of the same sweeps."""
-    feats, lab, w = classifier_artifacts_memo(spark, sf_dir)
+    recursive-CTE replay of the same sweeps.
+
+    OWNER query (VERDICT r14 item 1, owners-pay restored): this query
+    deliberately BYPASSES classifier_artifacts_memo and re-runs the
+    full tokenize → Gram → Gauss–Seidel chain every invocation — the
+    pq_rerank_np4 pattern — so the training build appears in every
+    bench pass's steady state; the five remaining consumers stay on
+    the session memo (bench.py memo_warm)."""
+    feats, lab = _doc_features(spark, sf_dir)
+    w = train_ridge_weights(spark, sf_dir, feats=feats, lab=lab)
     scored = ridge_scores(spark, sf_dir, w, feats=feats)
     return lab.join(scored, "doc_id").select(
         "doc_id",
