@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint
+from eventstreamer_spark.memo import BoundedMemo, free_local_checkpoint, live_hit
 from eventstreamer_spark.operators.dedup import ngram_jaccard_pairs
 from eventstreamer_spark.operators.text import q_text_stats_quality
 from eventstreamer_spark.registry import query
@@ -327,6 +327,76 @@ FROM tmix CROSS JOIN tot
     )
 
 
+def capped_survivors(d: DataFrame, tk: DataFrame, cover: DataFrame) -> DataFrame:
+    """The corpus-build per-domain cap stage, pre-checkpoint — factored
+    out (the ranks.range_staged precedent) so the plan test and
+    plans/r15 dumps can pin its shape, which the downstream eager
+    checkpoint otherwise hides behind a LogicalRDD.
+
+    Per-domain cap via LENGTH-ONLY PROXY + broadcast threshold
+    (VERDICT r14 item 4, guide §8 "decide with small rows, move big
+    rows once"): the old shape ranked the rewritten docs directly, so
+    the source-hash window exchange carried every rewritten TEXT
+    payload and the rank sort lugged full documents. Now the rank runs
+    over (doc_id, source, tlen) — three narrow columns — and selection
+    re-attaches as a per-source (cut_len, cut_doc) THRESHOLD table
+    (ONE row per source, broadcastable at any corpus scale, unlike a
+    survivors-id list) plus a row-local lexicographic filter:
+    rnk <= cap  ⟺  tlen > cut_len OR (tlen = cut_len AND doc_id <=
+    cut_doc), exact because (tlen DESC, doc_id) is a total order and
+    cap >= 1 guarantees the cutoff row exists. Text now reaches the
+    ``capped`` checkpoint straight from the scan — no exchange carries
+    it at all."""
+    from eventstreamer_spark.operators.indexing import _CLEANED_SPARK
+    from pyspark.sql import Window
+
+    clen = tk.join(cover, "doc_id").select(
+        "doc_id", F.length(F.expr(_CLEANED_SPARK)).alias("clen")
+    )
+    rewlen = (
+        d.select("doc_id", "source", F.length("text").alias("olen"))
+        .join(clen, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce("clen", "olen").alias("tlen"))
+    )
+    w = Window.partitionBy("source")
+    rankedl = rewlen.withColumn(
+        "rnk", F.row_number().over(w.orderBy(F.col("tlen").desc(), "doc_id"))
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    thr = rankedl.filter(
+        F.col("rnk")
+        == F.greatest(
+            F.lit(1).cast("long"), F.floor(F.col("n_docs") * F.lit(DOMAIN_KEEP_FRAC))
+        )
+    ).select(
+        "source",
+        F.col("tlen").alias("cut_len"),
+        F.col("doc_id").alias("cut_doc"),
+    )
+    rew = (
+        d.join(tk, "doc_id")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("covered").isNull(), F.col("text"))
+            .otherwise(F.expr(_CLEANED_SPARK))
+            .alias("text"),
+        )
+    )
+    return (
+        rew.withColumn("tlen", F.length("text"))
+        .join(F.broadcast(thr), "source")
+        .filter(
+            (F.col("tlen") > F.col("cut_len"))
+            | (
+                (F.col("tlen") == F.col("cut_len"))
+                & (F.col("doc_id") <= F.col("cut_doc"))
+            )
+        )
+        .select("doc_id", "source", "text")
+    )
+
+
 @query("corpus_build_pipeline", oracle=_corpus_build_oracle())
 def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 operators COMPOSED into one corpus-build plan — the
@@ -362,7 +432,6 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from eventstreamer_spark.operators.indexing import (
-        _CLEANED_SPARK,
         _TOKS_S,
         _ppl_band_sql,
         bigram_avg_nll,
@@ -379,7 +448,6 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
-    cover = substring_cover(tk)
     # Multi-consumer funnel stages are localCheckpointed: downstream
     # stages and the funnel counts both read them, and Catalyst does
     # not dedupe common subtrees across DataFrame branches — without
@@ -387,33 +455,13 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluated once per consumer (VERDICT r7: 6.5× the oracle,
     # which materializes each stage CTE once). Checkpoint, not
     # persist(): a persist() survives the invocation via plan-matching
-    # cache reuse (bench-dishonest). `rew` itself is NOT checkpointed:
-    # the cap window is its only consumer (the rewrite never changes
-    # doc membership, so the per-source base count comes from `d`),
-    # and an eager materialization of the full rewritten text bought
-    # nothing (VERDICT r8: drop single-consumer eager checkpoints).
-    rew = (
-        d.join(tk, "doc_id")
-        .join(cover, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.when(F.col("covered").isNull(), F.col("text"))
-            .otherwise(F.expr(_CLEANED_SPARK))
-            .alias("text"),
-        )
-    )
-    w = Window.partitionBy("source")
-    ranked = rew.withColumn(
-        "rnk",
-        F.row_number().over(w.orderBy(F.length("text").desc(), "doc_id")),
-    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
-    capped = ranked.filter(
-        F.col("rnk")
-        <= F.greatest(
-            F.lit(1).cast("long"), F.floor(F.col("n_docs") * F.lit(DOMAIN_KEEP_FRAC))
-        )
-    ).select("doc_id", "source", "text").localCheckpoint(eager=True)
+    # cache reuse (bench-dishonest). ``cover`` is checkpointed here
+    # (not inside substring_cover) because the r15 cap restructure
+    # below gives it TWO consumers: the proxy-length rank and the
+    # survivor text rebuild.
+    cover = substring_cover(tk).localCheckpoint(eager=True)
+
+    capped = capped_survivors(d, tk, cover).localCheckpoint(eager=True)
 
     # consumer-side session memo (owner semantic_dedup re-runs its own)
     assign = semdedup_assign_memo(spark, sf_dir)
@@ -728,8 +776,8 @@ _DSIR_MEMO: dict[tuple[str, str], DataFrame] = BoundedMemo(
 
 def dsir_scores_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dsir_doc_scores`` behind a per-(applicationId, sf_dir)
-    localCheckpoint (r14 optimization): FOUR queries — the weights
-    query, the selection pipeline, the Gumbel resampler and the
+    localCheckpoint (r14 optimization): the THREE consumer queries —
+    the selection pipeline, the Gumbel resampler and the
     selection-agreement audit — each re-ran the two-scan DSIR chain
     per invocation for the identical deterministic (doc_id, source,
     n_grams, w_e6, s_e6) table. One build per session now; consumers
@@ -737,9 +785,11 @@ def dsir_scores_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of one corpus scan), declared in bench.py's memo_warm
     (the residual_artifacts_memo precedent, and the same post-eviction
     invalidation contract: consume at build time, evaluate within the
-    invocation)."""
+    invocation). OWNERS-PAY (VERDICT r14 item 1): the weights query
+    dsir_importance_weights deliberately bypasses this memo and pays
+    the full two-scan chain every invocation."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _DSIR_MEMO.get(key)
+    hit = live_hit(_DSIR_MEMO, key)
     if hit is None:
         hit = dsir_doc_scores(spark, sf_dir).localCheckpoint(eager=False)
         _DSIR_MEMO[key] = hit
@@ -776,10 +826,17 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: beyond-reference curation surface (the reference
     pipeline, Function1.cs:1-236, has no data-selection stage);
-    SURVEY.md §2.1 extension per the round-7 depth mandate."""
+    SURVEY.md §2.1 extension per the round-7 depth mandate.
+
+    OWNER query (VERDICT r14 item 1, owners-pay restored): this query
+    deliberately BYPASSES dsir_scores_memo and re-runs the two-scan
+    DSIR chain every invocation — the pq_rerank_np4 pattern — so the
+    build appears in every bench pass's steady state; the three
+    remaining consumers stay on the session memo (bench.py
+    memo_warm)."""
     from pyspark.sql import Window
 
-    scored = dsir_scores_memo(spark, sf_dir)
+    scored = dsir_doc_scores(spark, sf_dir)
     w = Window.partitionBy("source")
     ranked = scored.withColumn(
         "rnk", F.row_number().over(w.orderBy(F.col("s_e6").desc(), "doc_id"))
