@@ -36,12 +36,39 @@ DispatcherFunction.cs:35); this is Tier B scale machinery.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.memo import free_local_checkpoint
 
-RANK_NPART = 32  # range partitions for the parallel exact rank
+# Cap on range partitions for the parallel exact rank; env-overridable
+# for production clusters (the session.py SPARK_GRAFT_* pattern). The
+# per-query count is SIZE-ADAPTIVE below (VERDICT r14 item 5): a fixed
+# 32 paid ~32 near-empty range-sampler+window tasks on the 15k–150k-row
+# report inputs at sf0.1, while one partition per ~16 MB of estimated
+# input keeps the same RangePartitioning plan shape and scales back up
+# with the data.
+RANK_NPART = int(os.environ.get("SPARK_GRAFT_RANK_MAX_PARTITIONS", "32"))
+_RANK_BYTES_PER_PART = 16 << 20
+
+
+def rank_npart(df: DataFrame) -> int:
+    """Range-partition count for this input: ceil(estimated bytes /
+    16 MB), clamped to [2, RANK_NPART]. The floor of 2 keeps the plan
+    a RangePartitioning exchange — never the Exchange SinglePartition
+    shape the module exists to retire. Estimation failures fall back
+    to the cap (over-partitioning is the safe direction at scale)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return max(2, RANK_NPART)
+    n = math.ceil(min(size, 1 << 60) / _RANK_BYTES_PER_PART)
+    return max(2, min(RANK_NPART, n))
 
 
 def _as_cols(order: list[str | Column]) -> list[Column]:
@@ -54,7 +81,7 @@ def range_staged(df: DataFrame, order: list[str | Column]) -> DataFrame:
     collapses it to a LogicalRDD in the downstream plan). ``order``
     entries may carry sort direction (``F.col(x).desc()``)."""
     cols = _as_cols(order)
-    return df.repartitionByRange(RANK_NPART, *cols).withColumn(
+    return df.repartitionByRange(rank_npart(df), *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
 

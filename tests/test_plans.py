@@ -2231,6 +2231,55 @@ def test_analyze_table_stats_single_scan(spark):
     assert rows["l_orderkey"].ndv > rows["l_returnflag"].ndv
 
 
+def test_corpus_cap_rank_exchange_is_text_free(spark):
+    """VERDICT r14 item 4 (guide §8): the corpus-build per-domain cap
+    ranks on a (doc_id, source, tlen) proxy — the source-hash window
+    exchange must NOT carry the rewritten text payload — and survivor
+    selection re-attaches via a broadcast per-source threshold join,
+    so no exchange anywhere in the stage moves text."""
+    import re
+
+    from eventstreamer_spark.operators.curation import capped_survivors
+    from eventstreamer_spark.operators.indexing import _TOKS_S, substring_cover
+    from eventstreamer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    tk = d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    cover = substring_cover(tk)
+    plan = physical_plan(capped_survivors(d, tk, cover))
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(source" in l]
+    assert len(ex) == 1, plan  # the ONE rank exchange, on the domain key
+    feeding = lines[ex[0] + 1]
+    assert "Project" in feeding and "text#" not in feeding, feeding
+    assert "tlen" in feeding, feeding
+    # selection is a broadcast threshold join with the lexicographic cut
+    assert "BroadcastHashJoin" in plan and "cut_len" in plan, plan
+    # NO shuffle exchange anywhere in the stage carries the text
+    # payload (the cover build's span/doc aggregates are narrow): the
+    # operator feeding every exchange must be text-free
+    for i, l in enumerate(lines):
+        if re.search(r"\bExchange (hash|range)partitioning", l):
+            assert "text#" not in lines[i + 1], (l, lines[i + 1])
+
+
+def test_rank_npart_adaptive(spark):
+    """VERDICT r14 item 5: the rank's range-partition count derives
+    from the input size estimate — small report inputs get few
+    partitions (less fixed overhead), huge inputs hit the cap — and
+    never drops below 2 (the plan must stay RangePartitioning, never
+    Exchange SinglePartition)."""
+    from eventstreamer_spark.operators.ranks import RANK_NPART, rank_npart
+
+    small = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    n_small = rank_npart(small)
+    assert 2 <= n_small < RANK_NPART  # sf0.01 customer ≪ 16 MB × cap
+    big = spark.range(10**9).toDF("x")  # stats: ~8 GB estimated
+    assert rank_npart(big) == RANK_NPART
+
+
 def test_parallel_rank_exact(spark):
     """ranks.parallel_rank must equal the single-partition
     row_number() it replaces, and ranks.ntile_expr must equal SQL
