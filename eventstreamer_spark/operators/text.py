@@ -620,11 +620,19 @@ def learn_bpe_merges(
         ).alias("seg"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
+    # ONE job per merge iteration (VERDICT r14 item 6): the learned
+    # replaces accumulate as a nested expression over the single base
+    # checkpoint — the bpe_seg_col shape — instead of re-materializing
+    # an eager checkpoint per iteration, which doubled the job count
+    # (argmax collect + checkpoint job × BPE_MERGES) for a ≤
+    # BPE_VOCAB_TOP-row table whose t-deep replace chain is trivial,
+    # row-local codegen work (guide §7.3 driver-side sequencing).
+    seg_col = F.col("seg")
     for t in range(1, BPE_MERGES + 1):
         pairs = (
             seg.select(
                 "freq",
-                F.expr("filter(split(seg, ' '), x -> x != '')").alias("s"),
+                F.filter(F.split(seg_col, " "), lambda x: x != "").alias("s"),
             )
             .select(
                 "freq",
@@ -647,14 +655,11 @@ def learn_bpe_merges(
             break
         b = best[0]
         merges.append((t, b.lhs, b.rhs, b.lhs + b.rhs, b.pair_count))
-        seg = seg.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(f" {b.lhs}  {b.rhs} "),
-                F.lit(f" {b.lhs}{b.rhs} "),
-            ),
-        ).localCheckpoint(eager=True)
+        seg_col = F.replace(
+            seg_col,
+            F.lit(f" {b.lhs}  {b.rhs} "),
+            F.lit(f" {b.lhs}{b.rhs} "),
+        )
     _BPE_CACHE[key] = merges
     return merges
 
@@ -673,9 +678,10 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rescan, so each iteration is one small hash aggregate over
     ≤ {BPE_VOCAB_TOP} rows here — and over the few-million-type vocab
     of a 100 TB corpus, same plan. The per-iteration driver collect is
-    ONE row (the argmax pair — the 'broadcast best merge' step);
-    segmentations live in the vocab DataFrame, re-checkpointed per
-    iteration so the replace chain never deepens.
+    ONE row (the argmax pair — the 'broadcast best merge' step), and it
+    is the iteration's ONLY job: segmentations are the base character
+    split (checkpointed once) under the accumulated nested-replace
+    expression, the same chain bpe_seg_col applies corpus-wide.
 
     Merge application is exact greedy BPE via single-pass string
     replace over double-space-joined symbols (see module comment);
