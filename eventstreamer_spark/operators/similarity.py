@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstreamer_spark.functions import hashing as H
-from eventstreamer_spark.memo import BoundedMemo
+from eventstreamer_spark.memo import BoundedMemo, live_hit
 from eventstreamer_spark.registry import query
 from eventstreamer_spark.sources.tables import load_table, load_table_parallel
 
@@ -99,7 +99,7 @@ def brute_truth_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zero-norm-dropped quantized corpus behind an eager
     localCheckpoint; later calls reuse the handle."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BRUTE_MEMO.get(key)
+    hit = live_hit(_BRUTE_MEMO, key)
     if hit is None:
         prepared = H.with_quantized_unit(
             load_table_parallel(spark, sf_dir, "embeddings"),
@@ -236,6 +236,46 @@ def _assemble_centroids(comp: DataFrame) -> DataFrame:
     )
 
 
+_BLAS_PINNED = False
+
+
+def _blas_single_thread() -> None:
+    """Pin the in-process BLAS to ONE thread (idempotent, per worker).
+
+    The f64 kernel matmuls here are small and run from MANY concurrent
+    Spark Python workers; a multi-threaded OpenBLAS spin-waits after
+    every call and oversubscribes the host — measured at 32-process
+    saturation on this host: f64 gemm wall 6.0 s multi-threaded vs
+    0.6 s single-threaded (vs 3.4 s for the old non-BLAS int64 path).
+    Env vars only work if set before the worker's numpy import, which
+    an externally-launched driver does not guarantee — so this pins
+    the already-loaded library directly via its control symbol.
+    Best-effort: failure leaves the default threading (the old
+    behavior), never raises."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    try:
+        import ctypes
+
+        libs = set()
+        with open("/proc/self/maps") as f:
+            for line in f:
+                part = line.rsplit(" ", 1)[-1].strip()
+                if "openblas" in part.lower() and ".so" in part:
+                    libs.add(part)
+        for lib in libs:
+            h = ctypes.CDLL(lib)
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                fn = getattr(h, sym, None)
+                if fn is not None:
+                    fn(1)
+                    return
+    except Exception:
+        pass
+
+
 def _score_centroids(embq: DataFrame, cent: DataFrame, max_rank: int = 1) -> DataFrame:
     """Per-vector top-``max_rank`` nearest centroids, MLlib-style.
 
@@ -263,14 +303,22 @@ def _score_centroids(embq: DataFrame, cent: DataFrame, max_rank: int = 1) -> Dat
     crows = [r for r in crows if r.cq is not None and len(r.cq) and r.cq[0] is not None]
     labels = np.asarray([r.c_label for r in crows], dtype="int64")
     cmat = np.asarray([list(r.cq) for r in crows], dtype="int64")
+    cmatf = cmat.T.astype("float64")
     r = min(max_rank, len(labels))
 
     def score(batches):
+        _blas_single_thread()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             amat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
-            dots = amat @ cmat.T  # exact int64
+            # f64 BLAS matmul, bit-exact: |component| <= 1e6, so every
+            # product <= 1e12 and every partial sum <= 64*1e12 = 6.4e13
+            # — far below 2^53, so float64 carries the integers intact
+            # while using the BLAS path NumPy's int64 matmul lacks
+            # (measured 10-70x on k x n x 64 shapes; pinned by
+            # test_f64_matmul_exact_at_quantization_bound).
+            dots = amat.astype("float64") @ cmatf
             cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
             # unique integer key = (cosine desc, c_label asc); rint
             # because cos*1e5 can sit an ulp under the integer
@@ -320,13 +368,21 @@ def _lloyd_mean_partials(itbl: DataFrame, cent: DataFrame) -> DataFrame:
     crows = [r for r in crows if r.cq is not None and len(r.cq) and r.cq[0] is not None]
     labels = np.asarray([r.c_label for r in crows], dtype="int64")
     cmat = np.asarray([list(r.cq) for r in crows], dtype="int64")
+    cmatf = cmat.T.astype("float64")
 
     def partials(batches):
+        _blas_single_thread()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             amat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
-            dots = amat @ cmat.T  # exact int64
+            # f64 BLAS matmul, bit-exact: |component| <= 1e6, so every
+            # product <= 1e12 and every partial sum <= 64*1e12 = 6.4e13
+            # — far below 2^53, so float64 carries the integers intact
+            # while using the BLAS path NumPy's int64 matmul lacks
+            # (measured 10-70x on k x n x 64 shapes; pinned by
+            # test_f64_matmul_exact_at_quantization_bound).
+            dots = amat.astype("float64") @ cmatf
             cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
             # same unique integer key as _score_centroids; argmin ==
             # argsort()[:, 0] because keys are unique within a row
@@ -1449,7 +1505,7 @@ def semdedup_assign_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the assignment behind an eager localCheckpoint;
     later calls reuse it (measured ~1.1 s/invocation at sf0.1)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ASSIGN_MEMO.get(key)
+    hit = live_hit(_ASSIGN_MEMO, key)
     if hit is None:
         hit = semdedup_assign(spark, sf_dir).localCheckpoint(eager=True)
         _ASSIGN_MEMO[key] = hit
@@ -1463,6 +1519,7 @@ def semdedup_cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
     import numpy as np
     import pandas as pd
 
+    _blas_single_thread()
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(dtype="int64")
     if len(ids) < 2:
@@ -1475,7 +1532,14 @@ def semdedup_cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
             }
         )
     mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
-    dots = mat @ mat.T  # exact int64
+    # f64 BLAS matmul, bit-exact: |component| <= 1e6, so every
+    # product <= 1e12 and every partial sum <= 64*1e12 = 6.4e13
+    # — far below 2^53, so float64 carries the integers intact
+    # while using the BLAS path NumPy's int64 matmul lacks
+    # (measured 10-70x on k x n x 64 shapes; pinned by
+    # test_f64_matmul_exact_at_quantization_bound).
+    matf = mat.astype("float64")
+    dots = matf @ matf.T
     cos = np.floor(dots / 1e12 * 1e5 + 0.5) / 1e5  # round half-up to 5
     ai, bi = np.nonzero(np.triu(cos >= SEMDEDUP_T, k=1))
     return pd.DataFrame(
@@ -1982,6 +2046,7 @@ def _mmr_rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
     import numpy as np
     import pandas as pd
 
+    _blas_single_thread()
     pdf = pdf.sort_values(
         ["dq", "neighbor_id"], ascending=[False, True]
     ).reset_index(drop=True)
@@ -1989,7 +2054,15 @@ def _mmr_rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
     ids = pdf["neighbor_id"].to_numpy(dtype="int64")
     dq = pdf["dq"].to_numpy(dtype="int64")
     mat = np.array([np.asarray(u, dtype="int64") for u in pdf["uq"]])
-    dots = mat @ mat.T  # exact int64 (|component| <= 1e6, 64 dims)
+    # f64 BLAS matmul, bit-exact: |component| <= 1e6, so every
+    # product <= 1e12 and every partial sum <= 64*1e12 = 6.4e13
+    # — far below 2^53, so float64 carries the integers intact
+    # while using the BLAS path NumPy's int64 matmul lacks
+    # (measured 10-70x on k x n x 64 shapes; pinned by
+    # test_f64_matmul_exact_at_quantization_bound).
+    # (rint round-trip keeps the downstream comparisons pure int64)
+    matf = mat.astype("float64")
+    dots = np.rint(matf @ matf.T).astype("int64")
     chosen: list[int] = []
     scores: list[int] = []
     avail = list(range(n))
