@@ -199,7 +199,7 @@ def _run_gate_stream(df: DataFrame, start, nodata_batches: bool = False) -> list
         prov_key,
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
-    spark.conf.set(part_key, "8")
+    spark.conf.set(part_key, os.environ.get("SPARK_GRAFT_GATE_PARTITIONS", "8"))
     # Gate runs are one-batch and never restarted from this checkpoint, so
     # retaining the default 100 committed batches only adds checkpoint I/O.
     spark.conf.set(retain_key, "1")
